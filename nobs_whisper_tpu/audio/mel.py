@@ -1,0 +1,159 @@
+"""Log-mel spectrogram front-end (pure-JAX reference path).
+
+The reference's mel front-end lives inside whisper.cpp (invoked via
+``state.full`` at src-tauri/src/whisper.rs:128): 16 kHz PCM -> STFT (400-pt
+hann, hop 160) -> 80/128-bin slaney mel -> log10 -> dynamic-range clamp ->
+(x+4)/4. This module reproduces those exact semantics in JAX. The DFT is
+expressed as two matmuls against cos/sin bases so the whole front-end maps
+onto the MXU and fuses under jit; a hand-tiled Pallas variant lives in
+``ops/mel_pallas.py`` and must match this to float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import HOP_LENGTH, N_FFT, N_SAMPLES, SAMPLE_RATE
+
+_N_FREQS = N_FFT // 2 + 1  # 201
+
+
+def hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    """Slaney-scale hz->mel (linear below 1 kHz, log above)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    mels = 3.0 * freq / 200.0
+    min_log_hz = 1000.0
+    min_log_mel = 15.0
+    logstep = 27.0 / np.log(6.4)
+    return np.where(freq >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(freq, 1e-10) /
+                                         min_log_hz) * logstep,
+                    mels)
+
+
+def mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    freq = 200.0 * mels / 3.0
+    min_log_mel = 15.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(mels >= min_log_mel,
+                    1000.0 * np.exp(logstep * (mels - min_log_mel)),
+                    freq)
+
+
+@functools.lru_cache(maxsize=4)
+def mel_filter_bank(n_mels: int,
+                    sample_rate: int = SAMPLE_RATE,
+                    n_fft: int = N_FFT) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, (n_mels, n_fft//2+1).
+
+    Matches librosa.filters.mel defaults — the filters openai-whisper ships
+    in mel_filters.npz and whisper.cpp embeds in GGML checkpoints.
+    """
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0, sample_rate / 2, n_freqs)
+    mel_min = hz_to_mel_slaney(np.array(0.0))
+    mel_max = hz_to_mel_slaney(np.array(sample_rate / 2))
+    mel_pts = np.linspace(mel_min, mel_max, n_mels + 2)
+    hz_pts = mel_to_hz_slaney(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # slaney area normalization
+    enorm = 2.0 / (hz_pts[2: n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _dft_bases(n_fft: int = N_FFT):
+    """Real-DFT as matmul: window-folded cos/sin bases, (n_fft, n_freqs)."""
+    n_freqs = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    # periodic hann window, folded into the basis so framing needs no
+    # separate multiply
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
+    cos_b = (np.cos(ang) * window[:, None]).astype(np.float32)
+    sin_b = (np.sin(ang) * window[:, None]).astype(np.float32)
+    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+
+def frame_signal(audio: jnp.ndarray) -> jnp.ndarray:
+    """Center-padded (reflect) strided framing: (T,) -> (n_frames, n_fft).
+
+    n_frames = T // hop (the trailing STFT frame is dropped, matching
+    torch.stft-based reference semantics).
+    """
+    pad = N_FFT // 2
+    padded = jnp.pad(audio, (pad, pad), mode="reflect")
+    n_frames = audio.shape[0] // HOP_LENGTH
+    idx = (jnp.arange(n_frames)[:, None] * HOP_LENGTH +
+           jnp.arange(N_FFT)[None, :])
+    return padded[idx]
+
+
+def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
+    """16 kHz f32 PCM -> (n_mels, T//160) log-mel, whisper semantics.
+
+    Accepts (T,) or batched (B, T). Normalization max is per-sample over the
+    full spectrogram, as in whisper.cpp / openai-whisper.
+    """
+    if audio.ndim == 1:
+        return _log_mel_single(audio, n_mels)
+    return jax.vmap(lambda a: _log_mel_single(a, n_mels))(audio)
+
+
+def _log_mel_single(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    frames = frame_signal(audio.astype(jnp.float32))
+    cos_b, sin_b = _dft_bases()
+    # (n_frames, n_freqs) real/imag parts on the MXU. HIGHEST precision:
+    # on TPU the default fp32 matmul decomposes into bf16 passes, which is
+    # too lossy ahead of a log10.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cos_b, precision=hi)
+    im = jnp.dot(frames, sin_b, precision=hi)
+    power = re * re + im * im
+    mel_f = jnp.asarray(mel_filter_bank(n_mels))          # (n_mels, n_freqs)
+    mel = jnp.dot(power, mel_f.T, precision=hi)            # (n_frames, n_mels)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+    return ((log_spec + 4.0) / 4.0).T                      # (n_mels, n_frames)
+
+
+def log_mel_numpy_f64(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """float64 NumPy mirror of the JAX pipeline — the algorithmic oracle.
+
+    Matches transformers' WhisperFeatureExtractor (and thus openai-whisper /
+    whisper.cpp semantics) to ~1e-6; the fp32 JAX path deviates only by
+    float-precision noise in near-zero spectral bins.
+    """
+    audio = np.asarray(audio, dtype=np.float64)
+    pad = N_FFT // 2
+    padded = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = audio.shape[0] // HOP_LENGTH
+    idx = (np.arange(n_frames)[:, None] * HOP_LENGTH +
+           np.arange(N_FFT)[None, :])
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(N_FFT) / N_FFT))
+    power = np.abs(np.fft.rfft(padded[idx] * window, axis=1)) ** 2
+    mel = power @ mel_filter_bank(n_mels).T.astype(np.float64)
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return (((log_spec + 4.0) / 4.0).T).astype(np.float32)
+
+
+def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
+    """Pad with zeros / trim to exactly ``length`` samples (last axis)."""
+    t = audio.shape[-1]
+    if t >= length:
+        return audio[..., :length]
+    pad = [(0, 0)] * (audio.ndim - 1) + [(0, length - t)]
+    return jnp.pad(audio, pad)

@@ -1,0 +1,367 @@
+"""GGML ``ggml-*.bin`` Whisper checkpoint codec.
+
+The reference consumes whisper.cpp GGML checkpoints (downloaded into
+``~/.config/NobsWhisper/models/ggml-<id>.bin``, reference
+src-tauri/src/model.rs:194, loaded via FFI at src-tauri/src/whisper.rs:41).
+This module is a from-scratch NumPy implementation of that on-disk format so
+the TPU framework can ingest the exact same model files: header hparams, mel
+filterbank, embedded byte-level vocab, and tensors in f32/f16/q4_0/q4_1/
+q5_0/q5_1/q8_0 encodings.
+
+A writer is included so tests can fabricate tiny random checkpoints without
+network access, and so the framework can emit quantized checkpoints itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import WhisperConfig, config_from_hparams
+
+GGML_MAGIC = 0x67676D6C  # "ggml" (little-endian int32)
+
+# ggml tensor dtypes (subset used by whisper.cpp checkpoints)
+GGML_TYPE_F32 = 0
+GGML_TYPE_F16 = 1
+GGML_TYPE_Q4_0 = 2
+GGML_TYPE_Q4_1 = 3
+GGML_TYPE_Q5_0 = 6
+GGML_TYPE_Q5_1 = 7
+GGML_TYPE_Q8_0 = 8
+
+QK = 32  # quantization block size (values per block)
+
+# bytes per block of 32 values
+_BLOCK_BYTES = {
+    GGML_TYPE_Q4_0: 2 + 16,
+    GGML_TYPE_Q4_1: 2 + 2 + 16,
+    GGML_TYPE_Q5_0: 2 + 4 + 16,
+    GGML_TYPE_Q5_1: 2 + 2 + 4 + 16,
+    GGML_TYPE_Q8_0: 2 + 32,
+}
+
+TYPE_NAMES = {
+    GGML_TYPE_F32: "f32",
+    GGML_TYPE_F16: "f16",
+    GGML_TYPE_Q4_0: "q4_0",
+    GGML_TYPE_Q4_1: "q4_1",
+    GGML_TYPE_Q5_0: "q5_0",
+    GGML_TYPE_Q5_1: "q5_1",
+    GGML_TYPE_Q8_0: "q8_0",
+}
+
+
+# --------------------------------------------------------------------------
+# Dequantization (NumPy, vectorized). Shapes: raw block bytes -> float32.
+# --------------------------------------------------------------------------
+
+def _split_blocks(raw: bytes, block_bytes: int) -> np.ndarray:
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if buf.size % block_bytes:
+        raise ValueError(
+            f"quantized payload of {buf.size} bytes is not a multiple of "
+            f"block size {block_bytes}")
+    return buf.reshape(-1, block_bytes)
+
+
+def _nibbles(qs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    lo = (qs & 0x0F).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    return lo, hi
+
+
+def _high_bits(qh_bytes: np.ndarray) -> np.ndarray:
+    """(nblocks, 4) uint8 -> (nblocks, 32) int32 of per-value 5th bits."""
+    qh = qh_bytes.astype(np.uint32)
+    qh32 = qh[:, 0] | (qh[:, 1] << 8) | (qh[:, 2] << 16) | (qh[:, 3] << 24)
+    shifts = np.arange(32, dtype=np.uint32)
+    return ((qh32[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+
+
+def dequant_q4_0(raw: bytes) -> np.ndarray:
+    b = _split_blocks(raw, _BLOCK_BYTES[GGML_TYPE_Q4_0])
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)  # (n,1)
+    lo, hi = _nibbles(b[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32) - 8.0
+    return (q * d).reshape(-1)
+
+
+def dequant_q4_1(raw: bytes) -> np.ndarray:
+    b = _split_blocks(raw, _BLOCK_BYTES[GGML_TYPE_Q4_1])
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    lo, hi = _nibbles(b[:, 4:20])
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def dequant_q5_0(raw: bytes) -> np.ndarray:
+    b = _split_blocks(raw, _BLOCK_BYTES[GGML_TYPE_Q5_0])
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    hb = _high_bits(b[:, 2:6])
+    lo, hi = _nibbles(b[:, 6:22])
+    q = np.concatenate([lo | (hb[:, :16] << 4), hi | (hb[:, 16:] << 4)],
+                       axis=1).astype(np.float32) - 16.0
+    return (q * d).reshape(-1)
+
+
+def dequant_q5_1(raw: bytes) -> np.ndarray:
+    b = _split_blocks(raw, _BLOCK_BYTES[GGML_TYPE_Q5_1])
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    hb = _high_bits(b[:, 4:8])
+    lo, hi = _nibbles(b[:, 8:24])
+    q = np.concatenate([lo | (hb[:, :16] << 4), hi | (hb[:, 16:] << 4)],
+                       axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)
+
+
+def dequant_q8_0(raw: bytes) -> np.ndarray:
+    b = _split_blocks(raw, _BLOCK_BYTES[GGML_TYPE_Q8_0])
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    q = b[:, 2:34].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+_DEQUANT = {
+    GGML_TYPE_Q4_0: dequant_q4_0,
+    GGML_TYPE_Q4_1: dequant_q4_1,
+    GGML_TYPE_Q5_0: dequant_q5_0,
+    GGML_TYPE_Q5_1: dequant_q5_1,
+    GGML_TYPE_Q8_0: dequant_q8_0,
+}
+
+
+# --------------------------------------------------------------------------
+# Quantization (writer side; matches ggml reference rounding)
+# --------------------------------------------------------------------------
+
+def _blocked(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if x.size % QK:
+        raise ValueError(f"size {x.size} not a multiple of {QK}")
+    return x.reshape(-1, QK)
+
+
+def _signed_absmax(xb: np.ndarray) -> np.ndarray:
+    """Per-block value with the largest magnitude, sign preserved."""
+    idx = np.argmax(np.abs(xb), axis=1)
+    return xb[np.arange(xb.shape[0]), idx]
+
+
+def _pack_hb(q: np.ndarray) -> np.ndarray:
+    """(n, 32) ints with 5th bit -> (n, 4) uint8 little-endian bitfield."""
+    bits = ((q >> 4) & 1).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    qh32 = np.bitwise_or.reduce(bits << shifts[None, :], axis=1)
+    out = np.empty((q.shape[0], 4), dtype=np.uint8)
+    out[:, 0] = qh32 & 0xFF
+    out[:, 1] = (qh32 >> 8) & 0xFF
+    out[:, 2] = (qh32 >> 16) & 0xFF
+    out[:, 3] = (qh32 >> 24) & 0xFF
+    return out
+
+
+def quantize_q5_0(x: np.ndarray) -> bytes:
+    xb = _blocked(x)
+    amax = _signed_absmax(xb)
+    d = amax / -16.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor(xb * inv_d[:, None] + 16.5), 0, 31).astype(np.int32)
+    d16 = d.astype(np.float16)
+    lo = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
+    hb = _pack_hb(np.concatenate([q[:, :16], q[:, 16:]], axis=1))
+    out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q5_0]), dtype=np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8)
+    out[:, 2:6] = hb
+    out[:, 6:22] = lo.astype(np.uint8)
+    return out.tobytes()
+
+
+def quantize_q5_1(x: np.ndarray) -> bytes:
+    xb = _blocked(x)
+    mn = xb.min(axis=1)
+    mx = xb.max(axis=1)
+    d = (mx - mn) / 31.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor((xb - mn[:, None]) * inv_d[:, None] + 0.5),
+                0, 31).astype(np.int32)
+    out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q5_1]), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:8] = _pack_hb(q)
+    out[:, 8:24] = ((q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)).astype(
+        np.uint8)
+    return out.tobytes()
+
+
+def quantize_q8_0(x: np.ndarray) -> bytes:
+    xb = _blocked(x)
+    amax = np.abs(xb).max(axis=1)
+    d = amax / 127.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.round(xb * inv_d[:, None]), -127, 127).astype(np.int8)
+    out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q8_0]), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:34] = q.view(np.uint8)
+    return out.tobytes()
+
+
+_QUANTIZE = {
+    GGML_TYPE_Q5_0: quantize_q5_0,
+    GGML_TYPE_Q5_1: quantize_q5_1,
+    GGML_TYPE_Q8_0: quantize_q8_0,
+}
+
+
+# --------------------------------------------------------------------------
+# Checkpoint container
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GGMLCheckpoint:
+    config: WhisperConfig
+    mel_filters: np.ndarray            # (n_mels, n_fft_bins) float32
+    vocab: List[bytes]                 # id -> raw token bytes
+    tensors: Dict[str, np.ndarray]     # name -> float32 array (numpy layout)
+    tensor_types: Dict[str, int]       # name -> on-disk ggml type
+
+
+def _tensor_nbytes(ttype: int, n_elems: int) -> int:
+    if ttype == GGML_TYPE_F32:
+        return 4 * n_elems
+    if ttype == GGML_TYPE_F16:
+        return 2 * n_elems
+    bb = _BLOCK_BYTES[ttype]
+    if n_elems % QK:
+        raise ValueError(f"quantized tensor with {n_elems} elems not /{QK}")
+    return (n_elems // QK) * bb
+
+
+def read_ggml(path: str) -> GGMLCheckpoint:
+    """Parse a whisper.cpp GGML checkpoint into fp32 NumPy tensors.
+
+    Tensor arrays are returned in NumPy layout with shape = reversed ggml
+    ``ne`` (ggml lists the contiguous dimension first).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+
+    def u32() -> int:
+        nonlocal off
+        (v,) = struct.unpack_from("<i", data, off)
+        off += 4
+        return v
+
+    magic = struct.unpack_from("<I", data, 0)[0]
+    off = 4
+    if magic != GGML_MAGIC:
+        raise ValueError(f"{path}: bad magic {magic:#x}")
+
+    hp = [u32() for _ in range(11)]
+    (n_vocab, n_audio_ctx, n_audio_state, n_audio_head, n_audio_layer,
+     n_text_ctx, n_text_state, n_text_head, n_text_layer, n_mels,
+     _ftype) = hp
+    cfg = config_from_hparams(
+        n_vocab, n_audio_ctx, n_audio_state, n_audio_head, n_audio_layer,
+        n_text_ctx, n_text_state, n_text_head, n_text_layer, n_mels)
+
+    # mel filterbank
+    f_mels = u32()
+    f_fft = u32()
+    nbytes = 4 * f_mels * f_fft
+    mel = np.frombuffer(data, dtype="<f4", count=f_mels * f_fft,
+                        offset=off).reshape(f_mels, f_fft).copy()
+    off += nbytes
+
+    # vocab: file may contain fewer tokens than header n_vocab
+    # (multilingual checkpoints); whisper.cpp pads the tail.
+    n_tok = u32()
+    vocab: List[bytes] = []
+    for _ in range(n_tok):
+        ln = u32()
+        vocab.append(data[off:off + ln])
+        off += ln
+    for i in range(n_tok, n_vocab):
+        vocab.append(f"[_extra_token_{i}]".encode())
+
+    tensors: Dict[str, np.ndarray] = {}
+    ttypes: Dict[str, int] = {}
+    while off < len(data):
+        n_dims = u32()
+        name_len = u32()
+        ttype = u32()
+        ne = [u32() for _ in range(n_dims)]
+        name = data[off:off + name_len].decode("utf-8")
+        off += name_len
+        n_elems = int(np.prod(ne))
+        nbytes = _tensor_nbytes(ttype, n_elems)
+        raw = data[off:off + nbytes]
+        off += nbytes
+        if ttype == GGML_TYPE_F32:
+            arr = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif ttype == GGML_TYPE_F16:
+            arr = np.frombuffer(raw, dtype="<f2").astype(np.float32)
+        else:
+            arr = _DEQUANT[ttype](raw)
+        # ggml ne is fastest-dim-first; numpy shape is the reverse.
+        tensors[name] = arr.reshape(tuple(reversed(ne)))
+        ttypes[name] = ttype
+
+    return GGMLCheckpoint(config=cfg, mel_filters=mel, vocab=vocab,
+                          tensors=tensors, tensor_types=ttypes)
+
+
+def write_ggml(
+    path: str,
+    config: WhisperConfig,
+    mel_filters: np.ndarray,
+    vocab: List[bytes],
+    tensors: Dict[str, np.ndarray],
+    tensor_types: Optional[Dict[str, int]] = None,
+    default_type: int = GGML_TYPE_F32,
+) -> None:
+    """Emit a whisper.cpp-compatible GGML checkpoint.
+
+    ``tensors`` values are NumPy arrays (numpy layout); ``tensor_types``
+    selects the on-disk encoding per tensor (1D tensors are always f32,
+    mirroring whisper.cpp's quantizer which leaves norms/biases alone).
+    """
+    tensor_types = tensor_types or {}
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", GGML_MAGIC))
+        ftype_header = 0 if default_type == GGML_TYPE_F32 else 1
+        f.write(struct.pack(
+            "<11i", config.n_vocab, config.n_audio_ctx,
+            config.n_audio_state, config.n_audio_head, config.n_audio_layer,
+            config.n_text_ctx, config.n_text_state, config.n_text_head,
+            config.n_text_layer, config.n_mels, ftype_header))
+        mf = np.ascontiguousarray(mel_filters, dtype="<f4")
+        f.write(struct.pack("<2i", mf.shape[0], mf.shape[1]))
+        f.write(mf.tobytes())
+        f.write(struct.pack("<i", len(vocab)))
+        for tok in vocab:
+            f.write(struct.pack("<i", len(tok)))
+            f.write(tok)
+        for name, arr in tensors.items():
+            arr = np.ascontiguousarray(arr, dtype=np.float32)
+            ttype = tensor_types.get(name, default_type)
+            if arr.ndim == 1 or (arr.size % QK and ttype in _QUANTIZE):
+                ttype = GGML_TYPE_F32
+            ne = list(reversed(arr.shape))
+            name_b = name.encode("utf-8")
+            f.write(struct.pack("<3i", len(ne), len(name_b), ttype))
+            for d in ne:
+                f.write(struct.pack("<i", d))
+            f.write(name_b)
+            if ttype == GGML_TYPE_F32:
+                f.write(arr.astype("<f4").tobytes())
+            elif ttype == GGML_TYPE_F16:
+                f.write(arr.astype("<f2").tobytes())
+            else:
+                f.write(_QUANTIZE[ttype](arr))

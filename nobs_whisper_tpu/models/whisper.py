@@ -1,0 +1,481 @@
+"""Whisper encoder/decoder as pure-functional JAX.
+
+TPU-native rebuild of the inference core the reference delegates to
+whisper.cpp (GGML graph executed per chunk at src-tauri/src/whisper.rs:128).
+Design choices for XLA/TPU rather than a translation of the C++ graph:
+
+- Per-layer parameters are *stacked* along a leading layer axis and the
+  block stack runs under ``lax.scan`` — one trace regardless of depth, fast
+  compiles for 32-layer models, and a natural axis for pipeline sharding.
+- All shapes are static: mel windows are always (n_mels, 3000), the decoder
+  KV cache is always (L, B, n_text_ctx, H, Dh), prefills are padded and
+  masked. Nothing recompiles across utterances.
+- Batches are ragged-aware: every batch element carries its own write
+  position so concurrent streaming sessions can share one jitted step
+  (the TPU analog of the reference's chunk-worker overlap,
+  src-tauri/src/state.rs:549-607).
+- Matmuls run in the param dtype (bf16 on TPU), layernorm/softmax/logits
+  accumulate in fp32.
+
+Weight layout: linear weights are stored (d_in, d_out) so ``x @ w`` feeds
+the MXU directly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+def _precision_scope(compute_dtype):
+    """fp32 compute means *real* fp32: JAX's default fp32 matmul/conv on
+    TPU (and oneDNN CPU) decomposes into bf16 passes, which breaks numeric
+    parity with the reference. bf16 compute keeps the fast default."""
+    if compute_dtype == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    # (..., T, d) -> (..., n_head, T, d_head)
+    *lead, t, d = x.shape
+    x = x.reshape(*lead, t, n_head, d // n_head)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    # (..., n_head, T, d_head) -> (..., T, d)
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, t, h, dh = x.shape
+    return x.reshape(*lead, t, h * dh)
+
+
+def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Heads-first attention. q,k,v: (..., H, T, Dh); mask broadcastable to
+    (..., H, Tq, Tk), True = attend."""
+    dh = q.shape[-1]
+    scale = dh ** -0.25
+    scores = jnp.einsum(
+        "...htd,...hsd->...hts", q * scale, k * scale,
+        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("...hts,...hsd->...htd", probs.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+            stride: int) -> jnp.ndarray:
+    """x: (B, T, C_in); w: (K, C_in, C_out); SAME-style pad=1 for K=3."""
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
+           compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """mel: (B, n_mels, 3000) -> (B, 1500, d) encoder states."""
+    with _precision_scope(compute_dtype):
+        return _encode(params, mel, cfg, compute_dtype)
+
+
+def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
+            compute_dtype: jnp.dtype) -> jnp.ndarray:
+    enc = params["encoder"]
+    x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)   # (B, 3000, n_mels)
+    x = _gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], stride=1))
+    x = _gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], stride=2))
+    x = x + enc["pos"].astype(compute_dtype)
+
+    n_head = cfg.n_audio_head
+
+    def block(x, p):
+        h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+        q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)
+        k = _split_heads(h @ p["k_w"], n_head)
+        v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
+        a = _merge_heads(_attention(q, k, v, mask=None))
+        x = x + (a @ p["o_w"] + p["o_b"])
+        h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
+        h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
+        x = x + (h @ p["fc2_w"] + p["fc2_b"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    x = _layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(params: Params, xa: jnp.ndarray,
+                        cfg: WhisperConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encoder states -> per-layer cross-attention K/V.
+
+    Returns (xk, xv): each (L, B, H, T_audio, Dh). Computed once per window —
+    the decoder token loop only reads it.
+    """
+    dec = params["decoder"]["blocks"]
+    n_head = cfg.n_text_head
+
+    def per_layer(_, p):
+        k = _split_heads(xa @ p["xk_w"], n_head)
+        v = _split_heads(xa @ p["xv_w"] + p["xv_b"], n_head)
+        return None, (k, v)
+
+    with _precision_scope(xa.dtype):
+        _, (xk, xv) = jax.lax.scan(per_layer, None, dec)
+    return xk, xv
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int,
+                  dtype: jnp.dtype = jnp.float32) -> Tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx,
+             cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _write_cache(cache: jnp.ndarray, layer_vals: jnp.ndarray,
+                 pos: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a (B, H, S, Dh) slice into cache layer (B, H, T, Dh) at
+    per-element start positions ``pos`` (B,)."""
+    def upd(c_b, v_b, p_b):
+        return jax.lax.dynamic_update_slice(c_b, v_b, (0, p_b, 0))
+    return jax.vmap(upd)(cache, layer_vals, pos)
+
+
+def decoder_forward(
+    params: Params,
+    tokens: jnp.ndarray,          # (B, S) int32 — padded token slice
+    pos: jnp.ndarray,             # (B,) int32 — start position per element
+    kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cfg: WhisperConfig,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One decoder pass over S tokens (S=1 for the sampling hot loop,
+    S=prompt length for prefill). Returns fp32 logits (B, S, V) and the
+    updated KV cache.
+
+    Ragged batches: element b's tokens occupy absolute positions
+    [pos[b], pos[b]+S). Self-attention sees cache keys at absolute position
+    <= current. Padding tokens should be masked out by the caller via the
+    returned per-position logits (they still write cache slots, so callers
+    must only advance ``pos`` by the real token count).
+    """
+    with _precision_scope(compute_dtype):
+        return _decoder_forward(params, tokens, pos, kv_cache, cross_kv,
+                                cfg, compute_dtype)
+
+
+def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
+                     compute_dtype):
+    dec = params["decoder"]
+    n_head = cfg.n_text_head
+    b, s = tokens.shape
+    t_ctx = cfg.n_text_ctx
+
+    tok_emb = dec["tok_emb"]
+    positions = pos[:, None] + jnp.arange(s)[None, :]           # (B, S)
+    x = (tok_emb[tokens] + dec["pos"][positions]).astype(compute_dtype)
+
+    # self-attn mask: query at abs position i attends cache keys j <= i
+    key_idx = jnp.arange(t_ctx)[None, None, :]                  # (1,1,T)
+    q_idx = positions[:, :, None]                               # (B,S,1)
+    self_mask = (key_idx <= q_idx)[:, None, :, :]               # (B,1,S,T)
+
+    ck, cv = kv_cache
+    xk, xv = cross_kv
+
+    def block(x, scanned):
+        p, ck_l, cv_l, xk_l, xv_l = scanned
+        # self-attention with cache
+        h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+        q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)       # (B,H,S,Dh)
+        k = _split_heads(h @ p["k_w"], n_head)
+        v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
+        ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), pos)
+        cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), pos)
+        a = _attention(q, ck_l.astype(compute_dtype),
+                       cv_l.astype(compute_dtype), self_mask)
+        x = x + (_merge_heads(a) @ p["o_w"] + p["o_b"])
+        # cross-attention (keys precomputed)
+        h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
+        q = _split_heads(h @ p["xq_w"] + p["xq_b"], n_head)
+        a = _attention(q, xk_l.astype(compute_dtype),
+                       xv_l.astype(compute_dtype), None)
+        x = x + (_merge_heads(a) @ p["xo_w"] + p["xo_b"])
+        # mlp
+        h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
+        h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
+        x = x + (h @ p["fc2_w"] + p["fc2_b"])
+        return x, (ck_l, cv_l)
+
+    x, (ck, cv) = jax.lax.scan(block, x, (dec["blocks"], ck, cv, xk, xv))
+    x = _layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
+                        tok_emb.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return logits, (ck, cv)
+
+
+# ---------------------------------------------------------------------------
+# parameter construction
+# ---------------------------------------------------------------------------
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Encoder positional embedding (identical to openai-whisper)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment *
+                            np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)],
+                          axis=1).astype(np.float32)
+
+
+def init_params(rng: jax.Array, cfg: WhisperConfig,
+                dtype: jnp.dtype = jnp.float32) -> Params:
+    """Random init with whisper-like scales (for tests/benchmarks)."""
+    d = cfg.n_audio_state
+    keys = iter(jax.random.split(rng, 64))
+
+    def nrm(shape, scale=None):
+        scale = scale if scale is not None else shape[-1] ** -0.5
+        return (jax.random.normal(next(keys), shape, jnp.float32) *
+                scale).astype(dtype)
+
+    def enc_blocks(n_layer):
+        ffn = cfg.ffn_dim
+        return {
+            "ln1_g": jnp.ones((n_layer, d), dtype),
+            "ln1_b": jnp.zeros((n_layer, d), dtype),
+            "q_w": nrm((n_layer, d, d)), "q_b": jnp.zeros((n_layer, d), dtype),
+            "k_w": nrm((n_layer, d, d)),
+            "v_w": nrm((n_layer, d, d)), "v_b": jnp.zeros((n_layer, d), dtype),
+            "o_w": nrm((n_layer, d, d)), "o_b": jnp.zeros((n_layer, d), dtype),
+            "ln2_g": jnp.ones((n_layer, d), dtype),
+            "ln2_b": jnp.zeros((n_layer, d), dtype),
+            "fc1_w": nrm((n_layer, d, ffn)),
+            "fc1_b": jnp.zeros((n_layer, ffn), dtype),
+            "fc2_w": nrm((n_layer, ffn, d)),
+            "fc2_b": jnp.zeros((n_layer, d), dtype),
+        }
+
+    dec_extra = {
+        "lnx_g": jnp.ones((cfg.n_text_layer, d), dtype),
+        "lnx_b": jnp.zeros((cfg.n_text_layer, d), dtype),
+        "xq_w": nrm((cfg.n_text_layer, d, d)),
+        "xq_b": jnp.zeros((cfg.n_text_layer, d), dtype),
+        "xk_w": nrm((cfg.n_text_layer, d, d)),
+        "xv_w": nrm((cfg.n_text_layer, d, d)),
+        "xv_b": jnp.zeros((cfg.n_text_layer, d), dtype),
+        "xo_w": nrm((cfg.n_text_layer, d, d)),
+        "xo_b": jnp.zeros((cfg.n_text_layer, d), dtype),
+    }
+
+    return {
+        "encoder": {
+            "conv1_w": nrm((3, cfg.n_mels, d), scale=(3 * cfg.n_mels) ** -0.5),
+            "conv1_b": jnp.zeros((d,), dtype),
+            "conv2_w": nrm((3, d, d), scale=(3 * d) ** -0.5),
+            "conv2_b": jnp.zeros((d,), dtype),
+            "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, d), dtype),
+            "blocks": enc_blocks(cfg.n_audio_layer),
+            "ln_post_g": jnp.ones((d,), dtype),
+            "ln_post_b": jnp.zeros((d,), dtype),
+        },
+        "decoder": {
+            "tok_emb": nrm((cfg.n_vocab, d), scale=d ** -0.5),
+            "pos": nrm((cfg.n_text_ctx, d), scale=0.01),
+            "blocks": {**enc_blocks(cfg.n_text_layer), **dec_extra},
+            "ln_g": jnp.ones((d,), dtype),
+            "ln_b": jnp.zeros((d,), dtype),
+        },
+    }
+
+
+# ---- GGML name mapping ----------------------------------------------------
+
+def _stack(tensors, names, transpose=False):
+    arrs = []
+    for n in names:
+        a = tensors[n]
+        arrs.append(a.T if transpose else a)
+    return jnp.asarray(np.stack(arrs))
+
+
+def params_from_ggml(ckpt, dtype: jnp.dtype = jnp.float32) -> Params:
+    """Map whisper.cpp GGML tensor names into the stacked param tree.
+
+    GGML linear weights arrive in numpy layout (d_out, d_in) — transposed to
+    our (d_in, d_out).
+    """
+    t = ckpt.tensors
+    cfg: WhisperConfig = ckpt.config
+
+    def blocks(prefix, n_layer, cross):
+        def s(fmt, transpose=False):
+            return _stack(t, [fmt.format(prefix=prefix, i=i)
+                              for i in range(n_layer)], transpose).astype(dtype)
+        out = {
+            "ln1_g": s("{prefix}.blocks.{i}.attn_ln.weight"),
+            "ln1_b": s("{prefix}.blocks.{i}.attn_ln.bias"),
+            "q_w": s("{prefix}.blocks.{i}.attn.query.weight", True),
+            "q_b": s("{prefix}.blocks.{i}.attn.query.bias"),
+            "k_w": s("{prefix}.blocks.{i}.attn.key.weight", True),
+            "v_w": s("{prefix}.blocks.{i}.attn.value.weight", True),
+            "v_b": s("{prefix}.blocks.{i}.attn.value.bias"),
+            "o_w": s("{prefix}.blocks.{i}.attn.out.weight", True),
+            "o_b": s("{prefix}.blocks.{i}.attn.out.bias"),
+            "ln2_g": s("{prefix}.blocks.{i}.mlp_ln.weight"),
+            "ln2_b": s("{prefix}.blocks.{i}.mlp_ln.bias"),
+            "fc1_w": s("{prefix}.blocks.{i}.mlp.0.weight", True),
+            "fc1_b": s("{prefix}.blocks.{i}.mlp.0.bias"),
+            "fc2_w": s("{prefix}.blocks.{i}.mlp.2.weight", True),
+            "fc2_b": s("{prefix}.blocks.{i}.mlp.2.bias"),
+        }
+        if cross:
+            out.update({
+                "lnx_g": s("{prefix}.blocks.{i}.cross_attn_ln.weight"),
+                "lnx_b": s("{prefix}.blocks.{i}.cross_attn_ln.bias"),
+                "xq_w": s("{prefix}.blocks.{i}.cross_attn.query.weight", True),
+                "xq_b": s("{prefix}.blocks.{i}.cross_attn.query.bias"),
+                "xk_w": s("{prefix}.blocks.{i}.cross_attn.key.weight", True),
+                "xv_w": s("{prefix}.blocks.{i}.cross_attn.value.weight", True),
+                "xv_b": s("{prefix}.blocks.{i}.cross_attn.value.bias"),
+                "xo_w": s("{prefix}.blocks.{i}.cross_attn.out.weight", True),
+                "xo_b": s("{prefix}.blocks.{i}.cross_attn.out.bias"),
+            })
+        return out
+
+    def g(name):
+        return jnp.asarray(t[name]).astype(dtype)
+
+    # GGML conv weight numpy layout: (d_out, c_in, k) -> ours (k, c_in, d_out)
+    def conv(name):
+        return jnp.asarray(np.transpose(t[name], (2, 1, 0))).astype(dtype)
+
+    return {
+        "encoder": {
+            "conv1_w": conv("encoder.conv1.weight"),
+            "conv1_b": g("encoder.conv1.bias").reshape(-1),
+            "conv2_w": conv("encoder.conv2.weight"),
+            "conv2_b": g("encoder.conv2.bias").reshape(-1),
+            "pos": g("encoder.positional_embedding"),
+            "blocks": blocks("encoder", cfg.n_audio_layer, cross=False),
+            "ln_post_g": g("encoder.ln_post.weight"),
+            "ln_post_b": g("encoder.ln_post.bias"),
+        },
+        "decoder": {
+            "tok_emb": g("decoder.token_embedding.weight"),
+            "pos": g("decoder.positional_embedding"),
+            "blocks": blocks("decoder", cfg.n_text_layer, cross=True),
+            "ln_g": g("decoder.ln.weight"),
+            "ln_b": g("decoder.ln.bias"),
+        },
+    }
+
+
+def params_to_ggml_tensors(params: Params,
+                           cfg: WhisperConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_ggml` (numpy layout, (d_out, d_in))."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(jnp.asarray(arr, jnp.float32))
+        out[name] = a.T if transpose else a
+
+    enc, dec = params["encoder"], params["decoder"]
+    put("encoder.conv1.weight", np.transpose(
+        np.asarray(jnp.asarray(enc["conv1_w"], jnp.float32)), (2, 1, 0)))
+    put("encoder.conv1.bias", enc["conv1_b"])
+    put("encoder.conv2.weight", np.transpose(
+        np.asarray(jnp.asarray(enc["conv2_w"], jnp.float32)), (2, 1, 0)))
+    put("encoder.conv2.bias", enc["conv2_b"])
+    put("encoder.positional_embedding", enc["pos"])
+    put("encoder.ln_post.weight", enc["ln_post_g"])
+    put("encoder.ln_post.bias", enc["ln_post_b"])
+    put("decoder.token_embedding.weight", dec["tok_emb"])
+    put("decoder.positional_embedding", dec["pos"])
+    put("decoder.ln.weight", dec["ln_g"])
+    put("decoder.ln.bias", dec["ln_b"])
+
+    mapping = [
+        ("ln1_g", "{p}.blocks.{i}.attn_ln.weight", False),
+        ("ln1_b", "{p}.blocks.{i}.attn_ln.bias", False),
+        ("q_w", "{p}.blocks.{i}.attn.query.weight", True),
+        ("q_b", "{p}.blocks.{i}.attn.query.bias", False),
+        ("k_w", "{p}.blocks.{i}.attn.key.weight", True),
+        ("v_w", "{p}.blocks.{i}.attn.value.weight", True),
+        ("v_b", "{p}.blocks.{i}.attn.value.bias", False),
+        ("o_w", "{p}.blocks.{i}.attn.out.weight", True),
+        ("o_b", "{p}.blocks.{i}.attn.out.bias", False),
+        ("ln2_g", "{p}.blocks.{i}.mlp_ln.weight", False),
+        ("ln2_b", "{p}.blocks.{i}.mlp_ln.bias", False),
+        ("fc1_w", "{p}.blocks.{i}.mlp.0.weight", True),
+        ("fc1_b", "{p}.blocks.{i}.mlp.0.bias", False),
+        ("fc2_w", "{p}.blocks.{i}.mlp.2.weight", True),
+        ("fc2_b", "{p}.blocks.{i}.mlp.2.bias", False),
+    ]
+    cross_mapping = [
+        ("lnx_g", "{p}.blocks.{i}.cross_attn_ln.weight", False),
+        ("lnx_b", "{p}.blocks.{i}.cross_attn_ln.bias", False),
+        ("xq_w", "{p}.blocks.{i}.cross_attn.query.weight", True),
+        ("xq_b", "{p}.blocks.{i}.cross_attn.query.bias", False),
+        ("xk_w", "{p}.blocks.{i}.cross_attn.key.weight", True),
+        ("xv_w", "{p}.blocks.{i}.cross_attn.value.weight", True),
+        ("xv_b", "{p}.blocks.{i}.cross_attn.value.bias", False),
+        ("xo_w", "{p}.blocks.{i}.cross_attn.out.weight", True),
+        ("xo_b", "{p}.blocks.{i}.cross_attn.out.bias", False),
+    ]
+
+    for prefix, blocks, n_layer, maps in (
+        ("encoder", enc["blocks"], cfg.n_audio_layer, mapping),
+        ("decoder", dec["blocks"], cfg.n_text_layer,
+         mapping + cross_mapping),
+    ):
+        for key, fmt, transpose in maps:
+            stacked = np.asarray(jnp.asarray(blocks[key], jnp.float32))
+            for i in range(n_layer):
+                put(fmt.format(p=prefix, i=i), stacked[i], transpose)
+    return out

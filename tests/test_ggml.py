@@ -1,0 +1,115 @@
+"""GGML codec: round-trips, dequant exactness, header/vocab/mel parsing."""
+
+import numpy as np
+import pytest
+
+from nobs_whisper_tpu.core import ggml
+from nobs_whisper_tpu.utils.testing import (
+    byte_level_vocab, random_ggml_tensors, tiny_test_config)
+
+
+def _roundtrip(tmp_path, default_type):
+    cfg = tiny_test_config()
+    tensors = random_ggml_tensors(cfg, seed=1)
+    vocab = byte_level_vocab(cfg)
+    mel = np.random.RandomState(0).rand(cfg.n_mels, 201).astype(np.float32)
+    path = str(tmp_path / "model.bin")
+    ggml.write_ggml(path, cfg, mel, vocab, tensors,
+                    default_type=default_type)
+    return cfg, tensors, vocab, mel, ggml.read_ggml(path)
+
+
+def test_roundtrip_f32(tmp_path):
+    cfg, tensors, vocab, mel, ckpt = _roundtrip(tmp_path, ggml.GGML_TYPE_F32)
+    assert ckpt.config.n_vocab == cfg.n_vocab
+    assert ckpt.config.n_audio_state == cfg.n_audio_state
+    assert ckpt.config.n_text_layer == cfg.n_text_layer
+    np.testing.assert_array_equal(ckpt.mel_filters, mel)
+    assert ckpt.vocab == vocab
+    assert set(ckpt.tensors) == set(tensors)
+    for name in tensors:
+        np.testing.assert_array_equal(ckpt.tensors[name], tensors[name])
+
+
+def test_roundtrip_f16(tmp_path):
+    cfg, tensors, _, _, ckpt = _roundtrip(tmp_path, ggml.GGML_TYPE_F16)
+    for name in tensors:
+        expect = tensors[name]
+        if expect.ndim == 1:  # 1D tensors stay f32
+            np.testing.assert_array_equal(ckpt.tensors[name], expect)
+        else:
+            np.testing.assert_array_equal(
+                ckpt.tensors[name], expect.astype(np.float16).astype(np.float32))
+
+
+@pytest.mark.parametrize("qtype", [ggml.GGML_TYPE_Q5_0, ggml.GGML_TYPE_Q5_1,
+                                   ggml.GGML_TYPE_Q8_0])
+def test_roundtrip_quantized(tmp_path, qtype):
+    cfg, tensors, _, _, ckpt = _roundtrip(tmp_path, qtype)
+    for name, expect in tensors.items():
+        got = ckpt.tensors[name]
+        assert got.shape == expect.shape
+        if expect.ndim == 1 or expect.size % 32:
+            np.testing.assert_array_equal(got, expect)
+        else:
+            # quantization error bounded by ~1 step of the block scale
+            scale = np.abs(expect).max() / (15 if qtype != ggml.GGML_TYPE_Q8_0
+                                            else 127)
+            assert np.abs(got - expect).max() <= scale * 1.1 + 1e-6
+
+
+def test_q5_0_dequant_exact_formula():
+    # hand-build one q5_0 block and check against the spec
+    rng = np.random.RandomState(3)
+    x = rng.randn(32).astype(np.float32)
+    raw = ggml.quantize_q5_0(x)
+    assert len(raw) == 22
+    d = np.frombuffer(raw[0:2], np.float16)[0].astype(np.float32)
+    qh = int.from_bytes(raw[2:6], "little")
+    qs = np.frombuffer(raw[6:22], np.uint8)
+    manual = np.empty(32, np.float32)
+    for i in range(16):
+        q_lo = (qs[i] & 0xF) | (((qh >> i) & 1) << 4)
+        q_hi = (qs[i] >> 4) | (((qh >> (i + 16)) & 1) << 4)
+        manual[i] = d * (int(q_lo) - 16)
+        manual[i + 16] = d * (int(q_hi) - 16)
+    np.testing.assert_allclose(ggml.dequant_q5_0(raw), manual, rtol=0, atol=0)
+
+
+def test_q5_1_dequant_exact_formula():
+    rng = np.random.RandomState(4)
+    x = (rng.rand(64) * 3 + 1).astype(np.float32)  # offset data exercises m
+    raw = ggml.quantize_q5_1(x)
+    assert len(raw) == 48
+    out = ggml.dequant_q5_1(raw)
+    assert np.abs(out - x).max() < (x.max() - x.min()) / 31 + 1e-3
+
+
+def test_q8_0_roundtrip_precision():
+    rng = np.random.RandomState(5)
+    x = rng.randn(320).astype(np.float32)
+    out = ggml.dequant_q8_0(ggml.quantize_q8_0(x))
+    assert np.abs(out - x).max() < np.abs(x).max() / 127 + 1e-6
+
+
+def test_vocab_padding(tmp_path):
+    """File with fewer vocab entries than header n_vocab gets padded,
+    mirroring whisper.cpp multilingual handling."""
+    import struct
+    cfg = tiny_test_config()
+    tensors = {"decoder.ln.weight": np.ones(cfg.n_audio_state, np.float32)}
+    vocab = byte_level_vocab(cfg)[: cfg.eot]  # truncate specials
+    mel = np.zeros((cfg.n_mels, 201), np.float32)
+    path = str(tmp_path / "m.bin")
+    ggml.write_ggml(path, cfg, mel, vocab, tensors)
+    ckpt = ggml.read_ggml(path)
+    assert len(ckpt.vocab) == cfg.n_vocab
+    assert ckpt.vocab[cfg.eot] == f"[_extra_token_{cfg.eot}]".encode()
+
+
+def test_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.bin")
+    with open(path, "wb") as f:
+        f.write(b"nope" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        ggml.read_ggml(path)

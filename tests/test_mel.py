@@ -1,0 +1,73 @@
+"""Mel front-end parity against the transformers feature extractor.
+
+transformers' WhisperFeatureExtractor reproduces openai-whisper's log-mel
+exactly (same filters, STFT, clamps), so it is our offline numeric oracle
+for what whisper.cpp computes.
+"""
+
+import numpy as np
+import pytest
+
+from nobs_whisper_tpu.audio.mel import (
+    log_mel_numpy_f64, log_mel_spectrogram, mel_filter_bank, pad_or_trim)
+from nobs_whisper_tpu.utils.testing import sine_audio, speech_like_audio
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_filterbank_matches_transformers(n_mels):
+    from transformers.audio_utils import mel_filter_bank as hf_mel
+    expected = hf_mel(
+        num_frequency_bins=201,
+        num_mel_filters=n_mels,
+        min_frequency=0.0,
+        max_frequency=8000.0,
+        sampling_rate=16000,
+        norm="slaney",
+        mel_scale="slaney",
+    )
+    ours = mel_filter_bank(n_mels)
+    np.testing.assert_allclose(ours, expected.T, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_log_mel_oracle_matches_transformers(n_mels):
+    """The fp64 oracle must match the HF feature extractor bit-tight —
+    this pins the algorithm (padding, window, drop-last-frame, clamps)."""
+    from transformers import WhisperFeatureExtractor
+    fe = WhisperFeatureExtractor(feature_size=n_mels)
+    audio = speech_like_audio(4.0, seed=7)
+    padded = np.asarray(pad_or_trim(audio))
+
+    expected = fe(padded, sampling_rate=16000, return_tensors="np",
+                  padding="do_not_pad")["input_features"][0]
+    oracle = log_mel_numpy_f64(padded, n_mels=n_mels)
+    assert oracle.shape == expected.shape == (n_mels, 3000)
+    np.testing.assert_allclose(oracle, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_log_mel_jax_matches_oracle():
+    """The fp32 JAX path may deviate only by float noise in near-silent
+    bins (same property as whisper.cpp's own fp32 FFT): tiny mean error,
+    bounded max error."""
+    audio = np.asarray(pad_or_trim(speech_like_audio(4.0, seed=7)))
+    oracle = log_mel_numpy_f64(audio, n_mels=80)
+    ours = np.asarray(log_mel_spectrogram(audio, n_mels=80))
+    err = np.abs(ours - oracle)
+    assert err.mean() < 2e-4
+    assert err.max() < 0.03
+
+
+def test_log_mel_batched_matches_single():
+    audio = np.stack([np.asarray(pad_or_trim(sine_audio(2.0, 300))),
+                      np.asarray(pad_or_trim(speech_like_audio(3.0)))])
+    batched = np.asarray(log_mel_spectrogram(audio))
+    singles = np.stack([np.asarray(log_mel_spectrogram(a)) for a in audio])
+    np.testing.assert_allclose(batched, singles, rtol=1e-6, atol=1e-6)
+
+
+def test_pad_or_trim():
+    a = np.ones(100, np.float32)
+    assert pad_or_trim(a, 50).shape == (50,)
+    p = np.asarray(pad_or_trim(a, 200))
+    assert p.shape == (200,)
+    assert p[100:].sum() == 0

@@ -1,0 +1,187 @@
+"""Layer-level numeric parity vs the torch (transformers) Whisper.
+
+transformers' WhisperModel is numerically equivalent to openai-whisper
+(and hence to what whisper.cpp computes in fp32), so random-weight parity
+here pins our encoder/decoder math: conv stem, attention scaling, layernorm
+placement, KV caching, logit projection.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.core.hf import config_from_hf, params_from_hf_state_dict
+from nobs_whisper_tpu.models.whisper import (
+    decoder_forward, encode, init_kv_cache, precompute_cross_kv)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=937,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=256,
+        encoder_ffn_dim=256,
+        max_source_positions=64,   # audio ctx (mel frames / 2)
+        max_target_positions=96,
+        activation_function="gelu",
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    return model, hf_cfg
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_model):
+    model, hf_cfg = torch_model
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(model.model.state_dict(), cfg)
+    return params, cfg
+
+
+def _rand_mel(hf_cfg, batch=2, seed=0):
+    rng = np.random.RandomState(seed)
+    t_mel = 2 * hf_cfg.max_source_positions
+    return rng.randn(batch, hf_cfg.num_mel_bins, t_mel).astype(np.float32)
+
+
+def test_encoder_parity(torch_model, jax_params):
+    import torch
+    model, hf_cfg = torch_model
+    params, cfg = jax_params
+    mel = _rand_mel(hf_cfg)
+    with torch.no_grad():
+        expected = model.model.encoder(
+            torch.from_numpy(mel)).last_hidden_state.numpy()
+    ours = np.asarray(encode(params, jnp.asarray(mel), cfg))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_prefill_parity(torch_model, jax_params):
+    import torch
+    model, hf_cfg = torch_model
+    params, cfg = jax_params
+    mel = _rand_mel(hf_cfg)
+    rng = np.random.RandomState(1)
+    tokens = rng.randint(0, hf_cfg.vocab_size, size=(2, 7)).astype(np.int32)
+
+    with torch.no_grad():
+        out = model(input_features=torch.from_numpy(mel),
+                    decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)))
+        expected = out.logits.numpy()
+
+    xa = encode(params, jnp.asarray(mel), cfg)
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, batch=2)
+    logits, _ = decoder_forward(
+        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), cache,
+        cross_kv, cfg)
+    np.testing.assert_allclose(np.asarray(logits), expected,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_incremental_decode_matches_prefill(torch_model, jax_params):
+    """Token-by-token decoding with the KV cache must equal one-shot
+    prefill — validates cache writes, masks and position handling."""
+    model, hf_cfg = torch_model
+    params, cfg = jax_params
+    mel = _rand_mel(hf_cfg, seed=2)
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, hf_cfg.vocab_size, size=(2, 6)).astype(np.int32)
+
+    xa = encode(params, jnp.asarray(mel), cfg)
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+
+    cache = init_kv_cache(cfg, batch=2)
+    full_logits, _ = decoder_forward(
+        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), cache,
+        cross_kv, cfg)
+
+    cache = init_kv_cache(cfg, batch=2)
+    step_logits = []
+    for i in range(tokens.shape[1]):
+        logits, cache = decoder_forward(
+            params, jnp.asarray(tokens[:, i: i + 1]),
+            jnp.full((2,), i, jnp.int32), cache, cross_kv, cfg)
+        step_logits.append(np.asarray(logits[:, 0]))
+    step_logits = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(step_logits, np.asarray(full_logits),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ragged_positions(torch_model, jax_params):
+    """Two batch elements decoding at different positions must produce the
+    same logits as each would alone — the ragged-batch contract."""
+    model, hf_cfg = torch_model
+    params, cfg = jax_params
+    mel = _rand_mel(hf_cfg, seed=4)
+    rng = np.random.RandomState(5)
+    t_a = rng.randint(0, hf_cfg.vocab_size, size=9).astype(np.int32)
+    t_b = rng.randint(0, hf_cfg.vocab_size, size=4).astype(np.int32)
+
+    xa = encode(params, jnp.asarray(mel), cfg)
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+
+    # solo decodes
+    solo = []
+    for bi, toks in ((0, t_a), (1, t_b)):
+        cache = init_kv_cache(cfg, batch=2)
+        for i in range(len(toks)):
+            logits, cache = decoder_forward(
+                params, jnp.broadcast_to(jnp.asarray(toks[i]), (2, 1)),
+                jnp.full((2,), i, jnp.int32), cache, cross_kv, cfg)
+        solo.append(np.asarray(logits[bi, 0]))
+
+    # ragged joint decode: element 0 runs t_a, element 1 runs t_b padded
+    # (padding steps repeat the last real token at a frozen position; we
+    # simply stop writing for element 1 by replaying the same position —
+    # here we instead advance element 1 only while it has tokens)
+    cache = init_kv_cache(cfg, batch=2)
+    pos = np.zeros(2, np.int32)
+    last = np.zeros((2,), np.int32)
+    for i in range(len(t_a)):
+        cur = np.array([t_a[i], t_b[min(i, len(t_b) - 1)]], np.int32)
+        logits, cache = decoder_forward(
+            params, jnp.asarray(cur[:, None]), jnp.asarray(pos), cache,
+            cross_kv, cfg)
+        if i < len(t_b):
+            last = np.asarray(logits[:, 0])
+        else:
+            last = np.stack([np.asarray(logits[0, 0]), last[1]])
+        pos[0] += 1
+        if i + 1 < len(t_b):
+            pos[1] += 1
+    np.testing.assert_allclose(last[0], solo[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(last[1], solo[1], rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_close_to_fp32(torch_model, jax_params):
+    import jax
+    model, hf_cfg = torch_model
+    params, cfg = jax_params
+    mel = _rand_mel(hf_cfg, seed=6)
+    f32 = np.asarray(encode(params, jnp.asarray(mel), cfg))
+    p16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    b16 = np.asarray(encode(p16, jnp.asarray(mel), cfg,
+                            compute_dtype=jnp.bfloat16).astype(jnp.float32))
+    # bf16 has ~3 decimal digits; activations are O(1)
+    assert np.abs(b16 - f32).mean() < 0.05
