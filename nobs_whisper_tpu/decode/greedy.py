@@ -1,0 +1,226 @@
+"""On-device batched sampling loop (greedy + temperature sampling).
+
+The TPU rebuild of whisper.cpp's autoregressive decode (driven per chunk via
+``state.full``, reference src-tauri/src/whisper.rs:128). Everything —
+prefill, per-step logits, suppression rules, sampling, stop handling — runs
+inside ONE jitted program with a ``lax.while_loop``; the host only sees the
+final token buffer. No per-token host round-trips, static shapes throughout,
+ragged batches supported (per-element prompt lengths and stop steps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import WhisperConfig
+from ..models.whisper import decoder_forward, init_kv_cache, precompute_cross_kv
+from .rules import DecodeOptions, RuleTables, apply_logit_rules
+
+_NEG = jnp.float32(-1e30)
+
+
+@dataclasses.dataclass
+class WindowResult:
+    """Per-batch-element outcome of one 30 s window decode."""
+
+    tokens: List[int]            # sampled tokens, eot stripped
+    sum_logprob: float           # includes the stop token's logprob
+    avg_logprob: float           # sum / (n_text_tokens + 1), openai semantics
+    no_speech_prob: float
+    temperature: float
+
+
+def _pad_len(n: int) -> int:
+    """Quantize prompt pad length to limit recompiles."""
+    for p in (8, 32, 64, 128, 256):
+        if n <= p:
+            return p
+    return 256
+
+
+def pad_prompts(prompts: Sequence[Sequence[int]],
+                eot: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-pad ragged prompts with eot (ignored via masking)."""
+    lens = np.array([len(p) for p in prompts], np.int32)
+    p_max = _pad_len(int(lens.max()))
+    out = np.full((len(prompts), p_max), eot, np.int32)
+    for i, p in enumerate(prompts):
+        out[i, : len(p)] = p
+    return out, lens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "compute_dtype"))
+def decode_window_jit(
+    params,
+    xa: jnp.ndarray,             # (B, T_audio, d) encoder states
+    prompt_tokens: jnp.ndarray,  # (B, P) int32, right-padded
+    prompt_lens: jnp.ndarray,    # (B,) int32
+    sot_pos: jnp.ndarray,        # (B,) int32 — index of <|sot|> in the prompt
+    tables: RuleTables,
+    temperature: jnp.ndarray,    # scalar fp32; 0 = greedy
+    rng: jax.Array,
+    cfg: WhisperConfig,
+    sample_len: int,
+    compute_dtype=jnp.float32,
+):
+    """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
+    no_speech_prob (B,))."""
+    b, p_max = prompt_tokens.shape
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, b, dtype=compute_dtype)
+
+    # ---- prefill ----
+    logits_all, cache = decoder_forward(
+        params, prompt_tokens, jnp.zeros((b,), jnp.int32), cache, cross_kv,
+        cfg, compute_dtype)
+    # logits that predict the first sampled token: at index prompt_len-1
+    first_logits = jnp.take_along_axis(
+        logits_all, (prompt_lens - 1)[:, None, None], axis=1)[:, 0]  # (B,V)
+    # no-speech prob from the raw logits at the <|sot|> position
+    sot_logits = jnp.take_along_axis(
+        logits_all, sot_pos[:, None, None], axis=1)[:, 0]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
+
+    tb = tables.timestamp_begin
+    tokens0 = jnp.full((b, sample_len), tables.eot, jnp.int32)
+    state0 = dict(
+        step=jnp.int32(0),
+        tokens=tokens0,
+        cache=cache,
+        sum_logprob=jnp.zeros((b,), jnp.float32),
+        done=jnp.zeros((b,), bool),
+        max_ts=jnp.full((b,), tb - 1, jnp.int32),
+        last=jnp.zeros((b,), jnp.int32),     # last sampled (0 until step>=1)
+        penult=jnp.zeros((b,), jnp.int32),
+        logits=first_logits,
+        rng=rng,
+    )
+
+    def cond(s):
+        return (s["step"] < sample_len) & ~jnp.all(s["done"])
+
+    def body(s):
+        step = s["step"]
+        logits = s["logits"].astype(jnp.float32)
+        masked = apply_logit_rules(
+            logits, tables,
+            n_sampled=jnp.broadcast_to(step, (b,)),
+            last_token=s["last"], penult_token=s["penult"],
+            max_ts_token=s["max_ts"])
+
+        rng, sub = jax.random.split(s["rng"])
+        greedy_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temperature, 1e-6)
+        sampled_tok = jax.random.categorical(
+            sub, masked / temp, axis=-1).astype(jnp.int32)
+        tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        tok = jnp.where(s["done"], tables.eot, tok)
+
+        logprobs = jax.nn.log_softmax(masked, axis=-1)
+        tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+        sum_logprob = s["sum_logprob"] + jnp.where(s["done"], 0.0, tok_lp)
+
+        tokens = s["tokens"].at[:, step].set(
+            jnp.where(s["done"], tables.eot, tok))
+        new_done = s["done"] | (tok == tables.eot)
+        max_ts = jnp.where((tok >= tb) & ~s["done"],
+                           jnp.maximum(s["max_ts"], tok), s["max_ts"])
+
+        # next forward: frozen elements replay eot at a frozen position
+        pos = prompt_lens + step
+        pos = jnp.where(s["done"], prompt_lens, pos)  # harmless overwrite
+        logits_next, cache = decoder_forward(
+            params, tok[:, None], pos, s["cache"], cross_kv, cfg,
+            compute_dtype)
+
+        return dict(
+            step=step + 1,
+            tokens=tokens,
+            cache=cache,
+            sum_logprob=sum_logprob,
+            done=new_done,
+            max_ts=max_ts,
+            last=jnp.where(s["done"], s["last"], tok),
+            penult=jnp.where(s["done"], s["penult"], s["last"]),
+            logits=logits_next[:, 0],
+            rng=rng,
+        )
+
+    state = jax.lax.while_loop(cond, body, state0)
+    tokens = state["tokens"]
+    n_sampled = jnp.sum(tokens != tables.eot, axis=1)
+    return tokens, n_sampled, state["sum_logprob"], no_speech_prob
+
+
+def decode_window(
+    params,
+    xa: jnp.ndarray,
+    prompts: Sequence[Sequence[int]],
+    cfg: WhisperConfig,
+    tables: RuleTables,
+    opts: DecodeOptions,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> List[WindowResult]:
+    """Host wrapper: pad prompts, run the jitted loop, score results."""
+    sot_positions = []
+    for p in prompts:
+        sot_positions.append(list(p).index(cfg.sot))
+    prompt_tokens, prompt_lens = pad_prompts(prompts, cfg.eot)
+    sample_len = opts.sample_len or cfg.n_text_ctx // 2
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    tokens, n_sampled, sum_lp, nsp = decode_window_jit(
+        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(prompt_lens),
+        jnp.asarray(np.array(sot_positions, np.int32)), tables,
+        jnp.float32(temperature), rng, cfg, sample_len, compute_dtype)
+
+    tokens = np.asarray(tokens)
+    n_sampled = np.asarray(n_sampled)
+    sum_lp = np.asarray(sum_lp)
+    nsp = np.asarray(nsp)
+
+    out = []
+    for i in range(tokens.shape[0]):
+        toks = tokens[i, : n_sampled[i]].tolist()
+        avg = float(sum_lp[i]) / (len(toks) + 1)
+        out.append(WindowResult(
+            tokens=toks,
+            sum_logprob=float(sum_lp[i]),
+            avg_logprob=avg,
+            no_speech_prob=float(nsp[i]),
+            temperature=temperature,
+        ))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def detect_language_jit(params, xa, tables: RuleTables, cfg: WhisperConfig,
+                        compute_dtype=jnp.float32):
+    """Single forward from [sot]: softmax over the language tokens.
+
+    whisper.cpp runs this when no language is set (auto mode, reference
+    src-tauri/src/whisper.rs:91-95)."""
+    b = xa.shape[0]
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    cache = init_kv_cache(cfg, b, dtype=compute_dtype)
+    sot = jnp.full((b, 1), cfg.sot, jnp.int32)
+    logits, _ = decoder_forward(params, sot, jnp.zeros((b,), jnp.int32),
+                                cache, cross_kv, cfg, compute_dtype)
+    logits = logits[:, 0]
+    mask = jnp.zeros((cfg.n_vocab,), bool).at[
+        cfg.lang_base: cfg.lang_base + cfg.n_langs].set(True)
+    masked = jnp.where(mask[None, :], logits, _NEG)
+    probs = jax.nn.softmax(masked, axis=-1)
+    lang_probs = jax.lax.dynamic_slice_in_dim(
+        probs, cfg.lang_base, cfg.n_langs, axis=1)
+    return jnp.argmax(lang_probs, axis=-1), lang_probs

@@ -1,0 +1,226 @@
+"""Logit-processing rules of the Whisper decode loop, as pure JAX.
+
+Reproduces the rule set whisper.cpp applies per decode step (the reference
+relies on these via ``state.full`` with suppress_blank / no_speech_thold 0.6 /
+entropy_thold 2.4 / logprob_thold -1.0, src-tauri/src/whisper.rs:112-124),
+which itself mirrors openai-whisper's SuppressBlank / SuppressTokens /
+ApplyTimestampRules processors. Everything here is vectorized over the batch
+and jit-safe: rules compile into the on-device sampling loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import WhisperConfig
+
+NEG_INF = jnp.float32(-1e30)
+
+# max_initial_timestamp = 1.0 s -> 50 timestamp steps of 20 ms
+MAX_INITIAL_TIMESTAMP_INDEX = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    """Sampling options (defaults = the reference's greedy configuration,
+    src-tauri/src/whisper.rs:88-124)."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None          # None = auto-detect
+    temperature: float = 0.0
+    best_of: int = 1                        # greedy parity first
+    beam_size: Optional[int] = None
+    timestamps: bool = True
+    suppress_blank: bool = True
+    suppress_non_speech: bool = False       # whisper.cpp default (off)
+    max_initial_timestamp: float = 1.0
+    # quality thresholds (whisper.rs:121-124)
+    no_speech_threshold: float = 0.6
+    logprob_threshold: float = -1.0
+    entropy_threshold: float = 2.4
+    compression_ratio_threshold: float = 2.4
+    # temperature fallback ladder (openai/whisper.cpp: +0.2 increments)
+    temperature_increment: float = 0.2
+    max_temperature: float = 1.0
+    sample_len: Optional[int] = None        # default n_text_ctx // 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RuleTables:
+    """Precomputed static masks/ids for one (config, options) pair.
+
+    A pytree: the masks are traced arrays, the ids are static metadata —
+    the whole table passes straight into jitted decode loops.
+    """
+
+    suppress_mask: jnp.ndarray        # (V,) bool — always-suppressed ids
+    blank_mask: jnp.ndarray           # (V,) bool — first-step blank ids
+    timestamp_begin: int = dataclasses.field(metadata=dict(static=True))
+    eot: int = dataclasses.field(metadata=dict(static=True))
+    no_timestamps: int = dataclasses.field(metadata=dict(static=True))
+    n_vocab: int = dataclasses.field(metadata=dict(static=True))
+    timestamps_enabled: bool = dataclasses.field(metadata=dict(static=True))
+    max_initial_ts_tok: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_rule_tables(cfg: WhisperConfig, opts: DecodeOptions,
+                      tokenizer=None) -> RuleTables:
+    """Assemble the static suppression tables.
+
+    ``tokenizer`` supplies the blank token and non-speech ids; when absent
+    (weights-only benchmarks) those rules degrade gracefully.
+    """
+    v = cfg.n_vocab
+    suppress = np.zeros(v, bool)
+    # specials never sampled (whisper.cpp whisper_process_logits /
+    # openai SuppressTokens)
+    for t in (cfg.sot, cfg.sot_prev, cfg.sot_lm, cfg.translate,
+              cfg.transcribe, cfg.no_speech):
+        if t < v:
+            suppress[t] = True
+    # language tokens are never sampled mid-transcript
+    suppress[cfg.lang_base: cfg.lang_base + cfg.n_langs] = True
+    if opts.suppress_non_speech and tokenizer is not None:
+        for t in tokenizer.non_speech_tokens:
+            suppress[t] = True
+
+    blank = np.zeros(v, bool)
+    if opts.suppress_blank:
+        if tokenizer is not None:
+            sp = tokenizer.encode(" ")
+            if sp:
+                blank[sp[0]] = True
+        blank[cfg.eot] = True
+
+    max_init_idx = int(round(opts.max_initial_timestamp / 0.02))
+    return RuleTables(
+        suppress_mask=jnp.asarray(suppress),
+        blank_mask=jnp.asarray(blank),
+        timestamp_begin=cfg.timestamp_begin,
+        eot=cfg.eot,
+        no_timestamps=cfg.no_timestamps,
+        n_vocab=v,
+        timestamps_enabled=opts.timestamps,
+        max_initial_ts_tok=cfg.timestamp_begin + max_init_idx,
+    )
+
+
+def apply_logit_rules(
+    logits: jnp.ndarray,        # (B, V) fp32
+    tables: RuleTables,
+    *,
+    n_sampled: jnp.ndarray,      # (B,) int32 — tokens sampled so far
+    last_token: jnp.ndarray,     # (B,) int32 — sampled[-1] (any value if none)
+    penult_token: jnp.ndarray,   # (B,) int32 — sampled[-2] (any value if <2)
+    max_ts_token: jnp.ndarray,   # (B,) int32 — highest ts sampled; tb-1 if none
+) -> jnp.ndarray:
+    """All per-step suppression rules -> masked logits (B, V).
+
+    Semantics pinned to openai-whisper's processors (which whisper.cpp and
+    transformers reproduce); see tests/test_decode.py for the oracle check.
+    """
+    b, v = logits.shape
+    tb = tables.timestamp_begin
+    ids = jnp.arange(v)[None, :]                       # (1, V)
+    is_first_step = n_sampled == 0
+
+    # 1. static specials
+    logits = jnp.where(tables.suppress_mask[None, :], NEG_INF, logits)
+
+    # 2. blank suppression at first sampled step
+    logits = jnp.where(is_first_step[:, None] & tables.blank_mask[None, :],
+                       NEG_INF, logits)
+
+    if not tables.timestamps_enabled:
+        # no-timestamps mode: never sample timestamps (or the marker)
+        ts_or_marker = (ids >= tb) | (ids == tables.no_timestamps)
+        return jnp.where(ts_or_marker, NEG_INF, logits)
+
+    # 3. timestamp rules
+    # 3a. the <|notimestamps|> marker is never sampled
+    logits = jnp.where(ids == tables.no_timestamps, NEG_INF, logits)
+
+    # NB: with <2 sampled tokens the penultimate counts as a timestamp —
+    # this forces text right after the initial timestamp (openai rule).
+    last_is_ts = (n_sampled >= 1) & (last_token >= tb)
+    penult_is_ts = (n_sampled < 2) | (penult_token >= tb)
+
+    # 3b. pairing: ts,ts -> must be text; text,ts -> must be ts or eot
+    suppress_ts = (last_is_ts & penult_is_ts)[:, None] & (ids >= tb)
+    suppress_text = (last_is_ts & ~penult_is_ts)[:, None] & (ids < tables.eot)
+    logits = jnp.where(suppress_ts | suppress_text, NEG_INF, logits)
+
+    # 3c. monotonic timestamps: allow repeating the last timestamp only
+    #     when closing a pair, else require strictly greater
+    has_ts = max_ts_token >= tb
+    floor = jnp.where(last_is_ts & ~penult_is_ts, max_ts_token,
+                      max_ts_token + 1)
+    non_monotonic = (has_ts[:, None] & (ids >= tb) &
+                     (ids < floor[:, None]))
+    logits = jnp.where(non_monotonic, NEG_INF, logits)
+
+    # 3d. first step: must start with a timestamp, bounded by
+    #     max_initial_timestamp
+    first = is_first_step[:, None]
+    logits = jnp.where(first & (ids < tb), NEG_INF, logits)
+    logits = jnp.where(first & (ids > tables.max_initial_ts_tok),
+                       NEG_INF, logits)
+
+    # 3e. probability-mass rule: if P(any timestamp) > max P(text token),
+    #     force a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(ids >= tb, logprobs, NEG_INF), axis=-1)       # (B,)
+    max_text = jnp.max(jnp.where(ids < tb, logprobs, NEG_INF), axis=-1)
+    force_ts = (ts_logprob > max_text)[:, None] & (ids < tb)
+    logits = jnp.where(force_ts, NEG_INF, logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# segment scoring (host-side; feeds the temperature-fallback ladder)
+# ---------------------------------------------------------------------------
+
+def token_entropy(tokens: Sequence[int], window: int = 32) -> float:
+    """whisper.cpp-style repetition score: Shannon entropy of the last
+    ``window`` sampled token counts. Low entropy = looping output.
+    (Threshold: entropy_thold 2.4, reference src-tauri/src/whisper.rs:123.)
+    """
+    tail = list(tokens)[-window:]
+    if not tail:
+        return 0.0
+    _, counts = np.unique(tail, return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log(p)).sum())
+
+
+def compression_ratio(text: str) -> float:
+    """openai-whisper's zlib repetition score (alternative gate)."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def needs_fallback(avg_logprob: float, entropy: float, n_tokens: int,
+                   opts: DecodeOptions) -> bool:
+    """Decide whether to retry the window at a higher temperature."""
+    if avg_logprob < opts.logprob_threshold:
+        return True
+    if n_tokens >= 32 and entropy < opts.entropy_threshold:
+        return True
+    return False
+
+
+def is_no_speech(no_speech_prob: float, avg_logprob: float,
+                 opts: DecodeOptions) -> bool:
+    """Silence gate: both conditions required, as in whisper.cpp/openai."""
+    return (no_speech_prob > opts.no_speech_threshold
+            and avg_logprob < opts.logprob_threshold)
