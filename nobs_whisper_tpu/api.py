@@ -1,0 +1,161 @@
+"""Top-level engine API.
+
+TPU-native counterpart of the reference's ``WhisperEngine``
+(src-tauri/src/whisper.rs:16-197): model loading (GGML or HF checkpoints),
+single-call transcription with custom-vocabulary + rolling-context prompt
+biasing, chunked transcription with per-chunk context chaining, and the
+post-hoc hallucination filter — all running on JAX/XLA instead of
+whisper.cpp/Metal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.mel import HOP_LENGTH, log_mel_longform
+from .core.config import CONFIGS, SAMPLE_RATE, WhisperConfig, get_config
+from .core.tokenizer import WhisperTokenizer
+from .decode.hallucination import filter_hallucinations
+from .decode.rules import DecodeOptions
+from .pipeline.longform import TranscribeResult, transcribe_mel
+from .utils.profiling import stage_timer
+
+log = logging.getLogger(__name__)
+
+
+class NoModelError(RuntimeError):
+    """Raised when transcribe is called before a model is loaded
+    (reference: WhisperError::NoModel, whisper.rs:279-283)."""
+
+
+@dataclasses.dataclass
+class WhisperEngine:
+    params: Optional[Any] = None
+    cfg: Optional[WhisperConfig] = None
+    tokenizer: Optional[WhisperTokenizer] = None
+    compute_dtype: Any = jnp.float32
+    model_path: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_ggml(cls, path: str, dtype=jnp.bfloat16) -> "WhisperEngine":
+        """Load a whisper.cpp GGML checkpoint (the reference's model files,
+        ~/.config/NobsWhisper/models/ggml-<id>.bin, model.rs:194)."""
+        from .core.ggml import read_ggml
+        from .models.whisper import params_from_ggml
+
+        t0 = time.perf_counter()
+        ckpt = read_ggml(path)
+        params = params_from_ggml(ckpt, dtype=dtype)
+        tokenizer = WhisperTokenizer(ckpt.vocab, ckpt.config)
+        log.info("loaded GGML model %s in %.2fs", path,
+                 time.perf_counter() - t0)
+        return cls(params=params, cfg=ckpt.config, tokenizer=tokenizer,
+                   compute_dtype=dtype, model_path=path)
+
+    @classmethod
+    def from_random(cls, model: str = "tiny", dtype=jnp.bfloat16,
+                    seed: int = 0) -> "WhisperEngine":
+        """Random weights for benchmarks/tests (no tokenizer-dependent
+        features unless a vocab is attached)."""
+        from .models.whisper import init_params
+        from .utils.testing import byte_level_vocab, tiny_test_config
+
+        cfg = get_config(model) if model in CONFIGS else tiny_test_config()
+        params = init_params(jax.random.PRNGKey(seed), cfg, dtype=dtype)
+        tokenizer = None
+        if cfg.name == "tiny-random":
+            tokenizer = WhisperTokenizer(byte_level_vocab(cfg), cfg)
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer,
+                   compute_dtype=dtype)
+
+    @property
+    def loaded(self) -> bool:
+        return self.params is not None
+
+    def _require_model(self):
+        if not self.loaded:
+            raise NoModelError("no model loaded")
+
+    # ------------------------------------------------------------------
+    # transcription
+    # ------------------------------------------------------------------
+    def build_initial_prompt(self, vocabulary: Optional[str],
+                             context: Optional[str]) -> Optional[List[int]]:
+        """Reference semantics (whisper.rs:98-109): initial_prompt =
+        "<vocabulary> <context>" / vocabulary / context."""
+        parts = [p.strip() for p in (vocabulary, context) if p and p.strip()]
+        if not parts:
+            return None
+        text = " ".join(parts)
+        return self.tokenizer.encode(" " + text.strip())
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        language: Optional[str] = None,
+        vocabulary: Optional[str] = None,
+        context: Optional[str] = None,
+        opts: Optional[DecodeOptions] = None,
+    ) -> TranscribeResult:
+        """Transcribe 16 kHz f32 PCM. ``language=None`` auto-detects.
+
+        Mirrors WhisperEngine::transcribe (whisper.rs:66-148): greedy by
+        default, vocabulary+context as initial prompt, anti-hallucination
+        thresholds, final phrase filter.
+        """
+        self._require_model()
+        base = opts or DecodeOptions()
+        opts = dataclasses.replace(
+            base, language=language if language not in (None, "auto")
+            else None)
+
+        audio = np.asarray(audio, dtype=np.float32)
+        with stage_timer("mel"):
+            mel = log_mel_longform(audio, n_mels=self.cfg.n_mels)
+        content_frames = audio.shape[0] // HOP_LENGTH
+
+        initial = self.build_initial_prompt(vocabulary, context)
+        result = transcribe_mel(
+            self.params, mel, content_frames, self.cfg, self.tokenizer,
+            opts, initial_prompt_tokens=initial,
+            compute_dtype=self.compute_dtype)
+
+        filtered = filter_hallucinations(result.text)
+        return TranscribeResult(text=filtered, segments=result.segments,
+                                language=result.language)
+
+    def transcribe_chunked(
+        self,
+        chunks: Sequence[np.ndarray],
+        language: Optional[str] = None,
+        vocabulary: Optional[str] = None,
+        opts: Optional[DecodeOptions] = None,
+    ) -> str:
+        """Sequential chunk transcription with rolling text context
+        (reference whisper.rs:152-197): chunk N's transcript becomes chunk
+        N+1's context; results joined with spaces; failed chunks skipped."""
+        self._require_model()
+        results: List[str] = []
+        rolling: Optional[str] = None
+        for i, chunk in enumerate(chunks):
+            try:
+                r = self.transcribe(chunk, language=language,
+                                    vocabulary=vocabulary, context=rolling,
+                                    opts=opts)
+            except Exception:  # per-chunk error isolation (state.rs:157-159)
+                log.exception("chunk %d failed; skipping", i)
+                continue
+            if r.text:
+                results.append(r.text)
+                rolling = r.text
+        return " ".join(results)

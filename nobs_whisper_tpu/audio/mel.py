@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import HOP_LENGTH, N_FFT, N_SAMPLES, SAMPLE_RATE
+from ..core.config import (HOP_LENGTH, N_FFT, N_FRAMES, N_SAMPLES,
+                           SAMPLE_RATE)
 
 _N_FREQS = N_FFT // 2 + 1  # 201
 
@@ -148,6 +149,60 @@ def log_mel_numpy_f64(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
     log_spec = np.log10(np.maximum(mel, 1e-10))
     log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
     return (((log_spec + 4.0) / 4.0).T).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _log10_mel_windows(frames: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """(W, n_frames, n_fft) pre-framed windows -> un-normalized log10 mel
+    (W, n_mels, n_frames). Fixed shapes; the dynamic-range clamp happens
+    outside with the global max."""
+    cos_b, sin_b = _dft_bases()
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("wtf,fk->wtk", frames, cos_b, precision=hi)
+    im = jnp.einsum("wtf,fk->wtk", frames, sin_b, precision=hi)
+    power = re * re + im * im
+    mel_f = jnp.asarray(mel_filter_bank(n_mels))
+    mel = jnp.einsum("wtk,mk->wtm", power, mel_f, precision=hi)
+    return jnp.swapaxes(jnp.log10(jnp.maximum(mel, 1e-10)), -1, -2)
+
+
+def log_mel_longform(audio: np.ndarray, n_mels: int = 80,
+                     padding: int = N_SAMPLES,
+                     window_batch: int = 4) -> np.ndarray:
+    """Long-audio log-mel with whisper's *global* dynamic-range clamp.
+
+    Equivalent to openai-whisper's ``log_mel_spectrogram(audio, padding=
+    N_SAMPLES)``: the normalization max spans the entire recording. Audio is
+    framed on the host (one reflect pad at the global edges), then fixed
+    30 s window batches run through one jitted kernel — no recompiles for
+    arbitrary durations. Returns (n_mels, len(audio)//160 + padding//160).
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    if padding:
+        audio = np.concatenate([audio, np.zeros(padding, np.float32)])
+    pad = N_FFT // 2
+    padded = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = audio.shape[0] // HOP_LENGTH
+
+    frames_per_win = N_FRAMES  # 3000
+    n_windows = -(-n_frames // frames_per_win)
+    total = n_windows * frames_per_win
+    # frame index matrix per window, computed lazily per batch
+    logmels = []
+    for w0 in range(0, n_windows, window_batch):
+        wn = min(window_batch, n_windows - w0)
+        idx = (np.arange(wn * frames_per_win)[:, None] * HOP_LENGTH +
+               (w0 * frames_per_win * HOP_LENGTH) +
+               np.arange(N_FFT)[None, :])
+        idx = np.minimum(idx, padded.shape[0] - 1)  # zero tail guard
+        frames = padded[idx].reshape(wn, frames_per_win, N_FFT)
+        out = np.asarray(_log10_mel_windows(jnp.asarray(frames), n_mels))
+        logmels.append(out)
+    log_spec = np.concatenate(logmels, axis=0)          # (W, n_mels, 3000)
+    log_spec = np.concatenate(list(log_spec), axis=-1)  # (n_mels, total)
+    log_spec = log_spec[:, :n_frames]
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
 
 
 def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:

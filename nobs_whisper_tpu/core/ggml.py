@@ -313,6 +313,23 @@ def read_ggml(path: str) -> GGMLCheckpoint:
         tensors[name] = arr.reshape(tuple(reversed(ne)))
         ttypes[name] = ttype
 
+    # Synthetic small-vocab checkpoints embed canonical special markers;
+    # recover their layout (real >=51864-token vocabs derive specials from
+    # n_vocab and never hit this path).
+    if n_vocab < 51864:
+        try:
+            eot_id = vocab.index(b"<|endoftext|>")
+            tb = vocab.index(b"<|0.00|>")
+            # layout: eot sot langs.. translate transcribe sot_lm sot_prev
+            #         no_speech no_timestamps ts..
+            n_langs = tb - eot_id - 8
+            if n_langs > 0:
+                cfg = dataclasses.replace(
+                    cfg, eot_id=eot_id, n_langs=n_langs,
+                    force_multilingual=True)
+        except ValueError:
+            pass
+
     return GGMLCheckpoint(config=cfg, mel_filters=mel, vocab=vocab,
                           tensors=tensors, tensor_types=ttypes)
 

@@ -1,0 +1,221 @@
+"""Long-form transcription: chained 30 s windows with rolling context.
+
+Reproduces the sliding-window algorithm whisper.cpp runs inside
+``state.full`` for >30 s inputs (the reference leans on it at
+src-tauri/src/whisper.rs:128 with ``no_context(false)`` keeping context
+between windows, whisper.rs:117), which is openai-whisper's transcribe()
+loop: window decode -> temperature fallback ladder -> no-speech gate ->
+timestamp-driven seek -> previous text as the next window's prompt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE,
+                           WhisperConfig)
+from ..decode.greedy import WindowResult, decode_window, detect_language_jit
+from ..decode.rules import (DecodeOptions, build_rule_tables, is_no_speech,
+                            needs_fallback, token_entropy)
+
+# mel frames per timestamp step (20 ms / 10 ms-per-frame)
+INPUT_STRIDE = 2
+TIME_PRECISION = 0.02
+
+
+@dataclasses.dataclass
+class Segment:
+    id: int
+    seek: int                  # window start, mel frames
+    start: float               # seconds
+    end: float
+    text: str
+    tokens: List[int]          # includes timestamp tokens
+    temperature: float
+    avg_logprob: float
+    no_speech_prob: float
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    text: str
+    segments: List[Segment]
+    language: str
+
+
+def _temperature_ladder(opts: DecodeOptions) -> List[float]:
+    temps = [opts.temperature]
+    if opts.temperature_increment:
+        t = opts.temperature + opts.temperature_increment
+        while t <= opts.max_temperature + 1e-9:
+            temps.append(round(t, 10))
+            t += opts.temperature_increment
+    return temps
+
+
+def decode_with_fallback(
+    params, xa, prompt: Sequence[int], cfg: WhisperConfig, tables, opts,
+    rng=None, compute_dtype=jnp.float32,
+) -> WindowResult:
+    """Temperature ladder: retry the window while quality gates fail
+    (logprob_threshold / entropy_threshold — whisper.rs:121-124 values)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    result = None
+    for temp in _temperature_ladder(opts):
+        rng, sub = jax.random.split(rng)
+        result = decode_window(params, xa, [prompt], cfg, tables, opts,
+                               temperature=temp, rng=sub,
+                               compute_dtype=compute_dtype)[0]
+        entropy = token_entropy(result.tokens)
+        if not needs_fallback(result.avg_logprob, entropy,
+                              len(result.tokens), opts):
+            break
+    return result
+
+
+def _split_segments(
+    tokens: List[int], tb: int, eot: int, seek: int, segment_size: int,
+    tokenizer, time_offset: float,
+) -> Tuple[List[dict], int]:
+    """openai-whisper's timestamp bookkeeping: slice a window's tokens into
+    segments and compute the next seek position (mel frames)."""
+    ts = [t >= tb for t in tokens]
+    single_ts_ending = len(ts) >= 2 and ts[-1] and not ts[-2]
+
+    consecutive = [i + 1 for i in range(len(tokens) - 1)
+                   if ts[i] and ts[i + 1]]
+    segments = []
+    if consecutive:
+        slices = list(consecutive)
+        if single_ts_ending:
+            slices.append(len(tokens))
+        last = 0
+        for cur in slices:
+            part = tokens[last:cur]
+            start_pos = part[0] - tb
+            end_pos = part[-1] - tb
+            segments.append(dict(
+                start=time_offset + start_pos * TIME_PRECISION,
+                end=time_offset + end_pos * TIME_PRECISION,
+                tokens=part,
+            ))
+            last = cur
+        if single_ts_ending:
+            advance = segment_size
+        else:
+            last_ts_pos = tokens[last - 1] - tb
+            advance = last_ts_pos * INPUT_STRIDE
+    else:
+        duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+        ts_tokens = [t for t in tokens if t >= tb]
+        if ts_tokens and ts_tokens[-1] != tb:
+            duration = (ts_tokens[-1] - tb) * TIME_PRECISION
+        segments.append(dict(
+            start=time_offset,
+            end=time_offset + duration,
+            tokens=tokens,
+        ))
+        advance = segment_size
+    return segments, advance
+
+
+def transcribe_mel(
+    params,
+    mel: np.ndarray,               # (n_mels, content_frames [+30 s pad])
+    content_frames: int,
+    cfg: WhisperConfig,
+    tokenizer,
+    opts: DecodeOptions,
+    initial_prompt_tokens: Optional[Sequence[int]] = None,
+    encode_fn=None,
+    compute_dtype=jnp.float32,
+    rng=None,
+) -> TranscribeResult:
+    """Sequential window loop over a precomputed long-form mel."""
+    from ..models.whisper import encode as default_encode
+    encode_fn = encode_fn or (
+        lambda m: default_encode(params, m, cfg, compute_dtype))
+
+    tables = build_rule_tables(cfg, opts, tokenizer)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    tb = cfg.timestamp_begin
+
+    language = opts.language
+    all_tokens: List[int] = []
+    prompt_reset_since = 0
+    if initial_prompt_tokens:
+        all_tokens.extend(initial_prompt_tokens)
+        prompt_reset_since = len(all_tokens)
+
+    # mel frames per window: 2 frames per encoder position (3000 for the
+    # real ladder; smaller for synthetic test configs)
+    window_frames = 2 * cfg.n_audio_ctx
+
+    segments: List[Segment] = []
+    seek = 0
+    while seek < content_frames:
+        segment_size = min(window_frames, content_frames - seek)
+        window = mel[:, seek: seek + window_frames]
+        if window.shape[1] < window_frames:
+            window = np.pad(window,
+                            ((0, 0), (0, window_frames - window.shape[1])))
+        xa = encode_fn(jnp.asarray(window[None]))
+
+        if language is None and cfg.multilingual:
+            lang_idx, _ = detect_language_jit(params, xa, tables, cfg,
+                                              compute_dtype)
+            from ..core.tokenizer import LANGUAGES
+            language = LANGUAGES[int(np.asarray(lang_idx)[0])]
+        lang = language or "en"
+
+        # prompt: [sot_prev, rolling text...] + sot sequence
+        prompt: List[int] = []
+        if all_tokens[prompt_reset_since:]:
+            prompt.append(cfg.sot_prev)
+            prompt.extend(all_tokens[prompt_reset_since:]
+                          [-(cfg.n_text_ctx // 2 - 1):])
+        prompt.extend(tokenizer.sot_sequence(
+            language=lang if cfg.multilingual else None,
+            task=opts.task, timestamps=opts.timestamps))
+
+        rng, sub = jax.random.split(rng)
+        result = decode_with_fallback(params, xa, prompt, cfg, tables, opts,
+                                      rng=sub, compute_dtype=compute_dtype)
+
+        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+        if is_no_speech(result.no_speech_prob, result.avg_logprob, opts):
+            seek += segment_size  # silence: skip the whole window
+            continue
+
+        raw_segments, advance = _split_segments(
+            result.tokens, tb, cfg.eot, seek, segment_size, tokenizer,
+            time_offset)
+        for rs in raw_segments:
+            text = tokenizer.decode(rs["tokens"]).strip()
+            if not text:
+                continue
+            segments.append(Segment(
+                id=len(segments), seek=seek,
+                start=rs["start"], end=rs["end"], text=text,
+                tokens=rs["tokens"], temperature=result.temperature,
+                avg_logprob=result.avg_logprob,
+                no_speech_prob=result.no_speech_prob))
+
+        # rolling context: text tokens only (whisper.cpp keeps text, not
+        # timestamps, in prompt_past)
+        all_tokens.extend(t for t in result.tokens if t < cfg.eot)
+        if result.temperature > 0.5:
+            # unreliable window: don't condition the next one on it
+            prompt_reset_since = len(all_tokens)
+
+        seek += max(advance, 1)
+
+    text = "".join(s.text if s.text.startswith(" ") else " " + s.text
+                   for s in segments).strip()
+    return TranscribeResult(text=text, segments=segments,
+                            language=language or "en")

@@ -75,9 +75,15 @@ def byte_level_vocab(cfg: WhisperConfig, seed: int = 0) -> List[bytes]:
         if cand not in seen and len(cand) <= 8:
             vocab.append(cand)
             seen.add(cand)
-    # special-token range: symbolic names (never used as BPE ranks)
+    # special-token range with canonical markers so read_ggml can recover
+    # the synthetic layout (real checkpoints derive specials from n_vocab)
     for i in range(cfg.eot, cfg.n_vocab):
-        vocab.append(f"[_special_{i}]".encode())
+        if i == cfg.eot:
+            vocab.append(b"<|endoftext|>")
+        elif i == cfg.timestamp_begin:
+            vocab.append(b"<|0.00|>")
+        else:
+            vocab.append(f"[_special_{i}]".encode())
     return vocab
 
 
