@@ -74,8 +74,11 @@ def mel_filter_bank(n_mels: int,
 
 
 @functools.lru_cache(maxsize=2)
-def _dft_bases(n_fft: int = N_FFT):
-    """Real-DFT as matmul: window-folded cos/sin bases, (n_fft, n_freqs)."""
+def _dft_bases_np(n_fft: int = N_FFT):
+    """Real-DFT as matmul: window-folded cos/sin bases, (n_fft, n_freqs).
+
+    Cached as NumPy (never jnp: caching device arrays created under a jit
+    trace would leak tracers)."""
     n_freqs = n_fft // 2 + 1
     t = np.arange(n_fft)[:, None]
     k = np.arange(n_freqs)[None, :]
@@ -85,6 +88,11 @@ def _dft_bases(n_fft: int = N_FFT):
     window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
     cos_b = (np.cos(ang) * window[:, None]).astype(np.float32)
     sin_b = (np.sin(ang) * window[:, None]).astype(np.float32)
+    return cos_b, sin_b
+
+
+def _dft_bases(n_fft: int = N_FFT):
+    cos_b, sin_b = _dft_bases_np(n_fft)
     return jnp.asarray(cos_b), jnp.asarray(sin_b)
 
 

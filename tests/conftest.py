@@ -13,4 +13,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The environment's sitecustomize imports jax (axon TPU plugin) before this
+# file runs, so the env vars alone don't take effect — update the already-
+# loaded config too (safe: the backend isn't initialized yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
