@@ -38,6 +38,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the tunneled TPU backend compiles slowly,
+    # and weights-as-arguments keeps programs weight-independent
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_compile_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nobs_whisper_tpu.core.config import get_config
     from nobs_whisper_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
     from nobs_whisper_tpu.models.whisper import (
@@ -55,12 +64,14 @@ def main():
         np.asarray(pad_or_trim(speech_like_audio(28.0, seed=s)))
         for s in range(b)])
 
+    # NB: params always passed as jit arguments — closing over them embeds
+    # the weights as HLO constants (observed 100x compile-time blowup).
     @jax.jit
     def mel_fn(a):
         return log_mel_spectrogram(a, n_mels=cfg.n_mels)
 
     @jax.jit
-    def encode_fn(mel):
+    def encode_fn(params, mel):
         return encode(params, mel, cfg, compute_dtype=dtype)
 
     prompt = jnp.broadcast_to(
@@ -68,7 +79,7 @@ def main():
         (b, 3))
 
     @jax.jit
-    def decode_fixed(xa, prompt):
+    def decode_fixed(params, xa, prompt):
         """Prefill + fixed-length greedy loop (no early exit)."""
         cross_kv = precompute_cross_kv(params, xa, cfg)
         cache = init_kv_cache(cfg, b, dtype=dtype)
@@ -93,8 +104,8 @@ def main():
 
     def one_pass():
         mel = mel_fn(audio_j)
-        xa = encode_fn(mel)
-        return decode_fixed(xa, prompt).block_until_ready()
+        xa = encode_fn(params, mel)
+        return decode_fixed(params, xa, prompt).block_until_ready()
 
     # compile + warmup
     t0 = time.perf_counter()
@@ -110,10 +121,10 @@ def main():
         mel = mel_fn(audio_j)
         mel.block_until_ready()
         t1 = time.perf_counter()
-        xa = encode_fn(mel)
+        xa = encode_fn(params, mel)
         xa.block_until_ready()
         t2 = time.perf_counter()
-        decode_fixed(xa, prompt).block_until_ready()
+        decode_fixed(params, xa, prompt).block_until_ready()
         t3 = time.perf_counter()
         stage["mel"] += t1 - t0
         stage["encode"] += t2 - t1

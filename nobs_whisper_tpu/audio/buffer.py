@@ -144,4 +144,7 @@ class AudioBuffer:
 
     def poll_chunk(self) -> Optional[np.ndarray]:
         """Streaming helper: silence-boundary chunk, else forced split."""
-        return self.take_chunk_at_silence() or self.take_forced_chunk()
+        chunk = self.take_chunk_at_silence()
+        if chunk is not None:
+            return chunk
+        return self.take_forced_chunk()

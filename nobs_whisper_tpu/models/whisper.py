@@ -115,6 +115,11 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         return _encode(params, mel, cfg, compute_dtype)
 
 
+# Jitted alias (params must be traced arguments, never closed over — a
+# closure embeds the weights as HLO constants and wrecks compile time).
+encode_jit = None  # assigned after definition below
+
+
 def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             compute_dtype: jnp.dtype) -> jnp.ndarray:
     enc = params["encoder"]
@@ -140,6 +145,9 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     x, _ = jax.lax.scan(block, x, enc["blocks"])
     x = _layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
     return x
+
+
+encode_jit = jax.jit(encode, static_argnames=("cfg", "compute_dtype"))
 
 
 # ---------------------------------------------------------------------------

@@ -137,9 +137,9 @@ def transcribe_mel(
     rng=None,
 ) -> TranscribeResult:
     """Sequential window loop over a precomputed long-form mel."""
-    from ..models.whisper import encode as default_encode
+    from ..models.whisper import encode_jit
     encode_fn = encode_fn or (
-        lambda m: default_encode(params, m, cfg, compute_dtype))
+        lambda m: encode_jit(params, m, cfg, compute_dtype))
 
     tables = build_rule_tables(cfg, opts, tokenizer)
     rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -1,0 +1,233 @@
+"""Streaming transcription session: the push-to-talk state machine.
+
+Behavioral port of the reference's recording orchestration
+(src-tauri/src/state.rs): idempotent start/stop/toggle/cancel
+(state.rs:479,655,857,874), a chunk-consuming transcription worker that
+overlaps decode of chunk N with capture of chunk N+1 (state.rs:114-168,549),
+inline VAD chunk dispatch on the audio push path (state.rs:585-607), a
+recording duration hard-cap (600 s, state.rs:361,565), drain + >30 s
+silence-split finalization (state.rs:732-778), rolling text context between
+chunks (state.rs:147,766), and per-chunk error isolation (state.rs:157-159).
+
+OS hotkeys/indicator are replaced by verbs + an event callback stream
+(recording/processing/done/cancelled) for the serving layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+import queue
+import threading
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..audio.buffer import AudioBuffer
+from ..audio.resample import resample
+from ..audio.vad import find_silence_boundaries, split_at_silences
+from ..core.config import SAMPLE_RATE
+
+log = logging.getLogger(__name__)
+
+# reference: default 60 s, 0 = unlimited capped at 600 s
+# (config.rs:36-38, state.rs:361,565)
+MAX_RECORDING_HARD_CAP_S = 600
+# reference: minimum transcribable audio 0.1 s (state.rs:265,749)
+MIN_TRANSCRIBABLE_S = 0.1
+# reference: >30 s final residue is silence-split (state.rs:757-778)
+FINAL_SPLIT_THRESHOLD_S = 30
+
+
+class SessionState(enum.Enum):
+    IDLE = "idle"
+    RECORDING = "recording"
+    PROCESSING = "processing"
+
+
+@dataclasses.dataclass
+class SessionEvent:
+    state: str                       # recording | processing | done | cancelled
+    transcript: Optional[str] = None
+    is_final: bool = False
+
+
+@dataclasses.dataclass
+class SessionConfig:
+    language: Optional[str] = None       # None/auto -> detect
+    vocabulary: Optional[str] = None     # custom-vocab prompt biasing
+    sample_rate: int = 48_000            # ingest rate
+    max_duration_s: int = 60             # 0 = unlimited (capped at 600)
+
+    @property
+    def effective_max_s(self) -> int:
+        if self.max_duration_s <= 0:
+            return MAX_RECORDING_HARD_CAP_S
+        return min(self.max_duration_s, MAX_RECORDING_HARD_CAP_S)
+
+
+class StreamingSession:
+    """One push-to-talk session. Thread-safe verbs; a dedicated worker
+    transcribes chunks while audio keeps streaming in."""
+
+    def __init__(self, engine, config: Optional[SessionConfig] = None,
+                 on_event: Optional[Callable[[SessionEvent], None]] = None):
+        self.engine = engine
+        self.config = config or SessionConfig()
+        self.on_event = on_event or (lambda e: None)
+        self._lock = threading.Lock()
+        self.state = SessionState.IDLE
+        self._buffer: Optional[AudioBuffer] = None
+        self._chunk_q: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._results: List[str] = []
+        self._results_lock = threading.Lock()
+        self._started_at = 0.0
+        self._cancelled = False
+        self.last_transcript: Optional[str] = None
+
+    # ------------------------------------------------------------------
+    def _emit(self, state: str, transcript: Optional[str] = None,
+              final: bool = False):
+        try:
+            self.on_event(SessionEvent(state=state, transcript=transcript,
+                                       is_final=final))
+        except Exception:
+            log.exception("event callback failed")
+
+    def _worker_loop(self, q: queue.Queue):
+        """Chunk consumer: resample -> transcribe with rolling context ->
+        ordered results. A failed chunk is logged and skipped."""
+        rolling: Optional[str] = None
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                audio16k = resample(item, self.config.sample_rate,
+                                    SAMPLE_RATE)
+                r = self.engine.transcribe(
+                    audio16k, language=self.config.language,
+                    vocabulary=self.config.vocabulary, context=rolling)
+                if r.text:
+                    with self._results_lock:
+                        self._results.append(r.text)
+                    rolling = r.text
+            except Exception:
+                log.exception("streaming chunk failed; skipping")
+
+    # ------------------------------------------------------------------
+    # verbs (idempotent, like state.rs:487,662,881)
+    # ------------------------------------------------------------------
+    def start(self) -> bool:
+        with self._lock:
+            if self.state != SessionState.IDLE:
+                return False  # already recording/processing: no-op
+            self._buffer = AudioBuffer(self.config.sample_rate)
+            self._chunk_q = queue.Queue()
+            self._results = []
+            self._cancelled = False
+            self._started_at = time.monotonic()
+            self._worker = threading.Thread(
+                target=self._worker_loop, args=(self._chunk_q,), daemon=True)
+            self._worker.start()
+            self.state = SessionState.RECORDING
+        self._emit("recording")
+        return True
+
+    def push_audio(self, frames: np.ndarray) -> None:
+        """Ingest path = the reference's cpal callback: buffer the frames,
+        then dispatch any VAD-ready chunk to the worker."""
+        with self._lock:
+            if self.state != SessionState.RECORDING:
+                return
+            buf, q = self._buffer, self._chunk_q
+        buf.push_samples(frames)
+        chunk = buf.poll_chunk()
+        if chunk is not None and q is not None:
+            q.put(chunk)
+
+    def elapsed_s(self) -> float:
+        return (time.monotonic() - self._started_at
+                if self.state == SessionState.RECORDING else 0.0)
+
+    def over_duration_cap(self) -> bool:
+        return self.elapsed_s() >= self.config.effective_max_s
+
+    def stop(self, wait: bool = True) -> Optional[str]:
+        """Finalize: drain worker, transcribe the residue (silence-split if
+        >30 s), join results. Returns the final transcript (when wait)."""
+        with self._lock:
+            if self.state != SessionState.RECORDING:
+                return self.last_transcript if wait else None
+            self.state = SessionState.PROCESSING
+            buf, q, worker = self._buffer, self._chunk_q, self._worker
+            self._buffer = None
+            self._chunk_q = None
+            self._worker = None
+        self._emit("processing")
+
+        def finalize() -> str:
+            q.put(None)            # close the queue -> worker drains & exits
+            worker.join(timeout=120)
+            remaining = buf.take()
+            texts: List[str]
+            with self._results_lock:
+                texts = list(self._results)
+            rolling = texts[-1] if texts else None
+            audio16k = resample(remaining, self.config.sample_rate,
+                                SAMPLE_RATE)
+            if audio16k.size >= int(MIN_TRANSCRIBABLE_S * SAMPLE_RATE):
+                pieces = [audio16k]
+                if audio16k.size > FINAL_SPLIT_THRESHOLD_S * SAMPLE_RATE:
+                    bounds = find_silence_boundaries(audio16k, SAMPLE_RATE)
+                    pieces = split_at_silences(audio16k, bounds, SAMPLE_RATE)
+                for piece in pieces:
+                    try:
+                        r = self.engine.transcribe(
+                            piece, language=self.config.language,
+                            vocabulary=self.config.vocabulary,
+                            context=rolling)
+                    except Exception:
+                        log.exception("final chunk failed; skipping")
+                        continue
+                    if r.text:
+                        texts.append(r.text)
+                        rolling = r.text
+            final_text = " ".join(texts)
+            with self._lock:
+                self.state = SessionState.IDLE
+                self.last_transcript = final_text
+            self._emit("done", transcript=final_text, final=True)
+            return final_text
+
+        if wait:
+            return finalize()
+        threading.Thread(target=finalize, daemon=True).start()
+        return None
+
+    def toggle(self) -> bool:
+        """Returns True if now recording (state.rs:857-871)."""
+        if self.state == SessionState.RECORDING:
+            self.stop(wait=False)
+            return False
+        return self.start()
+
+    def cancel(self) -> None:
+        """ESC semantics: discard audio, results, and worker output
+        (state.rs:874-914)."""
+        with self._lock:
+            if self.state == SessionState.IDLE:
+                return
+            self._cancelled = True
+            q, worker = self._chunk_q, self._worker
+            self._buffer = None
+            self._chunk_q = None
+            self._worker = None
+            self._results = []
+            self.state = SessionState.IDLE
+        if q is not None:
+            q.put(None)
+        self._emit("cancelled")
