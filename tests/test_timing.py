@@ -1,0 +1,125 @@
+"""Word timestamps: DTW math, median filter, word splitting, end-to-end
+monotonicity on the tiny model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.decode.timing import (
+    WordTiming, decoder_cross_attn_weights, default_alignment_heads,
+    dtw_path, find_word_timings, median_filter, merge_punctuations,
+    split_tokens_on_spaces)
+
+
+def test_dtw_identity_diagonal():
+    n = 8
+    cost = np.ones((n, n)) - np.eye(n)   # cheap diagonal
+    ti, fi = dtw_path(cost)
+    # path visits every (i, i)
+    diag = set(zip(ti.tolist(), fi.tolist()))
+    for i in range(n):
+        assert (i, i) in diag
+
+
+def test_dtw_monotonic():
+    rng = np.random.RandomState(0)
+    cost = rng.rand(10, 30)
+    ti, fi = dtw_path(cost)
+    assert (np.diff(ti) >= 0).all()
+    assert (np.diff(fi) >= 0).all()
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == 9 and fi[-1] == 29
+
+
+def test_dtw_prefers_low_cost_band():
+    """Tokens 0..3 aligned to frame bands [0-9],[10-19],[20-29],[30-39]."""
+    cost = np.ones((4, 40))
+    for t in range(4):
+        cost[t, t * 10:(t + 1) * 10] = 0.0
+    ti, fi = dtw_path(cost)
+    starts = {t: fi[np.argmax(ti == t)] for t in range(4)}
+    for t in range(4):
+        assert t * 10 <= starts[t] < (t + 1) * 10 + 1
+
+
+def test_median_filter():
+    x = np.array([[1.0, 9.0, 1.0, 1.0, 9.0, 1.0, 1.0]])
+    f = median_filter(x, 3)
+    assert f.shape == x.shape
+    assert f[0, 1] == 1.0  # spikes removed
+    np.testing.assert_array_equal(median_filter(x, 1), x)
+
+
+def test_merge_punctuations():
+    words = [
+        WordTiming(" hello", 0.0, 0.5, [1], 1.0),
+        WordTiming(",", 0.5, 0.6, [2], 1.0),
+        WordTiming(" world", 0.6, 1.0, [3], 1.0),
+    ]
+    merge_punctuations(words)
+    assert [w.word for w in words] == [" hello,", " world"]
+    assert words[0].end == 0.6
+    assert words[0].tokens == [1, 2]
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    import jax
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "m.bin")
+    write_tiny_checkpoint(path)
+    return WhisperEngine.from_ggml(path, dtype=jnp.float32)
+
+
+def test_split_tokens_on_spaces(tiny_engine):
+    tok = tiny_engine.tokenizer
+    ids = tok.encode("hello world again")
+    words, word_toks = split_tokens_on_spaces(tok, ids)
+    assert words == ["hello", " world", " again"]
+    flat = [t for ts in word_toks for t in ts]
+    assert flat == ids
+
+
+def test_find_word_timings_monotonic(tiny_engine):
+    from nobs_whisper_tpu.models.whisper import encode
+    eng = tiny_engine
+    cfg = eng.cfg
+    rng = np.random.RandomState(0)
+    mel = rng.randn(1, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    xa = encode(eng.params, jnp.asarray(mel), cfg)
+    text = eng.tokenizer.encode("the thing works here")
+    sot_seq = eng.tokenizer.sot_sequence(language="en")
+    words = find_word_timings(
+        eng.params, cfg, eng.tokenizer, xa, text, sot_seq,
+        num_frames=2 * cfg.n_audio_ctx, time_offset=0.0)
+    assert len(words) >= 1
+    window_s = 2 * cfg.n_audio_ctx / 100
+    for w in words:
+        assert 0.0 <= w.start <= w.end <= window_s + 1e-6
+    for a, b in zip(words, words[1:]):
+        assert b.start >= a.start - 1e-6
+
+
+def test_cross_attn_weights_shape(tiny_engine):
+    from nobs_whisper_tpu.models.whisper import encode
+    eng = tiny_engine
+    cfg = eng.cfg
+    mel = np.zeros((1, cfg.n_mels, 2 * cfg.n_audio_ctx), np.float32)
+    xa = encode(eng.params, jnp.asarray(mel), cfg)
+    toks = jnp.asarray(np.array([[cfg.sot, 5, 6, cfg.eot]], np.int32))
+    probs = decoder_cross_attn_weights(eng.params, toks, xa, cfg)
+    assert probs.shape == (cfg.n_text_layer, 1, cfg.n_text_head, 4,
+                           cfg.n_audio_ctx)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_default_alignment_heads(tiny_engine):
+    cfg = tiny_engine.cfg
+    heads = default_alignment_heads(cfg)
+    assert all(l >= cfg.n_text_layer // 2 for l, _ in heads)
+    assert len(heads) == (cfg.n_text_layer - cfg.n_text_layer // 2) * \
+        cfg.n_text_head
