@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+Replaces the reference's desktop entrypoints (tray menu, settings UI,
+hotkeys) with CLI verbs: transcribe files, serve the session API, manage
+models, show/set config, run the benchmark.
+
+Usage:
+  python -m nobs_whisper_tpu.cli transcribe FILE [--model PATH|ID] [...]
+  python -m nobs_whisper_tpu.cli serve [--host H] [--port P] [--model ...]
+  python -m nobs_whisper_tpu.cli models list|download|delete [ID]
+  python -m nobs_whisper_tpu.cli config get|set key=value [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Optional
+
+
+def _load_engine(model: Optional[str], dtype: str = "bfloat16"):
+    import jax.numpy as jnp
+
+    from .api import WhisperEngine
+    from .serve.config import load_config
+    from .serve.models import model_path
+
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = model or load_config().selected_model
+    if model is None:
+        print("no model selected; pass --model or set config", file=sys.stderr)
+        sys.exit(2)
+    path = model
+    if not model.endswith(".bin"):
+        path = str(model_path(model))
+    return WhisperEngine.from_ggml(path, dtype=dt)
+
+
+def cmd_transcribe(args):
+    from .audio.io import load_audio
+    from .audio.resample import resample
+    from .decode.rules import DecodeOptions
+
+    engine = _load_engine(args.model, args.dtype)
+    audio, rate = load_audio(args.file)
+    audio = resample(audio, rate)
+    opts = DecodeOptions(
+        beam_size=args.beam_size if args.beam_size > 1 else None,
+        timestamps=not args.no_timestamps)
+    result = engine.transcribe(audio, language=args.language,
+                               vocabulary=args.vocabulary, opts=opts)
+    if args.json:
+        print(json.dumps({
+            "text": result.text,
+            "language": result.language,
+            "segments": [dataclasses.asdict(s) for s in result.segments]}))
+    else:
+        for seg in result.segments:
+            print(f"[{seg.start:7.2f} --> {seg.end:7.2f}] {seg.text}")
+        print(result.text)
+
+
+def cmd_serve(args):
+    from .serve.config import ConfigManager
+    from .serve.server import serve
+
+    engine = _load_engine(args.model, args.dtype)
+    serve(engine, host=args.host, port=args.port,
+          config_manager=ConfigManager())
+
+
+def cmd_models(args):
+    from .serve import models as m
+
+    if args.action == "list":
+        for info in m.list_models():
+            mark = {"downloaded": "*", "downloading": "~"}.get(info.status,
+                                                               " ")
+            print(f"[{mark}] {info.id:20s} {info.category:15s} "
+                  f"{info.description}")
+    elif args.action == "download":
+        path = m.download_model(args.id)
+        print(f"downloaded to {path}")
+    elif args.action == "delete":
+        print("deleted" if m.delete_model(args.id) else "not present")
+
+
+def cmd_config(args):
+    from .serve.config import ConfigManager
+
+    mgr = ConfigManager()
+    if args.action == "get":
+        print(json.dumps(mgr.config.to_dict(), indent=2))
+    else:
+        changes = {}
+        for kv in args.pairs:
+            k, _, v = kv.partition("=")
+            cur = getattr(mgr.config, k)  # raises for unknown keys
+            if isinstance(cur, bool):
+                changes[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                changes[k] = int(v)
+            else:
+                changes[k] = v
+        mgr.update(**changes)
+        print(json.dumps(mgr.config.to_dict(), indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nobs-whisper-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe an audio file")
+    t.add_argument("file")
+    t.add_argument("--model", default=None, help="model id or .bin path")
+    t.add_argument("--language", default=None)
+    t.add_argument("--vocabulary", default=None)
+    t.add_argument("--beam-size", type=int, default=1)
+    t.add_argument("--no-timestamps", action="store_true")
+    t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--json", action="store_true")
+    t.set_defaults(fn=cmd_transcribe)
+
+    s = sub.add_parser("serve", help="run the session API server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8777)
+    s.add_argument("--model", default=None)
+    s.add_argument("--dtype", default="bfloat16")
+    s.set_defaults(fn=cmd_serve)
+
+    mdl = sub.add_parser("models", help="manage model files")
+    mdl.add_argument("action", choices=["list", "download", "delete"])
+    mdl.add_argument("id", nargs="?")
+    mdl.set_defaults(fn=cmd_models)
+
+    c = sub.add_parser("config", help="show or change config")
+    c.add_argument("action", choices=["get", "set"])
+    c.add_argument("pairs", nargs="*", help="key=value")
+    c.set_defaults(fn=cmd_config)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

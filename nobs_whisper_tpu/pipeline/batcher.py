@@ -1,0 +1,132 @@
+"""Cross-session window batcher.
+
+The reference serializes chunks on one GPU ("GPU can only process one at a
+time", src-tauri/src/whisper.rs:151). The TPU rebuild replaces that queue
+with *batching*: concurrent sessions' 30 s windows are packed into one
+jitted decode batch (the ragged-batch decoder handles differing prompts),
+so chip utilization scales with concurrent load — the BASELINE config-#5
+scenario (streaming, batch=8).
+
+Batch sizes are padded to a small fixed set {1,2,4,8,...} to bound XLA
+recompiles; padding rows replicate a real row and are dropped on return.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import WhisperConfig
+from ..decode.greedy import WindowResult, decode_window
+from ..decode.rules import DecodeOptions, RuleTables, build_rule_tables
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _Request:
+    mel: np.ndarray             # (n_mels, 2*n_audio_ctx)
+    prompt: List[int]
+    future: Future
+
+
+def _pad_batch_size(n: int, max_batch: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, max_batch)
+
+
+class WindowBatcher:
+    """Background thread packing window-decode requests into device batches."""
+
+    def __init__(self, params, cfg: WhisperConfig, tokenizer=None,
+                 opts: Optional[DecodeOptions] = None, max_batch: int = 8,
+                 max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
+                 encode_fn=None):
+        from ..models.whisper import encode_jit
+        self.params = params
+        self.cfg = cfg
+        self.opts = opts or DecodeOptions()
+        self.tables: RuleTables = build_rule_tables(cfg, self.opts, tokenizer)
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.compute_dtype = compute_dtype
+        self._encode = encode_fn or (
+            lambda m: encode_jit(params, m, cfg, compute_dtype))
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._running = True
+        self.batch_sizes: List[int] = []    # observability
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, mel_window: np.ndarray,
+               prompt: Sequence[int]) -> "Future[WindowResult]":
+        fut: Future = Future()
+        self._q.put(_Request(mel=np.asarray(mel_window, np.float32),
+                             prompt=list(prompt), future=fut))
+        return fut
+
+    def close(self):
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        """Block for one request, then sweep whatever arrives within the
+        batching window (or until max_batch)."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = self.max_wait_s
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._q.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # propagate shutdown after this batch
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while self._running:
+            batch = self._collect()
+            if not batch:
+                return
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # fail the whole batch, keep serving
+                log.exception("batch decode failed")
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, batch: List[_Request]):
+        n = len(batch)
+        padded_n = _pad_batch_size(n, self.max_batch)
+        mels = [r.mel for r in batch]
+        prompts = [r.prompt for r in batch]
+        while len(mels) < padded_n:       # replicate a real row
+            mels.append(mels[0])
+            prompts.append(prompts[0])
+        self.batch_sizes.append(n)
+
+        mel = jnp.asarray(np.stack(mels))
+        xa = self._encode(mel)
+        results = decode_window(self.params, xa, prompts, self.cfg,
+                                self.tables, self.opts,
+                                compute_dtype=self.compute_dtype)
+        for r, res in zip(batch, results[:n]):
+            r.future.set_result(res)

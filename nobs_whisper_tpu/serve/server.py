@@ -1,0 +1,272 @@
+"""HTTP session-control API.
+
+Replaces the reference's Tauri IPC surface (14 invoke commands,
+src-tauri/src/lib.rs:117-134) and its hotkey/indicator UX with network
+verbs: config get/set, model registry/downloads, session lifecycle
+(start/stop/toggle/cancel = the push-to-talk semantics), raw-PCM audio
+push, one-shot transcription, and an SSE event stream standing in for the
+floating indicator (recording/processing/done states,
+src-tauri/src/indicator.rs).
+
+Pure stdlib (ThreadingHTTPServer) — no web framework dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import queue
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..pipeline.session import SessionConfig, SessionEvent, StreamingSession
+from .config import AppConfig, ConfigManager
+from . import models as model_registry
+
+log = logging.getLogger(__name__)
+
+
+class ServerState:
+    """Shared state behind the handlers."""
+
+    def __init__(self, engine, config_manager: Optional[ConfigManager] = None):
+        self.engine = engine
+        self.config_manager = config_manager or ConfigManager()
+        self.sessions: Dict[str, StreamingSession] = {}
+        self.event_queues: Dict[str, list] = {}   # session -> [queue, ...]
+        self._lock = threading.Lock()
+
+    def create_session(self, cfg: SessionConfig) -> str:
+        sid = uuid.uuid4().hex[:12]
+
+        def fanout(event: SessionEvent):
+            with self._lock:
+                queues = list(self.event_queues.get(sid, []))
+            for q in queues:
+                q.put(event)
+
+        session = StreamingSession(self.engine, cfg, on_event=fanout)
+        with self._lock:
+            self.sessions[sid] = session
+            self.event_queues[sid] = []
+        return sid
+
+    def subscribe(self, sid: str) -> "queue.Queue[SessionEvent]":
+        q: "queue.Queue[SessionEvent]" = queue.Queue()
+        with self._lock:
+            self.event_queues.setdefault(sid, []).append(q)
+        return q
+
+    def unsubscribe(self, sid: str, q) -> None:
+        with self._lock:
+            try:
+                self.event_queues.get(sid, []).remove(q)
+            except ValueError:
+                pass
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            log.debug("http: " + fmt, *args)
+
+        # ---- helpers -------------------------------------------------
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, msg, code=400):
+            self._json({"error": msg}, code)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def _session(self) -> Optional[StreamingSession]:
+            sid = self.path.split("/")[2]
+            s = state.sessions.get(sid)
+            if s is None:
+                self._error(f"no session {sid}", 404)
+            return s
+
+        # ---- GET -----------------------------------------------------
+        def do_GET(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if parts == ["health"]:
+                return self._json({
+                    "ok": True,
+                    "model": getattr(state.engine, "model_path", None),
+                    "loaded": getattr(state.engine, "loaded", False)})
+            if parts == ["config"]:
+                return self._json(state.config_manager.config.to_dict())
+            if parts == ["models"]:
+                return self._json([dataclasses.asdict(m)
+                                   for m in model_registry.list_models()])
+            if len(parts) == 3 and parts[0] == "models" \
+                    and parts[2] == "progress":
+                return self._json({
+                    "progress":
+                        model_registry.get_download_progress(parts[1])})
+            if parts == ["state"]:
+                return self._json({
+                    sid: s.state.value for sid, s in state.sessions.items()})
+            if len(parts) == 3 and parts[0] == "sessions" \
+                    and parts[2] == "events":
+                return self._sse_events(parts[1])
+            self._error("not found", 404)
+
+        def _sse_events(self, sid: str):
+            if sid not in state.sessions:
+                return self._error(f"no session {sid}", 404)
+            q = state.subscribe(sid)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    try:
+                        ev = q.get(timeout=15)
+                    except queue.Empty:
+                        self.wfile.write(b": keepalive\n\n")
+                        self.wfile.flush()
+                        continue
+                    payload = json.dumps(dataclasses.asdict(ev))
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+                    if ev.is_final or ev.state == "cancelled":
+                        break
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                state.unsubscribe(sid, q)
+
+        # ---- POST ----------------------------------------------------
+        def do_POST(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            try:
+                if parts == ["config"]:
+                    new = AppConfig.from_dict(json.loads(self._body()))
+                    state.config_manager.set_config(new)
+                    return self._json(new.to_dict())
+                if parts == ["transcribe"]:
+                    return self._transcribe()
+                if parts == ["sessions"]:
+                    return self._create_session()
+                if len(parts) == 3 and parts[0] == "sessions":
+                    return self._session_verb(parts[1], parts[2])
+                if len(parts) == 3 and parts[0] == "models" \
+                        and parts[2] == "download":
+                    threading.Thread(
+                        target=model_registry.download_model,
+                        args=(parts[1],), daemon=True).start()
+                    return self._json({"started": parts[1]})
+            except Exception as e:
+                log.exception("request failed")
+                return self._error(str(e), 500)
+            self._error("not found", 404)
+
+        def do_DELETE(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if len(parts) == 2 and parts[0] == "models":
+                return self._json(
+                    {"deleted": model_registry.delete_model(parts[1])})
+            if len(parts) == 2 and parts[0] == "sessions":
+                s = state.sessions.pop(parts[1], None)
+                if s:
+                    s.cancel()
+                return self._json({"deleted": s is not None})
+            self._error("not found", 404)
+
+        def _query(self) -> Dict[str, str]:
+            from urllib.parse import parse_qsl, urlsplit
+            return dict(parse_qsl(urlsplit(self.path).query))
+
+        def _transcribe(self):
+            """One-shot: body = raw f32 little-endian PCM or a WAV blob."""
+            q = self._query()
+            body = self._body()
+            if body[:4] == b"RIFF":
+                from ..audio.io import read_wav
+                from ..audio.resample import resample
+                audio, rate = read_wav(body)
+                audio = resample(audio, rate)
+            else:
+                rate = int(q.get("sample_rate", 16000))
+                from ..audio.resample import resample
+                audio = np.frombuffer(body, "<f4").astype(np.float32)
+                audio = resample(audio, rate)
+            result = state.engine.transcribe(
+                audio,
+                language=q.get("language"),
+                vocabulary=q.get("vocabulary"),
+                context=q.get("context"))
+            return self._json({
+                "text": result.text,
+                "language": result.language,
+                "segments": [dataclasses.asdict(s) for s in result.segments],
+            })
+
+        def _create_session(self):
+            body = self._body()
+            opts = json.loads(body) if body else {}
+            cfg = SessionConfig(
+                language=opts.get("language"),
+                vocabulary=opts.get("vocabulary"),
+                sample_rate=int(opts.get("sample_rate", 16000)),
+                max_duration_s=int(opts.get("max_duration_s", 60)))
+            sid = state.create_session(cfg)
+            return self._json({"session": sid})
+
+        def _session_verb(self, sid: str, verb: str):
+            s = state.sessions.get(sid)
+            if s is None:
+                return self._error(f"no session {sid}", 404)
+            if verb == "start":
+                return self._json({"started": s.start(),
+                                   "state": s.state.value})
+            if verb == "stop":
+                text = s.stop(wait=True)
+                return self._json({"transcript": text,
+                                   "state": s.state.value})
+            if verb == "toggle":
+                return self._json({"recording": s.toggle(),
+                                   "state": s.state.value})
+            if verb == "cancel":
+                s.cancel()
+                return self._json({"state": s.state.value})
+            if verb == "audio":
+                frames = np.frombuffer(self._body(), "<f4")
+                s.push_audio(frames)
+                if s.over_duration_cap():     # hard cap (state.rs:622-631)
+                    s.stop(wait=False)
+                return self._json({"buffered": True,
+                                   "state": s.state.value})
+            return self._error(f"unknown verb {verb}", 404)
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8777,
+          config_manager: Optional[ConfigManager] = None,
+          background: bool = False) -> ThreadingHTTPServer:
+    state = ServerState(engine, config_manager)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state  # for tests
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    else:
+        log.info("serving on %s:%d", host, port)
+        httpd.serve_forever()
+    return httpd

@@ -1,0 +1,155 @@
+"""HTTP session API integration: config, models, sessions, transcribe,
+SSE events — against a live server with the tiny-random engine."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def isolated_home(tmp_path, monkeypatch):
+    monkeypatch.setenv("NOBS_WHISPER_TPU_HOME", str(tmp_path))
+    yield tmp_path
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.serve.server import serve
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+    import os
+    os.environ["NOBS_WHISPER_TPU_HOME"] = str(tmp_path_factory.mktemp("home"))
+
+    path = str(tmp_path_factory.mktemp("m") / "m.bin")
+    write_tiny_checkpoint(path)
+    engine = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(engine, port=port, background=True)
+    yield f"http://127.0.0.1:{port}", httpd
+    httpd.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(base, path, data=b"", headers=None):
+    req = urllib.request.Request(base + path, data=data, method="POST",
+                                 headers=headers or {})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    base, _ = server
+    h = _get(base, "/health")
+    assert h["ok"] and h["loaded"]
+
+
+def test_config_roundtrip(server):
+    base, _ = server
+    cfg = _get(base, "/config")
+    assert cfg["language"] == "auto"
+    cfg["language"] = "ko"
+    out = _post(base, "/config", json.dumps(cfg).encode())
+    assert out["language"] == "ko"
+    assert _get(base, "/config")["language"] == "ko"
+
+
+def test_models_listing(server):
+    base, _ = server
+    models = _get(base, "/models")
+    assert len(models) == 12
+    assert _get(base, "/models/tiny/progress")["progress"] is None
+
+
+def test_one_shot_transcribe(server):
+    base, _ = server
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(8000) * 0.2).astype(np.float32)
+    out = _post(base, "/transcribe?language=en", audio.tobytes())
+    assert "text" in out and out["language"] == "en"
+
+
+def test_one_shot_transcribe_wav(server):
+    base, _ = server
+    import io
+    from nobs_whisper_tpu.audio.io import write_wav
+    import tempfile, os
+    audio = (np.random.RandomState(1).randn(8000) * 0.2).astype(np.float32)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        name = f.name
+    write_wav(name, audio)
+    with open(name, "rb") as f:
+        blob = f.read()
+    os.unlink(name)
+    out = _post(base, "/transcribe?language=en", blob)
+    assert "text" in out
+
+
+def test_session_lifecycle_with_events(server):
+    base, _ = server
+    sid = _post(base, "/sessions", json.dumps(
+        {"language": "en", "sample_rate": 16000}).encode())["session"]
+
+    events = []
+
+    def listen():
+        req = urllib.request.Request(f"{base}/sessions/{sid}/events")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[6:]))
+                    if events[-1].get("is_final") or \
+                            events[-1]["state"] == "cancelled":
+                        return
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    time.sleep(0.2)
+
+    out = _post(base, f"/sessions/{sid}/start")
+    assert out["started"] and out["state"] == "recording"
+    # idempotent start
+    assert _post(base, f"/sessions/{sid}/start")["started"] is False
+
+    rng = np.random.RandomState(2)
+    audio = (rng.randn(16000) * 0.2).astype(np.float32)
+    r = _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+    assert r["buffered"]
+
+    out = _post(base, f"/sessions/{sid}/stop")
+    assert out["state"] == "idle"
+    assert isinstance(out["transcript"], str)
+
+    t.join(timeout=30)
+    states = [e["state"] for e in events]
+    assert "recording" in states
+    assert states[-1] == "done"
+    assert events[-1]["is_final"]
+
+
+def test_session_cancel(server):
+    base, _ = server
+    sid = _post(base, "/sessions", b"")["session"]
+    _post(base, f"/sessions/{sid}/start")
+    out = _post(base, f"/sessions/{sid}/cancel")
+    assert out["state"] == "idle"
+
+
+def test_unknown_session_404(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/sessions/nope/start")
+    assert e.value.code == 404
