@@ -100,14 +100,20 @@ def frame_signal(audio: jnp.ndarray) -> jnp.ndarray:
     """Center-padded (reflect) strided framing: (T,) -> (n_frames, n_fft).
 
     n_frames = T // hop (the trailing STFT frame is dropped, matching
-    torch.stft-based reference semantics).
+    torch.stft-based reference semantics). Gather-free: with hop 160 and
+    width 400, frame i = rows i, i+1 and the first half of row i+2 of the
+    (n+2, 160) reshape — three slices and a concat, which XLA/Mosaic lower
+    to plain copies.
     """
     pad = N_FFT // 2
     padded = jnp.pad(audio, (pad, pad), mode="reflect")
     n_frames = audio.shape[0] // HOP_LENGTH
-    idx = (jnp.arange(n_frames)[:, None] * HOP_LENGTH +
-           jnp.arange(N_FFT)[None, :])
-    return padded[idx]
+    need = (n_frames + 2) * HOP_LENGTH
+    padded = jnp.pad(padded, (0, max(need - padded.shape[0], 0)))
+    rows = padded[:need].reshape(n_frames + 2, HOP_LENGTH)
+    return jnp.concatenate(
+        [rows[:n_frames], rows[1: n_frames + 1],
+         rows[2: n_frames + 2, : N_FFT - 2 * HOP_LENGTH]], axis=1)
 
 
 def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
