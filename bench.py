@@ -10,12 +10,18 @@ window (fixed so random-weight logits can't skew termination; 160 tokens is
 a dense-speech upper bound incl. timestamp tokens). RTF = batch * 30 s of
 audio per wall second, steady-state (compile excluded).
 
+Synchronization: the tunneled TPU backend's block_until_ready does not
+block, so every timed pipeline ends in a scalar that is np.asarray()'d —
+a real device->host transfer is the only honest fence. Stage times come from
+cumulative pipelines (mel; mel+encode; mel+encode+decode).
+
 vs_baseline is measured against the >50x/chip north-star target
 (BASELINE.md: the reference publishes no quantitative numbers).
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,14 +39,12 @@ def main():
     p.add_argument("--decode-tokens", type=int,
                    default=DECODE_TOKENS_PER_WINDOW)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", choices=["none", "int8"], default="int8")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: the tunneled TPU backend compiles slowly,
-    # and weights-as-arguments keeps programs weight-independent
-    import os
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                "/root/.cache/jax_compile_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -52,11 +56,14 @@ def main():
     from nobs_whisper_tpu.models.whisper import (
         decoder_forward, encode, init_kv_cache, init_params,
         precompute_cross_kv)
+    from nobs_whisper_tpu.ops.quant import quantize_decoder_params
     from nobs_whisper_tpu.utils.testing import speech_like_audio
 
     cfg = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if args.quant == "int8":
+        params = quantize_decoder_params(params)
     b = args.batch
     n_steps = args.decode_tokens
 
@@ -64,23 +71,13 @@ def main():
         np.asarray(pad_or_trim(speech_like_audio(28.0, seed=s)))
         for s in range(b)])
 
-    # NB: params always passed as jit arguments — closing over them embeds
-    # the weights as HLO constants (observed 100x compile-time blowup).
-    @jax.jit
-    def mel_fn(a):
-        return log_mel_spectrogram(a, n_mels=cfg.n_mels)
-
-    @jax.jit
-    def encode_fn(params, mel):
-        return encode(params, mel, cfg, compute_dtype=dtype)
-
     prompt = jnp.broadcast_to(
         jnp.asarray([cfg.sot, cfg.lang_base, cfg.transcribe], jnp.int32),
         (b, 3))
 
-    @jax.jit
-    def decode_fixed(params, xa, prompt):
-        """Prefill + fixed-length greedy loop (no early exit)."""
+    # NB: params always passed as jit arguments — closing over them embeds
+    # the weights as HLO constants (observed 100x compile-time blowup).
+    def _decode_from_xa(params, xa, prompt):
         cross_kv = precompute_cross_kv(params, xa, cfg)
         cache = init_kv_cache(cfg, b, dtype=dtype)
         logits, cache = decoder_forward(
@@ -96,50 +93,58 @@ def main():
             tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return tok, cache, acc + jnp.max(logits)
 
-        tok, cache, acc = jax.lax.fori_loop(
+        _, _, acc = jax.lax.fori_loop(
             0, n_steps, body, (tok0, cache, jnp.float32(0)))
         return acc
 
-    audio_j = jnp.asarray(audio)
+    # cumulative pipelines, each ending in one scalar (honest sync point)
+    @jax.jit
+    def p_mel(a):
+        return jnp.sum(log_mel_spectrogram(a, n_mels=cfg.n_mels))
 
-    def one_pass():
-        mel = mel_fn(audio_j)
-        xa = encode_fn(params, mel)
-        return decode_fixed(params, xa, prompt).block_until_ready()
+    @jax.jit
+    def p_enc(params, a):
+        mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+        return jnp.sum(encode(params, mel, cfg, compute_dtype=dtype)
+                       .astype(jnp.float32))
 
-    # compile + warmup
+    @jax.jit
+    def p_full(params, a, prompt):
+        mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+        xa = encode(params, mel, cfg, compute_dtype=dtype)
+        return _decode_from_xa(params, xa, prompt)
+
+    audio_j = jax.device_put(audio)
+
+    def timed(fn, *a):
+        """Median wall time of fn(*a) with a forced scalar transfer."""
+        np.asarray(fn(*a))  # warm (compile or cache hit)
+        ts = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            np.asarray(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
     t0 = time.perf_counter()
-    one_pass()
-    compile_s = time.perf_counter() - t0
-    print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
+    np.asarray(p_full(params, audio_j, prompt))
+    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
-    # timed stages, steady state
-    times = []
-    stage = {"mel": 0.0, "encode": 0.0, "decode": 0.0}
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        mel = mel_fn(audio_j)
-        mel.block_until_ready()
-        t1 = time.perf_counter()
-        xa = encode_fn(params, mel)
-        xa.block_until_ready()
-        t2 = time.perf_counter()
-        decode_fixed(params, xa, prompt).block_until_ready()
-        t3 = time.perf_counter()
-        stage["mel"] += t1 - t0
-        stage["encode"] += t2 - t1
-        stage["decode"] += t3 - t2
-        times.append(t3 - t0)
+    t_mel = timed(p_mel, audio_j)
+    t_enc = timed(p_enc, params, audio_j)
+    t_full = timed(p_full, params, audio_j, prompt)
 
-    best = min(times)
     audio_seconds = b * 30.0
-    rtf = audio_seconds / best
-    r = args.repeats
-    print(f"# stages (mean s): mel={stage['mel']/r:.4f} "
-          f"encode={stage['encode']/r:.4f} decode={stage['decode']/r:.4f} "
-          f"({n_steps} tokens/window, batch={b})", file=sys.stderr)
+    rtf = audio_seconds / t_full
+    print(f"# stages (median s): mel={t_mel:.4f} "
+          f"encode={max(t_enc - t_mel, 0):.4f} "
+          f"decode={max(t_full - t_enc, 0):.4f} total={t_full:.4f} "
+          f"({n_steps} tokens/window, batch={b}, quant={args.quant})",
+          file=sys.stderr)
     print(json.dumps({
-        "metric": f"rtf_{args.model}_{args.dtype}_batch{b}",
+        "metric": f"rtf_{args.model}_{args.dtype}_"
+                  f"{args.quant}_batch{b}",
         "value": round(rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(rtf / TARGET_RTF, 3),

@@ -165,8 +165,8 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     n_head = cfg.n_text_head
 
     def per_layer(_, p):
-        k = _split_heads(xa @ p["xk_w"], n_head)
-        v = _split_heads(xa @ p["xv_w"] + p["xv_b"], n_head)
+        k = _split_heads(_dense(xa, p["xk_w"]), n_head)
+        v = _split_heads(_dense(xa, p["xv_w"], p["xv_b"]), n_head)
         return None, (k, v)
 
     with _precision_scope(xa.dtype):
@@ -215,6 +215,28 @@ def decoder_forward(
                                 cfg, compute_dtype)
 
 
+def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
+    """Linear that accepts plain or int8-quantized weights. On TPU the
+    quantized path runs the Pallas dequantizing matmul (weights stream
+    from HBM as int8); elsewhere it falls back to an XLA dequant+matmul."""
+    from ..ops.quant import is_quantized, q8_matmul
+
+    if is_quantized(w):
+        lead = x.shape[:-1]
+        m = int(np.prod(lead)) if lead else 1
+        # the Pallas kernel pays off when the read is weight-dominated
+        # (decode steps: tiny M); large-M calls (cross-kv precompute over
+        # 1500 audio positions) are compute-bound and stay in XLA
+        if jax.default_backend() == "tpu" and m <= 256:
+            y = q8_matmul(x.reshape(-1, x.shape[-1]), w)
+            y = y.reshape(*lead, -1).astype(x.dtype)
+        else:
+            y = x @ (w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+    else:
+        y = x @ w
+    return y if b is None else y + b
+
+
 def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
                      compute_dtype):
     dec = params["decoder"]
@@ -238,31 +260,36 @@ def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
         p, ck_l, cv_l, xk_l, xv_l = scanned
         # self-attention with cache
         h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)       # (B,H,S,Dh)
-        k = _split_heads(h @ p["k_w"], n_head)
-        v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
+        q = _split_heads(_dense(h, p["q_w"], p["q_b"]), n_head)  # (B,H,S,Dh)
+        k = _split_heads(_dense(h, p["k_w"]), n_head)
+        v = _split_heads(_dense(h, p["v_w"], p["v_b"]), n_head)
         ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), pos)
         cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), pos)
         a = _attention(q, ck_l.astype(compute_dtype),
                        cv_l.astype(compute_dtype), self_mask)
-        x = x + (_merge_heads(a) @ p["o_w"] + p["o_b"])
+        x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
         # cross-attention (keys precomputed)
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
-        q = _split_heads(h @ p["xq_w"] + p["xq_b"], n_head)
+        q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
         a = _attention(q, xk_l.astype(compute_dtype),
                        xv_l.astype(compute_dtype), None)
-        x = x + (_merge_heads(a) @ p["xo_w"] + p["xo_b"])
+        x = x + _dense(_merge_heads(a), p["xo_w"], p["xo_b"])
         # mlp
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
-        h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
-        x = x + (h @ p["fc2_w"] + p["fc2_b"])
+        h = _gelu(_dense(h, p["fc1_w"], p["fc1_b"]))
+        x = x + _dense(h, p["fc2_w"], p["fc2_b"])
         return x, (ck_l, cv_l)
 
     x, (ck, cv) = jax.lax.scan(block, x, (dec["blocks"], ck, cv, xk, xv))
     x = _layer_norm(x, dec["ln_g"], dec["ln_b"])
-    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
-                        tok_emb.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+    if "tok_emb_q" in dec:
+        # quantized logit projection: the largest per-step HBM read
+        logits = _dense(x.astype(jnp.float32), dec["tok_emb_q"])
+        logits = logits.astype(jnp.float32)
+    else:
+        logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
+                            tok_emb.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
     return logits, (ck, cv)
 
 
