@@ -1,0 +1,110 @@
+"""Dataset evaluation harness: WER + RTF over a directory of audio.
+
+Layout: DIR/*.wav (or .pcm/.f32) with sibling transcripts DIR/<stem>.txt,
+or a LibriSpeech-style `*.trans.txt` index. With no network this box has
+no LibriSpeech; the harness is exercised in CI on synthetic fixtures and
+is ready for real data wherever it exists.
+
+Usage:
+  python eval.py DIR --model <id|path> [--language en] [--beam-size 5]
+                 [--limit N] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+
+def find_pairs(root: Path) -> List[Tuple[Path, str]]:
+    """(audio_path, reference_text) pairs."""
+    pairs: List[Tuple[Path, str]] = []
+    # LibriSpeech-style: <x>-<y>.trans.txt with "<utt-id> TEXT" lines
+    trans: Dict[str, str] = {}
+    for t in root.rglob("*.trans.txt"):
+        for line in t.read_text().splitlines():
+            utt, _, text = line.partition(" ")
+            if text:
+                trans[utt] = text.strip()
+    for ext in ("*.wav", "*.flac", "*.pcm", "*.f32"):
+        for a in sorted(root.rglob(ext)):
+            stem = a.stem
+            txt = a.with_suffix(".txt")
+            if txt.exists():
+                pairs.append((a, txt.read_text().strip()))
+            elif stem in trans:
+                pairs.append((a, trans[stem]))
+    return pairs
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("dir")
+    p.add_argument("--model", required=True)
+    p.add_argument("--language", default="en")
+    p.add_argument("--beam-size", type=int, default=1)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nobs_whisper_tpu.audio.io import load_audio
+    from nobs_whisper_tpu.audio.resample import resample
+    from nobs_whisper_tpu.cli import _load_engine
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+    from nobs_whisper_tpu.utils.wer import corpus_wer, word_error_rate
+
+    engine = _load_engine(args.model, args.dtype)
+    pairs = find_pairs(Path(args.dir))
+    if args.limit:
+        pairs = pairs[: args.limit]
+    if not pairs:
+        print("no (audio, transcript) pairs found", file=sys.stderr)
+        sys.exit(2)
+
+    opts = DecodeOptions(
+        beam_size=args.beam_size if args.beam_size > 1 else None)
+    results = []
+    total_audio_s = 0.0
+    t0 = time.perf_counter()
+    for audio_path, ref in pairs:
+        audio, rate = load_audio(str(audio_path))
+        audio = resample(audio, rate)
+        total_audio_s += len(audio) / 16000
+        out = engine.transcribe(audio, language=args.language, opts=opts)
+        r = word_error_rate(ref, out.text)
+        results.append((str(audio_path), ref, out.text, r))
+    wall = time.perf_counter() - t0
+
+    agg = corpus_wer([(ref, hyp) for _, ref, hyp, _ in results])
+    exact = sum(1 for *_, r in results if r.exact_match)
+    summary = {
+        "utterances": len(results),
+        "wer": round(agg.wer, 4),
+        "exact_match_rate": round(exact / len(results), 4),
+        "substitutions": agg.substitutions,
+        "deletions": agg.deletions,
+        "insertions": agg.insertions,
+        "audio_seconds": round(total_audio_s, 1),
+        "wall_seconds": round(wall, 2),
+        "rtf": round(total_audio_s / wall, 2),
+    }
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for path, ref, hyp, r in results[:10]:
+            print(f"--- {path} (wer={r.wer:.2f})\nREF: {ref}\nHYP: {hyp}")
+        print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

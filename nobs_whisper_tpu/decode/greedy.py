@@ -57,7 +57,7 @@ def pad_prompts(prompts: Sequence[Sequence[int]],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sample_len", "compute_dtype"))
+    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv"))
 def decode_window_jit(
     params,
     xa: jnp.ndarray,             # (B, T_audio, d) encoder states
@@ -70,11 +70,15 @@ def decode_window_jit(
     cfg: WhisperConfig,
     sample_len: int,
     compute_dtype=jnp.float32,
+    q8_kv: bool = False,
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
     no_speech_prob (B,))."""
     b, p_max = prompt_tokens.shape
     cross_kv = precompute_cross_kv(params, xa, cfg)
+    if q8_kv:
+        from ..ops.attention_pallas import quantize_cross_kv
+        cross_kv = quantize_cross_kv(cross_kv)
     cache = init_kv_cache(cfg, b, dtype=compute_dtype)
 
     # ---- prefill ----
@@ -182,7 +186,8 @@ def decode_window(
     tokens, n_sampled, sum_lp, nsp = decode_window_jit(
         params, xa, jnp.asarray(prompt_tokens), jnp.asarray(prompt_lens),
         jnp.asarray(np.array(sot_positions, np.int32)), tables,
-        jnp.float32(temperature), rng, cfg, sample_len, compute_dtype)
+        jnp.float32(temperature), rng, cfg, sample_len, compute_dtype,
+        q8_kv=opts.q8_cross_kv)
 
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)

@@ -48,6 +48,9 @@ class DecodeOptions:
     temperature_increment: float = 0.2
     max_temperature: float = 1.0
     sample_len: Optional[int] = None        # default n_text_ctx // 2
+    # TPU serving knob: int8 cross-attention K/V (halves the dominant
+    # per-token HBM read; fused Pallas kernel)
+    q8_cross_kv: bool = False
 
 
 @jax.tree_util.register_dataclass

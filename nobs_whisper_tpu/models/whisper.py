@@ -268,11 +268,20 @@ def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
         a = _attention(q, ck_l.astype(compute_dtype),
                        cv_l.astype(compute_dtype), self_mask)
         x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
-        # cross-attention (keys precomputed)
+        # cross-attention (keys precomputed; optionally int8-quantized)
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
         q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
-        a = _attention(q, xk_l.astype(compute_dtype),
-                       xv_l.astype(compute_dtype), None)
+        if isinstance(xk_l, dict):
+            from ..ops.attention_pallas import (
+                cross_attention_decode_q8, cross_attention_dequant_reference)
+            if q.shape[-2] == 1 and jax.default_backend() == "tpu":
+                a = cross_attention_decode_q8(q, xk_l, xv_l)
+            else:
+                a = cross_attention_dequant_reference(q, xk_l, xv_l)
+            a = a.astype(compute_dtype)
+        else:
+            a = _attention(q, xk_l.astype(compute_dtype),
+                           xv_l.astype(compute_dtype), None)
         x = x + _dense(_merge_heads(a), p["xo_w"], p["xo_b"])
         # mlp
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])

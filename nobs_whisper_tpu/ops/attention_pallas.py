@@ -1,0 +1,143 @@
+"""Fused int8-KV cross-attention for the decode hot loop.
+
+Per decode step, cross-attention re-reads the entire per-window K/V
+(H x 1500 x 64 x 2 per layer per element) from HBM — the single largest
+term in the token-step's byte budget. Storing K/V as int8 with
+per-position scales halves that traffic; this kernel reads the int8
+tensors, dequantizes in VMEM, and runs scores -> softmax -> mix in one
+pass per (batch element, layer).
+
+Quantization folds exactly:
+  scores[t] = (q . Kq[t]) * ks[t]         (K scale per position)
+  out       = (probs * vs) @ Vq           (V scale per position folds into
+                                           the probability vector)
+Positions padded to the lane-aligned T carry scale 0 and are masked to
+-inf before the softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QKV = Dict[str, jnp.ndarray]
+
+_NEG = -1e30  # plain float: jnp scalars captured in kernels are rejected
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def quantize_cross_kv(
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+) -> Tuple[QKV, QKV]:
+    """(xk, xv) fp (L, B, H, T, Dh) -> int8 with per-position scales.
+
+    K is stored transposed (L, B, H, Dh, T_pad) for the scores matvec;
+    V stays (L, B, H, T_pad, Dh). T is padded to a multiple of 128 with
+    zero-scale (masked) positions.
+    """
+    xk, xv = cross_kv
+    l, b, h, t, dh = xk.shape
+    t_pad = _round_up(t, 128)
+
+    def quant(x):
+        x32 = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (...,T,1)
+        s = jnp.maximum(absmax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+        pad = [(0, 0)] * 3 + [(0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        s = jnp.pad(s[..., 0], [(0, 0)] * 3 + [(0, t_pad - t)])  # 0 = masked
+        return q, s
+
+    kq, ks = quant(xk)
+    vq, vs = quant(xv)
+    return ({"q": jnp.swapaxes(kq, -1, -2), "s": ks},   # (L,B,H,Dh,Tp)
+            {"q": vq, "s": vs})                          # (L,B,H,Tp,Dh)
+
+
+def _xattn_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, out_ref):
+    """Grid: (B*H,) — one (element, head) pair per program, plain 2D MXU
+    matmuls (Mosaic rejects batched dot_general). Blocks carry explicit
+    unit dims so every blocked axis equals its array dim: q (1,1,Dh);
+    kq (1,Dh,Tp); ks (1,1,Tp); vq (1,Tp,Dh); vs (1,1,Tp); out (1,1,Dh)."""
+    q = q_ref[0].astype(jnp.bfloat16)                    # (1, Dh)
+    kq = kq_ref[0].astype(jnp.bfloat16)                  # (Dh, Tp)
+    ks = ks_ref[0]                                       # (1, Tp) f32
+    dh = q.shape[-1]
+    scale = float(dh) ** -0.5
+
+    raw = jnp.dot(q, kq, preferred_element_type=jnp.float32)   # (1, Tp)
+    scores = jnp.where(ks > 0, raw * ks * scale, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)              # (1, Tp) f32
+
+    vs = vs_ref[0]                                       # (1, Tp)
+    pv = (probs * vs).astype(jnp.bfloat16)               # V scale folded
+    vq = vq_ref[0].astype(jnp.bfloat16)                  # (Tp, Dh)
+    out = jnp.dot(pv, vq, preferred_element_type=jnp.float32)  # (1, Dh)
+    out_ref[...] = out[None]
+
+
+def cross_attention_decode_q8(
+    q: jnp.ndarray,          # (B, H, 1, Dh) — single decode position
+    kq: QKV,                 # {"q": (B,H,Dh,Tp) int8, "s": (B,H,Tp) f32}
+    vq: QKV,                 # {"q": (B,H,Tp,Dh) int8, "s": (B,H,Tp) f32}
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-query cross-attention; returns (B, H, 1, Dh) fp32.
+
+    NB: applies the standard 1/sqrt(dh) scaling internally (matching
+    models.whisper._attention numerics).
+    """
+    b, h, s, dh = q.shape
+    assert s == 1, "decode kernel is single-query"
+    t_pad = kq["q"].shape[-1]
+    bh = b * h
+
+    out = pl.pallas_call(
+        _xattn_kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, 1, dh), jnp.float32),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, 1, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, t_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q.reshape(bh, 1, dh),
+      kq["q"].reshape(bh, dh, t_pad),
+      kq["s"].reshape(bh, 1, t_pad),
+      vq["q"].reshape(bh, t_pad, dh),
+      vq["s"].reshape(bh, 1, t_pad))
+    return out.reshape(b, h, 1, dh)
+
+
+def cross_attention_dequant_reference(q, kq, vq):
+    """XLA fallback with identical semantics (used on CPU and for S>1)."""
+    k = (kq["q"].astype(jnp.float32) *
+         kq["s"][..., None, :]).swapaxes(-1, -2)          # (B,H,Tp,Dh)
+    v = vq["q"].astype(jnp.float32) * vq["s"][..., None]
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhsd,bhtd->bhst", q.astype(jnp.float32), k)
+    scores = scores * (dh ** -0.5)
+    mask = (kq["s"] > 0)[:, :, None, :]
+    scores = jnp.where(mask, scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
