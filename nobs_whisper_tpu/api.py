@@ -63,6 +63,36 @@ class WhisperEngine:
                    compute_dtype=dtype, model_path=path)
 
     @classmethod
+    def from_native(cls, path: str) -> "WhisperEngine":
+        """Load an orbax snapshot created by :meth:`save_native`."""
+        from .core.native_ckpt import load_native
+
+        params, cfg, vocab = load_native(path)
+        tokenizer = WhisperTokenizer(vocab, cfg)
+        leaves = jax.tree.leaves(params)
+        dtype = leaves[0].dtype if leaves else jnp.bfloat16
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer,
+                   compute_dtype=jnp.bfloat16
+                   if dtype == jnp.bfloat16 else jnp.float32,
+                   model_path=path)
+
+    def save_native(self, path: str) -> None:
+        """Snapshot the ready-to-run engine state (incl. any quantized
+        tensors) for fast serving restarts."""
+        from .core.native_ckpt import save_native
+
+        self._require_model()
+        save_native(path, self.params, self.cfg, self.tokenizer._vocab)
+
+    def quantize(self) -> "WhisperEngine":
+        """Return an engine with the int8 decode path enabled."""
+        from .ops.quant import quantize_decoder_params
+
+        self._require_model()
+        return dataclasses.replace(
+            self, params=quantize_decoder_params(self.params))
+
+    @classmethod
     def from_random(cls, model: str = "tiny", dtype=jnp.bfloat16,
                     seed: int = 0) -> "WhisperEngine":
         """Random weights for benchmarks/tests (no tokenizer-dependent

@@ -51,6 +51,8 @@ class DecodeOptions:
     # TPU serving knob: int8 cross-attention K/V (halves the dominant
     # per-token HBM read; fused Pallas kernel)
     q8_cross_kv: bool = False
+    # word-level timestamps via cross-attention DTW (decode/timing.py)
+    word_timestamps: bool = False
 
 
 @jax.tree_util.register_dataclass

@@ -39,6 +39,7 @@ class Segment:
     temperature: float
     avg_logprob: float
     no_speech_prob: float
+    words: Optional[list] = None   # WordTiming list when word_timestamps
 
 
 @dataclasses.dataclass
@@ -195,16 +196,33 @@ def transcribe_mel(
         raw_segments, advance = _split_segments(
             result.tokens, tb, cfg.eot, seek, segment_size, tokenizer,
             time_offset)
+
+        window_words = None
+        if opts.word_timestamps and result.tokens:
+            from ..decode.timing import find_word_timings, merge_punctuations
+            sot_seq = tokenizer.sot_sequence(
+                language=lang if cfg.multilingual else None,
+                task=opts.task, timestamps=opts.timestamps)
+            window_words = find_word_timings(
+                params, cfg, tokenizer, xa, result.tokens, sot_seq,
+                num_frames=segment_size, time_offset=time_offset)
+            merge_punctuations(window_words)
+
         for rs in raw_segments:
             text = tokenizer.decode(rs["tokens"]).strip()
             if not text:
                 continue
+            words = None
+            if window_words is not None:
+                words = [w for w in window_words
+                         if rs["start"] - 1e-6 <= w.start < rs["end"] + 0.5]
             segments.append(Segment(
                 id=len(segments), seek=seek,
                 start=rs["start"], end=rs["end"], text=text,
                 tokens=rs["tokens"], temperature=result.temperature,
                 avg_logprob=result.avg_logprob,
-                no_speech_prob=result.no_speech_prob))
+                no_speech_prob=result.no_speech_prob,
+                words=words))
 
         # rolling context: text tokens only (whisper.cpp keeps text, not
         # timestamps, in prompt_past)
