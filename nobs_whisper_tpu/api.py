@@ -135,9 +135,11 @@ class WhisperEngine:
         language: Optional[str] = None,
         vocabulary: Optional[str] = None,
         context: Optional[str] = None,
+        task: str = "transcribe",
         opts: Optional[DecodeOptions] = None,
     ) -> TranscribeResult:
-        """Transcribe 16 kHz f32 PCM. ``language=None`` auto-detects.
+        """Transcribe (or translate to English) 16 kHz f32 PCM.
+        ``language=None`` auto-detects.
 
         Mirrors WhisperEngine::transcribe (whisper.rs:66-148): greedy by
         default, vocabulary+context as initial prompt, anti-hallucination
@@ -146,8 +148,8 @@ class WhisperEngine:
         self._require_model()
         base = opts or DecodeOptions()
         opts = dataclasses.replace(
-            base, language=language if language not in (None, "auto")
-            else None)
+            base, task=task,
+            language=language if language not in (None, "auto") else None)
 
         audio = np.asarray(audio, dtype=np.float32)
         with stage_timer("mel"):

@@ -48,10 +48,19 @@ def cmd_transcribe(args):
     audio = resample(audio, rate)
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
-        timestamps=not args.no_timestamps)
+        timestamps=not args.no_timestamps,
+        word_timestamps=args.word_timestamps)
     result = engine.transcribe(audio, language=args.language,
-                               vocabulary=args.vocabulary, opts=opts)
-    if args.json:
+                               vocabulary=args.vocabulary, task=args.task,
+                               opts=opts)
+    if args.output_format:
+        from .utils.writers import write_result
+        import os
+        out = args.output or os.path.splitext(args.file)[0] + \
+            "." + args.output_format
+        write_result(result, out, args.output_format)
+        print(f"wrote {out}")
+    elif args.json:
         print(json.dumps({
             "text": result.text,
             "language": result.language,
@@ -67,6 +76,9 @@ def cmd_serve(args):
     from .serve.server import serve
 
     engine = _load_engine(args.model, args.dtype)
+    if args.batch > 1:
+        from .pipeline.batched_engine import BatchedEngine
+        engine = BatchedEngine(engine, max_batch=args.batch)
     serve(engine, host=args.host, port=args.port,
           config_manager=ConfigManager())
 
@@ -118,7 +130,14 @@ def main(argv=None):
     t.add_argument("--language", default=None)
     t.add_argument("--vocabulary", default=None)
     t.add_argument("--beam-size", type=int, default=1)
+    t.add_argument("--task", choices=["transcribe", "translate"],
+                   default="transcribe")
     t.add_argument("--no-timestamps", action="store_true")
+    t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument("--output-format",
+                   choices=["txt", "srt", "vtt", "tsv", "json"],
+                   default=None)
+    t.add_argument("--output", default=None)
     t.add_argument("--dtype", default="bfloat16")
     t.add_argument("--json", action="store_true")
     t.set_defaults(fn=cmd_transcribe)
@@ -128,6 +147,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8777)
     s.add_argument("--model", default=None)
     s.add_argument("--dtype", default="bfloat16")
+    s.add_argument("--batch", type=int, default=8,
+                   help="max cross-session window batch (1 = sequential)")
     s.set_defaults(fn=cmd_serve)
 
     mdl = sub.add_parser("models", help="manage model files")

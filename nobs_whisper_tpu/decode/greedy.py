@@ -65,7 +65,7 @@ def decode_window_jit(
     prompt_lens: jnp.ndarray,    # (B,) int32
     sot_pos: jnp.ndarray,        # (B,) int32 — index of <|sot|> in the prompt
     tables: RuleTables,
-    temperature: jnp.ndarray,    # scalar fp32; 0 = greedy
+    temperature: jnp.ndarray,    # (B,) fp32 per element; 0 = greedy
     rng: jax.Array,
     cfg: WhisperConfig,
     sample_len: int,
@@ -122,7 +122,7 @@ def decode_window_jit(
 
         rng, sub = jax.random.split(s["rng"])
         greedy_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temperature, 1e-6)
+        temp = jnp.maximum(temperature, 1e-6)[:, None]
         sampled_tok = jax.random.categorical(
             sub, masked / temp, axis=-1).astype(jnp.int32)
         tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
@@ -171,7 +171,7 @@ def decode_window(
     cfg: WhisperConfig,
     tables: RuleTables,
     opts: DecodeOptions,
-    temperature: float = 0.0,
+    temperature=0.0,             # scalar or per-element sequence
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
 ) -> List[WindowResult]:
@@ -182,11 +182,13 @@ def decode_window(
     prompt_tokens, prompt_lens = pad_prompts(prompts, cfg.eot)
     sample_len = opts.sample_len or cfg.n_text_ctx // 2
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    temps = np.broadcast_to(np.asarray(temperature, np.float32),
+                            (len(prompts),)).copy()
 
     tokens, n_sampled, sum_lp, nsp = decode_window_jit(
         params, xa, jnp.asarray(prompt_tokens), jnp.asarray(prompt_lens),
         jnp.asarray(np.array(sot_positions, np.int32)), tables,
-        jnp.float32(temperature), rng, cfg, sample_len, compute_dtype,
+        jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
         q8_kv=opts.q8_cross_kv)
 
     tokens = np.asarray(tokens)
@@ -203,7 +205,7 @@ def decode_window(
             sum_logprob=float(sum_lp[i]),
             avg_logprob=avg,
             no_speech_prob=float(nsp[i]),
-            temperature=temperature,
+            temperature=float(temps[i]),
         ))
     return out
 

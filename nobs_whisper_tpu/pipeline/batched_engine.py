@@ -1,0 +1,115 @@
+"""Engine wrapper routing window decodes through the shared batcher.
+
+Streaming sessions call ``engine.transcribe`` per VAD chunk; chunks are
+<= 25 s (the forced-split cap) so each is a single window. This wrapper
+keeps the WhisperEngine API but funnels those single-window decodes into
+one WindowBatcher, so N concurrent push-to-talk sessions share one jitted
+device batch — the TPU replacement for the reference's serialized
+chunk queue (src-tauri/src/whisper.rs:151).
+
+Multi-window audio falls back to the sequential long-form path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from ..audio.mel import HOP_LENGTH, log_mel_longform
+from ..core.config import SAMPLE_RATE
+from ..core.tokenizer import LANGUAGES
+from ..decode.hallucination import filter_hallucinations
+from ..decode.rules import DecodeOptions
+from ..pipeline.batcher import WindowBatcher
+from ..pipeline.longform import Segment, TranscribeResult
+
+log = logging.getLogger(__name__)
+
+
+class BatchedEngine:
+    """Same surface as WhisperEngine.transcribe, batched across callers."""
+
+    def __init__(self, engine, opts: Optional[DecodeOptions] = None,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.opts = opts or DecodeOptions()
+        self.batcher = WindowBatcher(
+            engine.params, engine.cfg, engine.tokenizer, self.opts,
+            max_batch=max_batch, max_wait_ms=max_wait_ms,
+            compute_dtype=engine.compute_dtype)
+
+    # passthroughs
+    @property
+    def cfg(self):
+        return self.engine.cfg
+
+    @property
+    def tokenizer(self):
+        return self.engine.tokenizer
+
+    @property
+    def loaded(self):
+        return self.engine.loaded
+
+    def close(self):
+        self.batcher.close()
+
+    def transcribe(self, audio: np.ndarray, language: Optional[str] = None,
+                   vocabulary: Optional[str] = None,
+                   context: Optional[str] = None,
+                   opts: Optional[DecodeOptions] = None) -> TranscribeResult:
+        cfg = self.engine.cfg
+        audio = np.asarray(audio, dtype=np.float32)
+        window_frames = 2 * cfg.n_audio_ctx
+        content_frames = audio.shape[0] // HOP_LENGTH
+        if content_frames > window_frames or (opts is not None
+                                              and opts != self.opts):
+            # long-form or custom options: sequential path
+            return self.engine.transcribe(audio, language=language,
+                                          vocabulary=vocabulary,
+                                          context=context, opts=opts)
+
+        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
+                               padding=window_frames * HOP_LENGTH)
+        window = mel[:, :window_frames]
+
+        lang = language if language not in (None, "auto") else None
+        if lang is None and cfg.multilingual:
+            lang = "en"  # batched path needs a language; callers that want
+            # auto-detection use the sequential engine
+        prompt: List[int] = []
+        initial = self.engine.build_initial_prompt(vocabulary, context)
+        if initial:
+            prompt.append(cfg.sot_prev)
+            prompt.extend(initial[-(cfg.n_text_ctx // 2 - 1):])
+        prompt.extend(self.engine.tokenizer.sot_sequence(
+            language=lang if cfg.multilingual else None))
+
+        # temperature fallback ladder through the shared batcher: retries
+        # at higher temperature batch together with other sessions' work
+        from ..decode.rules import needs_fallback, token_entropy
+        from .longform import _temperature_ladder
+
+        result = None
+        for temp in _temperature_ladder(self.opts):
+            result = self.batcher.submit(window, prompt,
+                                         temperature=temp).result(timeout=600)
+            if not needs_fallback(result.avg_logprob,
+                                  token_entropy(result.tokens),
+                                  len(result.tokens), self.opts):
+                break
+
+        text = self.engine.tokenizer.decode(result.tokens).strip()
+        text = filter_hallucinations(text)
+        seg = Segment(
+            id=0, seek=0, start=0.0,
+            end=content_frames * HOP_LENGTH / SAMPLE_RATE,
+            text=text, tokens=result.tokens,
+            temperature=result.temperature,
+            avg_logprob=result.avg_logprob,
+            no_speech_prob=result.no_speech_prob)
+        return TranscribeResult(text=text, segments=[seg] if text else [],
+                                language=lang or "en")

@@ -35,6 +35,7 @@ class _Request:
     mel: np.ndarray             # (n_mels, 2*n_audio_ctx)
     prompt: List[int]
     future: Future
+    temperature: float = 0.0
 
 
 def _pad_batch_size(n: int, max_batch: int) -> int:
@@ -68,11 +69,12 @@ class WindowBatcher:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit(self, mel_window: np.ndarray,
-               prompt: Sequence[int]) -> "Future[WindowResult]":
+    def submit(self, mel_window: np.ndarray, prompt: Sequence[int],
+               temperature: float = 0.0) -> "Future[WindowResult]":
         fut: Future = Future()
         self._q.put(_Request(mel=np.asarray(mel_window, np.float32),
-                             prompt=list(prompt), future=fut))
+                             prompt=list(prompt), future=fut,
+                             temperature=float(temperature)))
         return fut
 
     def close(self):
@@ -118,15 +120,18 @@ class WindowBatcher:
         padded_n = _pad_batch_size(n, self.max_batch)
         mels = [r.mel for r in batch]
         prompts = [r.prompt for r in batch]
+        temps = [r.temperature for r in batch]
         while len(mels) < padded_n:       # replicate a real row
             mels.append(mels[0])
             prompts.append(prompts[0])
+            temps.append(temps[0])
         self.batch_sizes.append(n)
 
         mel = jnp.asarray(np.stack(mels))
         xa = self._encode(mel)
         results = decode_window(self.params, xa, prompts, self.cfg,
                                 self.tables, self.opts,
+                                temperature=np.asarray(temps, np.float32),
                                 compute_dtype=self.compute_dtype)
         for r, res in zip(batch, results[:n]):
             r.future.set_result(res)

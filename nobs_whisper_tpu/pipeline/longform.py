@@ -69,9 +69,18 @@ def decode_with_fallback(
     result = None
     for temp in _temperature_ladder(opts):
         rng, sub = jax.random.split(rng)
-        result = decode_window(params, xa, [prompt], cfg, tables, opts,
-                               temperature=temp, rng=sub,
-                               compute_dtype=compute_dtype)[0]
+        if temp == 0 and opts.beam_size and opts.beam_size > 1:
+            # beam search at zero temperature; sampling ladder above it
+            # (openai/whisper.cpp fallback semantics)
+            from ..decode.beam import beam_decode_window
+            result = beam_decode_window(
+                params, xa, [prompt], cfg, tables,
+                beam_size=opts.beam_size, sample_len=opts.sample_len,
+                compute_dtype=compute_dtype)[0]
+        else:
+            result = decode_window(params, xa, [prompt], cfg, tables, opts,
+                                   temperature=temp, rng=sub,
+                                   compute_dtype=compute_dtype)[0]
         entropy = token_entropy(result.tokens)
         if not needs_fallback(result.avg_logprob, entropy,
                               len(result.tokens), opts):

@@ -1,0 +1,150 @@
+"""CLI: transcribe (stdout/json/srt/vtt), models list, config, writers,
+beam + task wiring through the engine."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.utils.testing import (speech_like_audio,
+                                            write_tiny_checkpoint)
+from nobs_whisper_tpu.utils.writers import WRITERS, write_result
+
+
+@pytest.fixture(scope="module")
+def wav_and_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    model = str(d / "ggml-test.bin")
+    write_tiny_checkpoint(model)
+    wav = str(d / "a.wav")
+    from nobs_whisper_tpu.audio.io import write_wav
+    write_wav(wav, speech_like_audio(0.5, seed=2))
+    return wav, model
+
+
+def _run(args, home):
+    return subprocess.run(
+        [sys.executable, "-m", "nobs_whisper_tpu.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu",
+             "NOBS_WHISPER_TPU_HOME": home,
+             "PYTHONPATH": "/root/repo"})
+
+
+def test_cli_transcribe_json(wav_and_model, tmp_path):
+    wav, model = wav_and_model
+    r = _run(["transcribe", wav, "--model", model, "--language", "en",
+              "--dtype", "float32", "--json"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "text" in out and out["language"] == "en"
+
+
+def test_cli_transcribe_srt(wav_and_model, tmp_path):
+    wav, model = wav_and_model
+    r = _run(["transcribe", wav, "--model", model, "--language", "en",
+              "--dtype", "float32", "--output-format", "srt",
+              "--output", str(tmp_path / "out.srt")], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    content = (tmp_path / "out.srt").read_text()
+    assert "-->" in content or content == ""
+
+
+def test_cli_models_list(tmp_path):
+    r = _run(["models", "list"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "large-v3-turbo" in r.stdout
+    assert r.stdout.count("\n") >= 12
+
+
+def test_cli_config(tmp_path):
+    r = _run(["config", "set", "selected_model=small", "language=ko"],
+             str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["selected_model"] == "small"
+    r = _run(["config", "get"], str(tmp_path))
+    assert json.loads(r.stdout)["language"] == "ko"
+
+
+def test_cli_no_model_errors(tmp_path):
+    r = _run(["transcribe", "/nonexistent.wav"], str(tmp_path))
+    assert r.returncode == 2
+    assert "no model selected" in r.stderr
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+class _Seg:
+    def __init__(self, start, end, text):
+        self.start, self.end, self.text = start, end, text
+        self.__dict__.update(id=0, seek=0, tokens=[], temperature=0.0,
+                             avg_logprob=0.0, no_speech_prob=0.0, words=None)
+
+
+class _Res:
+    text = "hello world again"
+    language = "en"
+    segments = [_Seg(0.0, 1.5, " hello world"), _Seg(1.5, 2.25, " again")]
+
+
+import dataclasses  # noqa: E402
+
+
+def test_writers(tmp_path):
+    res = _Res()
+    # srt
+    p = str(tmp_path / "o.srt")
+    write_result(res, p, "srt")
+    srt = open(p).read()
+    assert "00:00:00,000 --> 00:00:01,500" in srt
+    assert "hello world" in srt
+    # vtt
+    p = str(tmp_path / "o.vtt")
+    write_result(res, p, "vtt")
+    vtt = open(p).read()
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:01.500 --> 00:00:02.250" in vtt
+    # tsv
+    p = str(tmp_path / "o.tsv")
+    write_result(res, p, "tsv")
+    assert "0\t1500\thello world" in open(p).read()
+    # txt
+    p = str(tmp_path / "o.txt")
+    write_result(res, p, "txt")
+    assert open(p).read() == "hello world again\n"
+    with pytest.raises(KeyError):
+        write_result(res, str(tmp_path / "x"), "nope")
+
+
+def test_beam_wired_into_transcribe(tmp_path):
+    """beam_size=5 flows through the fallback ladder."""
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    model = str(tmp_path / "m.bin")
+    write_tiny_checkpoint(model)
+    eng = WhisperEngine.from_ggml(model, dtype=jnp.float32)
+    audio = speech_like_audio(0.5, seed=4)
+    opts = DecodeOptions(beam_size=3, logprob_threshold=-1e9,
+                         entropy_threshold=0.0, no_speech_threshold=1.1)
+    res = eng.transcribe(audio, language="en", opts=opts)
+    assert isinstance(res.text, str)
+
+
+def test_translate_task(tmp_path):
+    from nobs_whisper_tpu.api import WhisperEngine
+
+    model = str(tmp_path / "m.bin")
+    write_tiny_checkpoint(model)
+    eng = WhisperEngine.from_ggml(model, dtype=jnp.float32)
+    audio = speech_like_audio(0.4, seed=6)
+    res = eng.transcribe(audio, language="en", task="translate")
+    assert isinstance(res.text, str)
