@@ -2,8 +2,10 @@ import time, numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import __graft_entry__
+t0 = time.perf_counter()
 fn, args = __graft_entry__.entry()
+print(f"entry() setup {time.perf_counter()-t0:.1f}s", flush=True)
 t0 = time.perf_counter()
 out = jax.jit(fn)(*args)
 val = float(np.asarray(out).sum())
-print(f"entry() compiled+ran in {time.perf_counter()-t0:.1f}s, out {out.shape}, finite={np.isfinite(val)}")
+print(f"compiled+ran in {time.perf_counter()-t0:.1f}s, out {out.shape}, finite={np.isfinite(val)}", flush=True)

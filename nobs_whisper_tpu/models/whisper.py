@@ -318,13 +318,26 @@ def sinusoids(length: int, channels: int) -> np.ndarray:
 
 
 def init_params(rng: jax.Array, cfg: WhisperConfig,
-                dtype: jnp.dtype = jnp.float32) -> Params:
-    """Random init with whisper-like scales (for tests/benchmarks)."""
+                dtype: jnp.dtype = jnp.float32,
+                host_rng: bool = True) -> Params:
+    """Random init with whisper-like scales (for tests/benchmarks).
+
+    host_rng=True draws on the host with NumPy: on backends with slow
+    remote compilation, the dozens of tiny jitted normal() programs
+    otherwise dominate startup.
+    """
     d = cfg.n_audio_state
     keys = iter(jax.random.split(rng, 64))
+    seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]
+               % (2**31 - 1))
+    np_rng = np.random.RandomState(seed)
 
     def nrm(shape, scale=None):
         scale = scale if scale is not None else shape[-1] ** -0.5
+        if host_rng:
+            return jnp.asarray(
+                (np_rng.randn(*shape) * scale).astype(np.float32)
+            ).astype(dtype)
         return (jax.random.normal(next(keys), shape, jnp.float32) *
                 scale).astype(dtype)
 
