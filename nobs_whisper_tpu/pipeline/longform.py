@@ -174,7 +174,9 @@ def transcribe_mel(
         if window.shape[1] < window_frames:
             window = np.pad(window,
                             ((0, 0), (0, window_frames - window.shape[1])))
-        xa = encode_fn(jnp.asarray(window[None]))
+        from ..utils.profiling import stage_timer
+        with stage_timer("encode"):
+            xa = encode_fn(jnp.asarray(window[None]))
 
         if language is None and cfg.multilingual:
             lang_idx, _ = detect_language_jit(params, xa, tables, cfg,
@@ -194,8 +196,10 @@ def transcribe_mel(
             task=opts.task, timestamps=opts.timestamps))
 
         rng, sub = jax.random.split(rng)
-        result = decode_with_fallback(params, xa, prompt, cfg, tables, opts,
-                                      rng=sub, compute_dtype=compute_dtype)
+        with stage_timer("decode"):
+            result = decode_with_fallback(params, xa, prompt, cfg, tables,
+                                          opts, rng=sub,
+                                          compute_dtype=compute_dtype)
 
         time_offset = seek * HOP_LENGTH / SAMPLE_RATE
         if is_no_speech(result.no_speech_prob, result.avg_logprob, opts):

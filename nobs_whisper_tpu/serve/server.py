@@ -121,6 +121,19 @@ def make_handler(state: ServerState):
             if parts == ["state"]:
                 return self._json({
                     sid: s.state.value for sid, s in state.sessions.items()})
+            if parts == ["stats"]:
+                from ..utils.profiling import GLOBAL_PROFILER
+                out = {"stages": GLOBAL_PROFILER.snapshot()}
+                batcher = getattr(state.engine, "batcher", None)
+                if batcher is not None:
+                    sizes = batcher.batch_sizes[-100:]
+                    out["batcher"] = {
+                        "recent_batches": len(sizes),
+                        "mean_batch": (sum(sizes) / len(sizes)
+                                       if sizes else 0.0),
+                        "max_batch": max(sizes, default=0),
+                    }
+                return self._json(out)
             if len(parts) == 3 and parts[0] == "sessions" \
                     and parts[2] == "events":
                 return self._sse_events(parts[1])

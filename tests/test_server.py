@@ -153,3 +153,14 @@ def test_unknown_session_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "/sessions/nope/start")
     assert e.value.code == 404
+
+
+def test_stats_endpoint(server):
+    base, _ = server
+    # generate some activity first
+    audio = (np.random.RandomState(5).randn(8000) * 0.2).astype(np.float32)
+    _post(base, "/transcribe?language=en", audio.tobytes())
+    stats = _get(base, "/stats")
+    assert "stages" in stats
+    assert "decode" in stats["stages"]
+    assert stats["stages"]["decode"]["count"] >= 1
