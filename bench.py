@@ -81,14 +81,14 @@ def main():
         cross_kv = precompute_cross_kv(params, xa, cfg)
         cache = init_kv_cache(cfg, b, dtype=dtype)
         logits, cache = decoder_forward(
-            params, prompt, jnp.zeros((b,), jnp.int32), cache, cross_kv,
-            cfg, dtype)
+            params, prompt, jnp.int32(0), jnp.zeros((b,), jnp.int32),
+            cache, cross_kv, cfg, dtype)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
         def body(i, carry):
             tok, cache, acc = carry
             logits, cache = decoder_forward(
-                params, tok[:, None], jnp.full((b,), 3, jnp.int32) + i,
+                params, tok[:, None], 3 + i, jnp.zeros((b,), jnp.int32),
                 cache, cross_kv, cfg, dtype)
             tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return tok, cache, acc + jnp.max(logits)

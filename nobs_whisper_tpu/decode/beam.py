@@ -94,9 +94,9 @@ def beam_step(
 def beam_decode_window_jit(
     params,
     xa: jnp.ndarray,              # (B, T_audio, d)
-    prompt_tokens: jnp.ndarray,   # (B, P)
-    prompt_lens: jnp.ndarray,     # (B,)
-    sot_pos: jnp.ndarray,         # (B,)
+    prompt_tokens: jnp.ndarray,   # (B, P) LEFT-padded
+    pad_lens: jnp.ndarray,        # (B,)
+    sot_idx: jnp.ndarray,         # (B,) cache index of <|sot|>
     tables: RuleTables,
     cfg: WhisperConfig,
     beam_size: int,
@@ -115,14 +115,13 @@ def beam_decode_window_jit(
     cross_kv = jax.tree.map(lambda t: jnp.repeat(t, k, axis=1), cross_kv)
     cache = init_kv_cache(cfg, bk, dtype=compute_dtype)
 
-    pl_rep = rep(prompt_lens)
+    pad_rep = rep(pad_lens)
     logits_all, cache = decoder_forward(
-        params, rep(prompt_tokens), jnp.zeros((bk,), jnp.int32), cache,
+        params, rep(prompt_tokens), jnp.int32(0), pad_rep, cache,
         cross_kv, cfg, compute_dtype)
-    first_logits = jnp.take_along_axis(
-        logits_all, (pl_rep - 1)[:, None, None], axis=1)[:, 0]   # (BK, V)
+    first_logits = logits_all[:, -1]                             # (BK, V)
     sot_logits = jnp.take_along_axis(
-        logits_all, rep(sot_pos)[:, None, None], axis=1)[:, 0]
+        logits_all, rep(sot_idx)[:, None, None], axis=1)[:, 0]
     no_speech_prob = jax.nn.softmax(
         sot_logits, axis=-1)[:, cfg.no_speech].reshape(b, k)[:, 0]
 
@@ -189,10 +188,9 @@ def beam_decode_window_jit(
         flat_src = (jnp.arange(b)[:, None] * k + src).reshape(bk)
         cache = jax.tree.map(lambda t: t[:, flat_src], s["cache"])
 
-        pos = pl_rep + step
         logits_next, cache = decoder_forward(
-            params, tok.reshape(bk, 1), pos, cache, cross_kv, cfg,
-            compute_dtype)
+            params, tok.reshape(bk, 1), p_max + step, pad_rep, cache,
+            cross_kv, cfg, compute_dtype)
 
         return dict(
             step=step + 1, tokens=tokens, lengths=s["lengths"] + 1,
@@ -217,15 +215,17 @@ def beam_decode_window(
     compute_dtype=jnp.float32,
 ) -> List[WindowResult]:
     """Host wrapper: run the beam loop, rank finished by avg logprob."""
-    sot_positions = np.array([list(p).index(cfg.sot) for p in prompts],
-                             np.int32)
-    prompt_tokens, prompt_lens = pad_prompts(prompts, cfg.eot)
+    prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
+    p_max = prompt_tokens.shape[1]
+    sot_idx = np.array([pad_lens[i] + list(p).index(cfg.sot)
+                        for i, p in enumerate(prompts)], np.int32)
     sample_len = sample_len or cfg.n_text_ctx // 2
+    sample_len = min(sample_len, cfg.n_text_ctx - p_max)
 
     (fin_tokens, fin_len, fin_cum, fin_valid, act_tokens, act_cum, n_steps,
      nsp) = beam_decode_window_jit(
-        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(prompt_lens),
-        jnp.asarray(sot_positions), tables, cfg, beam_size, sample_len,
+        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
+        jnp.asarray(sot_idx), tables, cfg, beam_size, sample_len,
         compute_dtype)
 
     fin_tokens = np.asarray(fin_tokens)

@@ -46,13 +46,19 @@ def _pad_len(n: int) -> int:
 
 def pad_prompts(prompts: Sequence[Sequence[int]],
                 eot: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Right-pad ragged prompts with eot (ignored via masking)."""
+    """LEFT-pad ragged prompts with eot.
+
+    Left alignment makes every element's cache write position uniform
+    (prompt ends at P_max for all), so KV-cache updates lower to sliced
+    writes instead of scatters (a ~0.5 ms/step win on v5e).
+    Returns (tokens (B, P_max), pad_lens (B,)).
+    """
     lens = np.array([len(p) for p in prompts], np.int32)
     p_max = _pad_len(int(lens.max()))
     out = np.full((len(prompts), p_max), eot, np.int32)
     for i, p in enumerate(prompts):
-        out[i, : len(p)] = p
-    return out, lens
+        out[i, p_max - len(p):] = p
+    return out, (p_max - lens).astype(np.int32)
 
 
 @functools.partial(
@@ -61,9 +67,9 @@ def pad_prompts(prompts: Sequence[Sequence[int]],
 def decode_window_jit(
     params,
     xa: jnp.ndarray,             # (B, T_audio, d) encoder states
-    prompt_tokens: jnp.ndarray,  # (B, P) int32, right-padded
-    prompt_lens: jnp.ndarray,    # (B,) int32
-    sot_pos: jnp.ndarray,        # (B,) int32 — index of <|sot|> in the prompt
+    prompt_tokens: jnp.ndarray,  # (B, P) int32, LEFT-padded
+    pad_lens: jnp.ndarray,       # (B,) int32 — left-pad per element
+    sot_idx: jnp.ndarray,        # (B,) int32 — cache index of <|sot|>
     tables: RuleTables,
     temperature: jnp.ndarray,    # (B,) fp32 per element; 0 = greedy
     rng: jax.Array,
@@ -81,16 +87,14 @@ def decode_window_jit(
         cross_kv = quantize_cross_kv(cross_kv)
     cache = init_kv_cache(cfg, b, dtype=compute_dtype)
 
-    # ---- prefill ----
+    # ---- prefill (left-padded: everyone's prompt ends at P_max) ----
     logits_all, cache = decoder_forward(
-        params, prompt_tokens, jnp.zeros((b,), jnp.int32), cache, cross_kv,
+        params, prompt_tokens, jnp.int32(0), pad_lens, cache, cross_kv,
         cfg, compute_dtype)
-    # logits that predict the first sampled token: at index prompt_len-1
-    first_logits = jnp.take_along_axis(
-        logits_all, (prompt_lens - 1)[:, None, None], axis=1)[:, 0]  # (B,V)
-    # no-speech prob from the raw logits at the <|sot|> position
+    first_logits = logits_all[:, -1]                             # (B, V)
+    # no-speech prob from the raw logits at the <|sot|> cache index
     sot_logits = jnp.take_along_axis(
-        logits_all, sot_pos[:, None, None], axis=1)[:, 0]
+        logits_all, sot_idx[:, None, None], axis=1)[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]
 
     tb = tables.timestamp_begin
@@ -138,12 +142,12 @@ def decode_window_jit(
         max_ts = jnp.where((tok >= tb) & ~s["done"],
                            jnp.maximum(s["max_ts"], tok), s["max_ts"])
 
-        # next forward: frozen elements replay eot at a frozen position
-        pos = prompt_lens + step
-        pos = jnp.where(s["done"], prompt_lens, pos)  # harmless overwrite
+        # next forward: uniform cache position for the whole batch;
+        # frozen elements keep writing eot KVs ahead of their sequence
+        # (never attended — their outputs are ignored)
         logits_next, cache = decoder_forward(
-            params, tok[:, None], pos, s["cache"], cross_kv, cfg,
-            compute_dtype)
+            params, tok[:, None], p_max + step, pad_lens, s["cache"],
+            cross_kv, cfg, compute_dtype)
 
         return dict(
             step=step + 1,
@@ -176,18 +180,19 @@ def decode_window(
     compute_dtype=jnp.float32,
 ) -> List[WindowResult]:
     """Host wrapper: pad prompts, run the jitted loop, score results."""
-    sot_positions = []
-    for p in prompts:
-        sot_positions.append(list(p).index(cfg.sot))
-    prompt_tokens, prompt_lens = pad_prompts(prompts, cfg.eot)
+    prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
+    p_max = prompt_tokens.shape[1]
+    sot_idx = np.array([pad_lens[i] + list(p).index(cfg.sot)
+                        for i, p in enumerate(prompts)], np.int32)
     sample_len = opts.sample_len or cfg.n_text_ctx // 2
+    sample_len = min(sample_len, cfg.n_text_ctx - p_max)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     temps = np.broadcast_to(np.asarray(temperature, np.float32),
                             (len(prompts),)).copy()
 
     tokens, n_sampled, sum_lp, nsp = decode_window_jit(
-        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(prompt_lens),
-        jnp.asarray(np.array(sot_positions, np.int32)), tables,
+        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
+        jnp.asarray(sot_idx), tables,
         jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
         q8_kv=opts.q8_cross_kv)
 
@@ -221,7 +226,8 @@ def detect_language_jit(params, xa, tables: RuleTables, cfg: WhisperConfig,
     cross_kv = precompute_cross_kv(params, xa, cfg)
     cache = init_kv_cache(cfg, b, dtype=compute_dtype)
     sot = jnp.full((b, 1), cfg.sot, jnp.int32)
-    logits, _ = decoder_forward(params, sot, jnp.zeros((b,), jnp.int32),
+    logits, _ = decoder_forward(params, sot, jnp.int32(0),
+                                jnp.zeros((b,), jnp.int32),
                                 cache, cross_kv, cfg, compute_dtype)
     logits = logits[:, 0]
     mask = jnp.zeros((cfg.n_vocab,), bool).at[

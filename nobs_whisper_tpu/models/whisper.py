@@ -183,18 +183,20 @@ def init_kv_cache(cfg: WhisperConfig, batch: int,
 
 
 def _write_cache(cache: jnp.ndarray, layer_vals: jnp.ndarray,
-                 pos: jnp.ndarray) -> jnp.ndarray:
-    """Scatter a (B, H, S, Dh) slice into cache layer (B, H, T, Dh) at
-    per-element start positions ``pos`` (B,)."""
-    def upd(c_b, v_b, p_b):
-        return jax.lax.dynamic_update_slice(c_b, v_b, (0, p_b, 0))
-    return jax.vmap(upd)(cache, layer_vals, pos)
+                 start: jnp.ndarray) -> jnp.ndarray:
+    """Write a (B, H, S, Dh) slice into cache layer (B, H, T, Dh) at the
+    *uniform* start position ``start`` (scalar). A single sliced
+    dynamic_update — per-element positions would lower to a scatter, which
+    measured ~0.5 ms/step on v5e for the 4-layer turbo decoder."""
+    return jax.lax.dynamic_update_slice(
+        cache, layer_vals, (0, 0, start, 0))
 
 
 def decoder_forward(
     params: Params,
-    tokens: jnp.ndarray,          # (B, S) int32 — padded token slice
-    pos: jnp.ndarray,             # (B,) int32 — start position per element
+    tokens: jnp.ndarray,          # (B, S) int32 — token slice
+    cache_start,                  # scalar int32 — uniform cache write index
+    pad_lens: jnp.ndarray,        # (B,) int32 — left-pad per element
     kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
     cfg: WhisperConfig,
@@ -204,15 +206,16 @@ def decoder_forward(
     S=prompt length for prefill). Returns fp32 logits (B, S, V) and the
     updated KV cache.
 
-    Ragged batches: element b's tokens occupy absolute positions
-    [pos[b], pos[b]+S). Self-attention sees cache keys at absolute position
-    <= current. Padding tokens should be masked out by the caller via the
-    returned per-position logits (they still write cache slots, so callers
-    must only advance ``pos`` by the real token count).
+    Ragged batches are LEFT-padded: element b's real sequence starts at
+    cache index pad_lens[b]; all elements share the same cache write
+    positions [cache_start, cache_start+S) (so the KV write is one slice,
+    not a scatter), position embeddings are indexed by the element's own
+    sequence position (cache index - pad), and self-attention masks out
+    the pad region.
     """
     with _precision_scope(compute_dtype):
-        return _decoder_forward(params, tokens, pos, kv_cache, cross_kv,
-                                cfg, compute_dtype)
+        return _decoder_forward(params, tokens, cache_start, pad_lens,
+                                kv_cache, cross_kv, cfg, compute_dtype)
 
 
 def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
@@ -237,21 +240,26 @@ def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
     return y if b is None else y + b
 
 
-def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
-                     compute_dtype):
+def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
+                     cross_kv, cfg, compute_dtype):
     dec = params["decoder"]
     n_head = cfg.n_text_head
     b, s = tokens.shape
     t_ctx = cfg.n_text_ctx
 
     tok_emb = dec["tok_emb"]
-    positions = pos[:, None] + jnp.arange(s)[None, :]           # (B, S)
-    x = (tok_emb[tokens] + dec["pos"][positions]).astype(compute_dtype)
+    cache_idx = cache_start + jnp.arange(s)                     # (S,)
+    # position embedding index = element's own sequence position
+    pos_idx = jnp.clip(cache_idx[None, :] - pad_lens[:, None], 0,
+                       t_ctx - 1)                               # (B, S)
+    x = (tok_emb[tokens] + dec["pos"][pos_idx]).astype(compute_dtype)
 
-    # self-attn mask: query at abs position i attends cache keys j <= i
+    # self-attn mask: query at cache index i attends keys j with
+    # pad_lens[b] <= j <= i (left-pad region excluded)
     key_idx = jnp.arange(t_ctx)[None, None, :]                  # (1,1,T)
-    q_idx = positions[:, :, None]                               # (B,S,1)
-    self_mask = (key_idx <= q_idx)[:, None, :, :]               # (B,1,S,T)
+    q_idx = cache_idx[None, :, None]                            # (1,S,1)
+    self_mask = ((key_idx <= q_idx) &
+                 (key_idx >= pad_lens[:, None, None]))[:, None]  # (B,1,S,T)
 
     ck, cv = kv_cache
     xk, xv = cross_kv
@@ -263,8 +271,8 @@ def _decoder_forward(params, tokens, pos, kv_cache, cross_kv, cfg,
         q = _split_heads(_dense(h, p["q_w"], p["q_b"]), n_head)  # (B,H,S,Dh)
         k = _split_heads(_dense(h, p["k_w"]), n_head)
         v = _split_heads(_dense(h, p["v_w"], p["v_b"]), n_head)
-        ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), pos)
-        cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), pos)
+        ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), cache_start)
+        cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), cache_start)
         a = _attention(q, ck_l.astype(compute_dtype),
                        cv_l.astype(compute_dtype), self_mask)
         x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])

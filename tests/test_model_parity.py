@@ -91,8 +91,8 @@ def test_decoder_prefill_parity(torch_model, jax_params):
     cross_kv = precompute_cross_kv(params, xa, cfg)
     cache = init_kv_cache(cfg, batch=2)
     logits, _ = decoder_forward(
-        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), cache,
-        cross_kv, cfg)
+        params, jnp.asarray(tokens), jnp.int32(0), jnp.zeros(2, jnp.int32),
+        cache, cross_kv, cfg)
     np.testing.assert_allclose(np.asarray(logits), expected,
                                rtol=1e-4, atol=1e-3)
 
@@ -105,71 +105,84 @@ def test_incremental_decode_matches_prefill(torch_model, jax_params):
     mel = _rand_mel(hf_cfg, seed=2)
     rng = np.random.RandomState(3)
     tokens = rng.randint(0, hf_cfg.vocab_size, size=(2, 6)).astype(np.int32)
+    no_pad = jnp.zeros(2, jnp.int32)
 
     xa = encode(params, jnp.asarray(mel), cfg)
     cross_kv = precompute_cross_kv(params, xa, cfg)
 
     cache = init_kv_cache(cfg, batch=2)
     full_logits, _ = decoder_forward(
-        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), cache,
+        params, jnp.asarray(tokens), jnp.int32(0), no_pad, cache,
         cross_kv, cfg)
 
     cache = init_kv_cache(cfg, batch=2)
     step_logits = []
     for i in range(tokens.shape[1]):
         logits, cache = decoder_forward(
-            params, jnp.asarray(tokens[:, i: i + 1]),
-            jnp.full((2,), i, jnp.int32), cache, cross_kv, cfg)
+            params, jnp.asarray(tokens[:, i: i + 1]), jnp.int32(i),
+            no_pad, cache, cross_kv, cfg)
         step_logits.append(np.asarray(logits[:, 0]))
     step_logits = np.stack(step_logits, axis=1)
     np.testing.assert_allclose(step_logits, np.asarray(full_logits),
                                rtol=1e-4, atol=1e-4)
 
 
-def test_ragged_positions(torch_model, jax_params):
-    """Two batch elements decoding at different positions must produce the
-    same logits as each would alone — the ragged-batch contract."""
+def test_left_padded_ragged_batch(torch_model, jax_params):
+    """Left-padded ragged batches: each element's logits must equal its
+    solo decode — validates the pad mask and position-index offsets."""
     model, hf_cfg = torch_model
     params, cfg = jax_params
     mel = _rand_mel(hf_cfg, seed=4)
     rng = np.random.RandomState(5)
     t_a = rng.randint(0, hf_cfg.vocab_size, size=9).astype(np.int32)
     t_b = rng.randint(0, hf_cfg.vocab_size, size=4).astype(np.int32)
+    p_max = 9
 
     xa = encode(params, jnp.asarray(mel), cfg)
     cross_kv = precompute_cross_kv(params, xa, cfg)
 
-    # solo decodes
+    # solo decodes (no padding)
     solo = []
     for bi, toks in ((0, t_a), (1, t_b)):
         cache = init_kv_cache(cfg, batch=2)
-        for i in range(len(toks)):
-            logits, cache = decoder_forward(
-                params, jnp.broadcast_to(jnp.asarray(toks[i]), (2, 1)),
-                jnp.full((2,), i, jnp.int32), cache, cross_kv, cfg)
-        solo.append(np.asarray(logits[bi, 0]))
-
-    # ragged joint decode: element 0 runs t_a, element 1 runs t_b padded
-    # (padding steps repeat the last real token at a frozen position; we
-    # simply stop writing for element 1 by replaying the same position —
-    # here we instead advance element 1 only while it has tokens)
-    cache = init_kv_cache(cfg, batch=2)
-    pos = np.zeros(2, np.int32)
-    last = np.zeros((2,), np.int32)
-    for i in range(len(t_a)):
-        cur = np.array([t_a[i], t_b[min(i, len(t_b) - 1)]], np.int32)
         logits, cache = decoder_forward(
-            params, jnp.asarray(cur[:, None]), jnp.asarray(pos), cache,
-            cross_kv, cfg)
-        if i < len(t_b):
-            last = np.asarray(logits[:, 0])
-        else:
-            last = np.stack([np.asarray(logits[0, 0]), last[1]])
-        pos[0] += 1
-        if i + 1 < len(t_b):
-            pos[1] += 1
-    np.testing.assert_allclose(last[0], solo[0], rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(last[1], solo[1], rtol=1e-4, atol=1e-4)
+            params, jnp.broadcast_to(jnp.asarray(toks), (2, len(toks))),
+            jnp.int32(0), jnp.zeros(2, jnp.int32), cache, cross_kv, cfg)
+        solo.append(np.asarray(logits[bi, -1]))
+
+    # joint left-padded prefill: element 1 padded to 9 with junk tokens
+    pad_b = p_max - len(t_b)
+    joint = np.stack([t_a,
+                      np.concatenate([np.full(pad_b, 7, np.int32), t_b])])
+    pads = jnp.asarray(np.array([0, pad_b], np.int32))
+    cache = init_kv_cache(cfg, batch=2)
+    logits, cache = decoder_forward(
+        params, jnp.asarray(joint), jnp.int32(0), pads, cache,
+        cross_kv, cfg)
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), solo[0],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits[1, -1]), solo[1],
+                               rtol=1e-4, atol=1e-4)
+
+    # and one joint decode step after the prefill
+    cache2 = init_kv_cache(cfg, batch=2)
+    solo_step = []
+    for bi, toks in ((0, t_a), (1, t_b)):
+        c = init_kv_cache(cfg, batch=2)
+        _, c = decoder_forward(
+            params, jnp.broadcast_to(jnp.asarray(toks), (2, len(toks))),
+            jnp.int32(0), jnp.zeros(2, jnp.int32), c, cross_kv, cfg)
+        lg, _ = decoder_forward(
+            params, jnp.full((2, 1), 11, jnp.int32), jnp.int32(len(toks)),
+            jnp.zeros(2, jnp.int32), c, cross_kv, cfg)
+        solo_step.append(np.asarray(lg[bi, 0]))
+    lg, _ = decoder_forward(
+        params, jnp.full((2, 1), 11, jnp.int32), jnp.int32(p_max),
+        pads, cache, cross_kv, cfg)
+    np.testing.assert_allclose(np.asarray(lg[0, 0]), solo_step[0],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lg[1, 0]), solo_step[1],
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_bf16_close_to_fp32(torch_model, jax_params):

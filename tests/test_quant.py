@@ -95,13 +95,14 @@ def test_quantized_decode_close_to_fp32(engine):
 
     prompt = jnp.asarray([[cfg.sot, cfg.lang_base, cfg.transcribe]],
                          jnp.int32)
-    pos = jnp.zeros((1,), jnp.int32)
+    pos = jnp.int32(0)
+    pads = jnp.zeros((1,), jnp.int32)
 
     ckv_f = precompute_cross_kv(engine.params, xa, cfg)
     ckv_q = precompute_cross_kv(qp, xa, cfg)
-    lf, _ = decoder_forward(engine.params, prompt, pos,
+    lf, _ = decoder_forward(engine.params, prompt, pos, pads,
                             init_kv_cache(cfg, 1), ckv_f, cfg)
-    lq, _ = decoder_forward(qp, prompt, pos,
+    lq, _ = decoder_forward(qp, prompt, pos, pads,
                             init_kv_cache(cfg, 1), ckv_q, cfg)
     a = np.asarray(lf[:, -1]).ravel()
     b = np.asarray(lq[:, -1]).ravel()
