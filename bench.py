@@ -40,6 +40,8 @@ def main():
                    default=DECODE_TOKENS_PER_WINDOW)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quant", choices=["none", "int8"], default="int8")
+    p.add_argument("--latency", action="store_true",
+                   help="also measure p50 single-utterance latency")
     args = p.parse_args()
 
     import jax
@@ -134,6 +136,53 @@ def main():
     t_mel = timed(p_mel, audio_j)
     t_enc = timed(p_enc, params, audio_j)
     t_full = timed(p_full, params, audio_j, prompt)
+
+    # p50 utterance latency (the BASELINE.md tracked metric): one 5 s
+    # utterance, batch 1, ~48 tokens — reported as a diagnostic
+    if args.latency:
+        b1 = 1
+        ut_audio = jax.device_put(np.asarray(
+            pad_or_trim(speech_like_audio(5.0, seed=99)))[None])
+        ut_prompt = prompt[:1]
+        n_save = n_steps
+
+        def lat_pass():
+            mel = log_mel_spectrogram(ut_audio, n_mels=cfg.n_mels)
+            xa = encode(params, mel, cfg, compute_dtype=dtype)
+            return xa
+
+        @jax.jit
+        def p_lat(params, a, prompt):
+            mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+            xa = encode(params, mel, cfg, compute_dtype=dtype)
+            cross_kv = precompute_cross_kv(params, xa, cfg)
+            cache = init_kv_cache(cfg, b1, dtype=dtype)
+            logits, cache = decoder_forward(
+                params, prompt, jnp.int32(0), jnp.zeros((b1,), jnp.int32),
+                cache, cross_kv, cfg, dtype)
+            tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+            def body(i, carry):
+                tok, cache, acc = carry
+                lg, cache = decoder_forward(
+                    params, tok[:, None], 3 + i,
+                    jnp.zeros((b1,), jnp.int32), cache, cross_kv, cfg,
+                    dtype)
+                tok = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+                return tok, cache, acc + jnp.max(lg)
+
+            _, _, acc = jax.lax.fori_loop(
+                0, 48, body, (tok0, cache, jnp.float32(0)))
+            return acc
+
+        np.asarray(p_lat(params, ut_audio, ut_prompt))
+        lats = []
+        for _ in range(max(args.repeats * 3, 5)):
+            t0 = time.perf_counter()
+            np.asarray(p_lat(params, ut_audio, ut_prompt))
+            lats.append(time.perf_counter() - t0)
+        print(f"# p50 utterance latency (5s audio, 48 tokens, batch 1): "
+              f"{float(np.median(lats)) * 1000:.1f} ms", file=sys.stderr)
 
     audio_seconds = b * 30.0
     rtf = audio_seconds / t_full

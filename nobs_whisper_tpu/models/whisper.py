@@ -227,10 +227,17 @@ def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
     if is_quantized(w):
         lead = x.shape[:-1]
         m = int(np.prod(lead)) if lead else 1
-        # the Pallas kernel pays off when the read is weight-dominated
-        # (decode steps: tiny M); large-M calls (cross-kv precompute over
-        # 1500 audio positions) are compute-bound and stay in XLA
-        if jax.default_backend() == "tpu" and m <= 256:
+        # the Pallas kernel pays off only when the weight read dominates
+        # AND the weight is big enough to beat the kernel-launch overhead
+        # (fc1/fc2/logit projection). Small matrices (qkvo, ~1.6 MB int8)
+        # and large-M calls (cross-kv precompute) stay in XLA where the
+        # dequant fuses into the surrounding program.
+        import os
+        threshold = int(os.environ.get("NWT_Q8_KERNEL_MIN_BYTES",
+                                       4_000_000))
+        w_bytes = int(np.prod(w["q"].shape[-2:]))
+        if (jax.default_backend() == "tpu" and m <= 256
+                and w_bytes >= threshold):
             y = q8_matmul(x.reshape(-1, x.shape[-1]), w)
             y = y.reshape(*lead, -1).astype(x.dtype)
         else:
@@ -291,7 +298,8 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
             a = _attention(q, xk_l.astype(compute_dtype),
                            xv_l.astype(compute_dtype), None)
         x = x + _dense(_merge_heads(a), p["xo_w"], p["xo_b"])
-        # mlp
+        # mlp (measured: XLA's fused dequant+matmul beats a hand-fused
+        # Pallas MLP kernel here — see ops/fused_mlp.py, kept as an op)
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
         h = _gelu(_dense(h, p["fc1_w"], p["fc1_b"]))
         x = x + _dense(h, p["fc2_w"], p["fc2_b"])

@@ -102,3 +102,66 @@ def test_close_is_clean(engine):
                             DecodeOptions())
     batcher.close()
     assert not batcher._thread.is_alive()
+
+
+def test_batcher_fault_isolation(engine):
+    """A failing encode fails that batch's futures but the batcher keeps
+    serving subsequent requests (failure-detection semantics)."""
+    from nobs_whisper_tpu.models.whisper import encode_jit
+
+    cfg = engine.cfg
+    boom = {"on": True}
+
+    def flaky_encode(mel):
+        if boom["on"]:
+            raise RuntimeError("injected encoder fault")
+        return encode_jit(engine.params, mel, cfg, jnp.float32)
+
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer,
+                            DecodeOptions(), max_batch=2, max_wait_ms=5,
+                            encode_fn=flaky_encode)
+    try:
+        rng = np.random.RandomState(0)
+        mel = rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+        prompt = engine.tokenizer.sot_sequence(language="en")
+        f1 = batcher.submit(mel, prompt)
+        with pytest.raises(RuntimeError, match="injected"):
+            f1.result(timeout=60)
+        boom["on"] = False                 # service recovers
+        f2 = batcher.submit(mel, prompt)
+        assert f2.result(timeout=120).tokens is not None
+    finally:
+        batcher.close()
+
+
+def test_batcher_concurrency_stress(engine):
+    """Many threads x many submits: every future resolves, no deadlock."""
+    cfg = engine.cfg
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer,
+                            DecodeOptions(), max_batch=8, max_wait_ms=2)
+    try:
+        rng = np.random.RandomState(1)
+        prompt = engine.tokenizer.sot_sequence(language="en")
+        mels = [rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+                for _ in range(4)]
+        futs = []
+        lock = threading.Lock()
+
+        def worker(i):
+            for j in range(3):
+                f = batcher.submit(mels[(i + j) % 4], prompt)
+                with lock:
+                    futs.append(f)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(futs) == 18
+        for f in futs:
+            r = f.result(timeout=180)
+            assert isinstance(r.tokens, list)
+    finally:
+        batcher.close()

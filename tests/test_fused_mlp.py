@@ -1,0 +1,44 @@
+"""Fused MLP kernel vs XLA reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.ops.fused_mlp import fused_mlp_q8, mlp_reference
+from nobs_whisper_tpu.ops.quant import quantize_int8
+
+
+def test_fused_mlp_matches_reference():
+    rng = np.random.RandomState(0)
+    d, ffn, m = 128, 512, 8
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32) * 0.5)
+    ln_g = jnp.asarray(np.ones(d, np.float32))
+    ln_b = jnp.asarray(np.zeros(d, np.float32))
+    fc1 = quantize_int8(jnp.asarray(rng.randn(d, ffn).astype(np.float32) * 0.05))
+    fc1_b = jnp.asarray(rng.randn(ffn).astype(np.float32) * 0.01)
+    fc2 = quantize_int8(jnp.asarray(rng.randn(ffn, d).astype(np.float32) * 0.05))
+    fc2_b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
+
+    ref = np.asarray(mlp_reference(x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b))
+    got = np.asarray(fused_mlp_q8(x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+                                  interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_mlp_bf16_io():
+    rng = np.random.RandomState(1)
+    d, ffn, m = 128, 256, 4
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32)).astype(jnp.bfloat16)
+    ln_g = jnp.ones((d,), jnp.float32)
+    ln_b = jnp.zeros((d,), jnp.float32)
+    fc1 = quantize_int8(jnp.asarray(rng.randn(d, ffn).astype(np.float32) * 0.05))
+    fc2 = quantize_int8(jnp.asarray(rng.randn(ffn, d).astype(np.float32) * 0.05))
+    zb1 = jnp.zeros((ffn,), jnp.float32)
+    zb2 = jnp.zeros((d,), jnp.float32)
+    out = fused_mlp_q8(x, ln_g, ln_b, fc1, zb1, fc2, zb2, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = mlp_reference(x, ln_g, ln_b, fc1, zb1, fc2, zb2)
+    assert np.abs(np.asarray(out, np.float32) -
+                  np.asarray(ref, np.float32)).max() < 0.1
