@@ -232,9 +232,13 @@ def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
         # (fc1/fc2/logit projection). Small matrices (qkvo, ~1.6 MB int8)
         # and large-M calls (cross-kv precompute) stay in XLA where the
         # dequant fuses into the surrounding program.
+        # Measured on v5e (large-v3-turbo decode loop): XLA fuses the int8
+        # dequant into its matmuls better than the standalone Pallas
+        # kernel at every size (incl. the 66 MB logit projection), so the
+        # kernel is opt-in via NWT_Q8_KERNEL_MIN_BYTES.
         import os
-        threshold = int(os.environ.get("NWT_Q8_KERNEL_MIN_BYTES",
-                                       4_000_000))
+        threshold = int(os.environ.get("NWT_Q8_KERNEL_MIN_BYTES", 0) or
+                        (1 << 62))
         w_bytes = int(np.prod(w["q"].shape[-2:]))
         if (jax.default_backend() == "tpu" and m <= 256
                 and w_bytes >= threshold):
