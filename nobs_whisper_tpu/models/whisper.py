@@ -129,13 +129,42 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     x = x + enc["pos"].astype(compute_dtype)
 
     n_head = cfg.n_audio_head
+    # Stock Pallas flash attention is available but measured 2x SLOWER
+    # than XLA's fused attention for this shape (seq 1500, head_dim 64,
+    # encode 0.26s -> 0.52s on v5e) — opt-in for experimentation only.
+    import os
+    use_flash = (jax.default_backend() == "tpu"
+                 and compute_dtype == jnp.bfloat16
+                 and bool(os.environ.get("NWT_FLASH_ATTENTION")))
 
     def block(x, p):
         h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
         q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)
         k = _split_heads(h @ p["k_w"], n_head)
         v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
-        a = _merge_heads(_attention(q, k, v, mask=None))
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+            dh = q.shape[-1]
+            bsz, _, t, _ = q.shape
+            tp = -(-t // 128) * 128  # kernel needs 128-divisible seq lens
+            pad = tp - t
+            if pad:
+                padding = ((0, 0), (0, 0), (0, pad), (0, 0))
+                q_, k_, v_ = (jnp.pad(z, padding) for z in (q, k, v))
+                seg = jnp.concatenate(
+                    [jnp.ones((bsz, t), jnp.int32),
+                     jnp.zeros((bsz, pad), jnp.int32)], axis=-1)
+                a = flash_attention(q_, k_, v_,
+                                    segment_ids=SegmentIds(seg, seg),
+                                    causal=False,
+                                    sm_scale=float(dh) ** -0.5)[..., :t, :]
+            else:
+                a = flash_attention(q, k, v, causal=False,
+                                    sm_scale=float(dh) ** -0.5)
+            a = _merge_heads(a.astype(x.dtype))
+        else:
+            a = _merge_heads(_attention(q, k, v, mask=None))
         x = x + (a @ p["o_w"] + p["o_b"])
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
         h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
