@@ -63,6 +63,40 @@ class WhisperEngine:
                    compute_dtype=dtype, model_path=path)
 
     @classmethod
+    def from_hf_dir(cls, path: str, dtype=jnp.bfloat16,
+                    vocab: Optional[List[bytes]] = None) -> "WhisperEngine":
+        """Load a transformers-format snapshot dir (config.json +
+        model.safetensors). The HF tokenizer files don't carry the raw
+        byte-level ranks directly, so ``vocab`` (id -> bytes, as embedded
+        in GGML files) may be supplied; without it the engine transcribes
+        but exposes no tokenizer-dependent features."""
+        import json
+        import os
+
+        from .core.hf import load_safetensors, params_from_hf_state_dict
+        from .core.config import config_from_hparams
+
+        with open(os.path.join(path, "config.json")) as f:
+            hf = json.load(f)
+        cfg = config_from_hparams(
+            n_vocab=hf["vocab_size"],
+            n_audio_ctx=hf["max_source_positions"],
+            n_audio_state=hf["d_model"],
+            n_audio_head=hf["encoder_attention_heads"],
+            n_audio_layer=hf["encoder_layers"],
+            n_text_ctx=hf["max_target_positions"],
+            n_text_state=hf["d_model"],
+            n_text_head=hf["decoder_attention_heads"],
+            n_text_layer=hf["decoder_layers"],
+            n_mels=hf["num_mel_bins"],
+            name=os.path.basename(os.path.normpath(path)))
+        sd = load_safetensors(os.path.join(path, "model.safetensors"))
+        params = params_from_hf_state_dict(sd, cfg, dtype=dtype)
+        tokenizer = WhisperTokenizer(vocab, cfg) if vocab else None
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer,
+                   compute_dtype=dtype, model_path=path)
+
+    @classmethod
     def from_native(cls, path: str) -> "WhisperEngine":
         """Load an orbax snapshot created by :meth:`save_native`."""
         from .core.native_ckpt import load_native

@@ -77,3 +77,67 @@ def test_native_checkpoint_roundtrip(tmp_path):
     r1 = eng.transcribe(audio, language="en")
     r2 = eng2.transcribe(audio, language="en")
     assert r1.text == r2.text
+
+
+def test_from_hf_dir(tmp_path):
+    """Write a transformers-format snapshot (config.json + safetensors)
+    and load it through the HF path; logits must match the torch model."""
+    import json
+    import struct
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.models.whisper import (
+        decoder_forward, encode, init_kv_cache, precompute_cross_kv)
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=600, num_mel_bins=80, d_model=64, encoder_layers=2,
+        encoder_attention_heads=4, decoder_layers=2,
+        decoder_attention_heads=4, decoder_ffn_dim=128, encoder_ffn_dim=128,
+        max_source_positions=32, max_target_positions=48,
+        activation_function="gelu", pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+
+    # minimal safetensors writer (fp32)
+    sd = {k: v for k, v in model.model.state_dict().items()}
+    header = {}
+    blobs = []
+    off = 0
+    for k, v in sd.items():
+        raw = v.detach().numpy().astype("<f4").tobytes()
+        header[k] = {"dtype": "F32", "shape": list(v.shape),
+                     "data_offsets": [off, off + len(raw)]}
+        blobs.append(raw)
+        off += len(raw)
+    hjson = json.dumps(header).encode()
+    with open(tmp_path / "model.safetensors", "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for b in blobs:
+            f.write(b)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+
+    eng = WhisperEngine.from_hf_dir(str(tmp_path), dtype=jnp.float32)
+    assert eng.cfg.n_audio_state == 64
+    assert eng.cfg.n_vocab == 600
+
+    rng = np.random.RandomState(0)
+    mel = rng.randn(1, 80, 64).astype(np.float32)
+    toks = rng.randint(0, 600, size=(1, 5)).astype(np.int32)
+    with torch.no_grad():
+        expected = model(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(toks.astype(np.int64))
+        ).logits.numpy()
+    xa = encode(eng.params, jnp.asarray(mel), eng.cfg)
+    ckv = precompute_cross_kv(eng.params, xa, eng.cfg)
+    logits, _ = decoder_forward(
+        eng.params, jnp.asarray(toks), jnp.int32(0),
+        jnp.zeros((1,), jnp.int32), init_kv_cache(eng.cfg, 1), ckv, eng.cfg)
+    np.testing.assert_allclose(np.asarray(logits), expected,
+                               rtol=1e-4, atol=1e-3)
