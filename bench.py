@@ -42,6 +42,8 @@ def main():
     p.add_argument("--quant", choices=["none", "int8"], default="int8")
     p.add_argument("--latency", action="store_true",
                    help="also measure p50 single-utterance latency")
+    p.add_argument("--fuse-qkv", action="store_true",
+                   help="fused qkv projection (measured slower; see note)")
     args = p.parse_args()
 
     import jax
@@ -58,7 +60,7 @@ def main():
     from nobs_whisper_tpu.models.whisper import (
         decoder_forward, encode, init_kv_cache, init_params,
         precompute_cross_kv)
-    from nobs_whisper_tpu.ops.quant import quantize_decoder_params
+    from nobs_whisper_tpu.ops.quant import fuse_qkv, quantize_decoder_params
     from nobs_whisper_tpu.utils.testing import speech_like_audio
 
     cfg = get_config(args.model)
@@ -66,6 +68,11 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     if args.quant == "int8":
         params = quantize_decoder_params(params)
+    # NB: fuse_qkv measured slightly slower here (0.357s vs 0.313s decode)
+    # — XLA already schedules the three dequant matmuls well. Available
+    # via --fuse-qkv for future re-measurement.
+    if args.fuse_qkv:
+        params = fuse_qkv(params)
     b = args.batch
     n_steps = args.decode_tokens
 

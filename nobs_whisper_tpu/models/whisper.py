@@ -10,10 +10,11 @@ Design choices for XLA/TPU rather than a translation of the C++ graph:
 - All shapes are static: mel windows are always (n_mels, 3000), the decoder
   KV cache is always (L, B, n_text_ctx, H, Dh), prefills are padded and
   masked. Nothing recompiles across utterances.
-- Batches are ragged-aware: every batch element carries its own write
-  position so concurrent streaming sessions can share one jitted step
-  (the TPU analog of the reference's chunk-worker overlap,
-  src-tauri/src/state.rs:549-607).
+- Batches are ragged-aware via LEFT-padding: elements share uniform cache
+  write positions (sliced updates, not scatters) while masks and position
+  indices respect each element's own prompt length — so concurrent
+  streaming sessions share one jitted step (the TPU analog of the
+  reference's chunk-worker overlap, src-tauri/src/state.rs:549-607).
 - Matmuls run in the param dtype (bf16 on TPU), layernorm/softmax/logits
   accumulate in fp32.
 
@@ -308,9 +309,14 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         p, ck_l, cv_l, xk_l, xv_l = scanned
         # self-attention with cache
         h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = _split_heads(_dense(h, p["q_w"], p["q_b"]), n_head)  # (B,H,S,Dh)
-        k = _split_heads(_dense(h, p["k_w"]), n_head)
-        v = _split_heads(_dense(h, p["v_w"], p["v_b"]), n_head)
+        if "qkv_w" in p:  # fused projection (ops.quant.fuse_qkv)
+            qkv = _dense(h, p["qkv_w"], p["qkv_b"])
+            q, k, v = (_split_heads(z, n_head)
+                       for z in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = _split_heads(_dense(h, p["q_w"], p["q_b"]), n_head)
+            k = _split_heads(_dense(h, p["k_w"]), n_head)
+            v = _split_heads(_dense(h, p["v_w"], p["v_b"]), n_head)
         ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), cache_start)
         cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), cache_start)
         a = _attention(q, ck_l.astype(compute_dtype),

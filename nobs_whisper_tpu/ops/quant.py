@@ -109,6 +109,35 @@ _QUANT_KEYS = {
 }
 
 
+def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge the decoder's self-attention q/k/v projections into one
+    (d, 3d) matmul per layer (k has no bias; a zero slot keeps the fused
+    bias layout uniform). Works on plain or int8-quantized trees; the
+    decoder forward splits the fused output. Fewer, wider matmuls = less
+    per-step op overhead in the decode loop."""
+    import jax.numpy as jnp
+
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+
+    def cat(ws, axis=-1):
+        if is_quantized(ws[0]):
+            return {"q": jnp.concatenate([w["q"] for w in ws], axis=axis),
+                    "s": jnp.concatenate([w["s"] for w in ws], axis=axis)}
+        return jnp.concatenate(ws, axis=axis)
+
+    blocks["qkv_w"] = cat([blocks.pop("q_w"), blocks.pop("k_w"),
+                           blocks.pop("v_w")])
+    q_b = blocks.pop("q_b")
+    v_b = blocks.pop("v_b")
+    blocks["qkv_b"] = jnp.concatenate(
+        [q_b, jnp.zeros_like(q_b), v_b], axis=-1)
+    dec["blocks"] = blocks
+    out["decoder"] = dec
+    return out
+
+
 def quantize_decoder_params(params: Dict[str, Any],
                             quantize_tok_emb: bool = True) -> Dict[str, Any]:
     """Quantize the decoder's linear weights (the HBM-bound decode path).

@@ -119,3 +119,30 @@ def test_quantized_decode_close_to_fp32(engine):
     # token-level agreement on the prefix (int8 noise may diverge late)
     n = min(len(rf.tokens), len(rq.tokens), 5)
     assert rf.tokens[:n] == rq.tokens[:n]
+
+
+def test_fuse_qkv_equivalence(engine):
+    """Fused-QKV decode must equal the unfused path exactly (same math)."""
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+    from nobs_whisper_tpu.models.whisper import encode
+    from nobs_whisper_tpu.ops.quant import fuse_qkv
+
+    cfg = engine.cfg
+    rng = np.random.RandomState(4)
+    mel = rng.randn(1, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    xa = encode(engine.params, jnp.asarray(mel), cfg)
+    prompt = [[cfg.sot, cfg.lang_base, cfg.transcribe]]
+    tables = build_rule_tables(cfg, DecodeOptions(), engine.tokenizer)
+
+    base = decode_window(engine.params, xa, prompt, cfg, tables,
+                         DecodeOptions())[0]
+    fused = decode_window(fuse_qkv(engine.params), xa, prompt, cfg, tables,
+                          DecodeOptions())[0]
+    assert fused.tokens == base.tokens
+    assert fused.sum_logprob == pytest.approx(base.sum_logprob, abs=1e-3)
+
+    # also through the quantized tree
+    qp = fuse_qkv(quantize_decoder_params(engine.params))
+    fq = decode_window(qp, xa, prompt, cfg, tables, DecodeOptions())[0]
+    assert isinstance(fq.tokens, list)
