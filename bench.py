@@ -60,7 +60,9 @@ def main():
     from nobs_whisper_tpu.models.whisper import (
         decoder_forward, encode, init_kv_cache, init_params,
         precompute_cross_kv)
-    from nobs_whisper_tpu.ops.quant import fuse_qkv, quantize_decoder_params
+    from nobs_whisper_tpu.ops.quant import (fuse_qkv,
+                                             quantize_decoder_params,
+                                             quantize_encoder_params)
     from nobs_whisper_tpu.utils.testing import speech_like_audio
 
     cfg = get_config(args.model)
@@ -68,6 +70,7 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     if args.quant == "int8":
         params = quantize_decoder_params(params)
+        params = quantize_encoder_params(params)  # int8 MXU: ~2x bf16
     # NB: fuse_qkv measured slightly slower here (0.357s vs 0.313s decode)
     # — XLA already schedules the three dequant matmuls well. Available
     # via --fuse-qkv for future re-measurement.

@@ -118,13 +118,18 @@ class WhisperEngine:
         self._require_model()
         save_native(path, self.params, self.cfg, self.tokenizer._vocab)
 
-    def quantize(self) -> "WhisperEngine":
-        """Return an engine with the int8 decode path enabled."""
-        from .ops.quant import quantize_decoder_params
+    def quantize(self, encoder: bool = True) -> "WhisperEngine":
+        """Return an engine on the int8 serving path: int8 decoder weights
+        (HBM-bound decode) and, by default, the dynamic-int8 encoder
+        (native int8 MXU, ~2x bf16 matmul throughput on v5e)."""
+        from .ops.quant import (quantize_decoder_params,
+                                quantize_encoder_params)
 
         self._require_model()
-        return dataclasses.replace(
-            self, params=quantize_decoder_params(self.params))
+        params = quantize_decoder_params(self.params)
+        if encoder:
+            params = quantize_encoder_params(params)
+        return dataclasses.replace(self, params=params)
 
     @classmethod
     def from_random(cls, model: str = "tiny", dtype=jnp.bfloat16,

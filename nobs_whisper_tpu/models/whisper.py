@@ -139,10 +139,20 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                  and bool(os.environ.get("NWT_FLASH_ATTENTION")))
 
     def block(x, p):
+        from ..ops.quant import dense_int8_dynamic, is_quantized
+
+        def lin(h, w, bias=None):
+            # quantized encoder: dynamic-int8 activations on the int8 MXU
+            # (2x bf16 matmul throughput on v5e)
+            if is_quantized(w):
+                return dense_int8_dynamic(h, w, bias)
+            y = h @ w
+            return y if bias is None else y + bias
+
         h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)
-        k = _split_heads(h @ p["k_w"], n_head)
-        v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
+        q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
+        k = _split_heads(lin(h, p["k_w"]), n_head)
+        v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds, flash_attention)
@@ -166,10 +176,10 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             a = _merge_heads(a.astype(x.dtype))
         else:
             a = _merge_heads(_attention(q, k, v, mask=None))
-        x = x + (a @ p["o_w"] + p["o_b"])
+        x = x + lin(a, p["o_w"], p["o_b"])
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
-        h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
-        x = x + (h @ p["fc2_w"] + p["fc2_b"])
+        h = _gelu(lin(h, p["fc1_w"], p["fc1_b"]))
+        x = x + lin(h, p["fc2_w"], p["fc2_b"])
         return x, None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])

@@ -146,3 +146,32 @@ def test_fuse_qkv_equivalence(engine):
     qp = fuse_qkv(quantize_decoder_params(engine.params))
     fq = decode_window(qp, xa, prompt, cfg, tables, DecodeOptions())[0]
     assert isinstance(fq.tokens, list)
+
+
+def test_int8_encoder_accuracy(engine):
+    """Dynamic-int8 encoder activations track the fp32 encoder closely
+    enough to keep the greedy transcript prefix."""
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+    from nobs_whisper_tpu.models.whisper import encode
+    from nobs_whisper_tpu.ops.quant import quantize_encoder_params
+
+    cfg = engine.cfg
+    rng = np.random.RandomState(7)
+    mel = rng.randn(1, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    qp = quantize_encoder_params(engine.params)
+
+    xa_f = np.asarray(encode(engine.params, jnp.asarray(mel), cfg))
+    xa_q = np.asarray(encode(qp, jnp.asarray(mel), cfg))
+    assert xa_q.shape == xa_f.shape
+    corr = np.corrcoef(xa_f.ravel(), xa_q.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+    prompt = [[cfg.sot, cfg.lang_base, cfg.transcribe]]
+    tables = build_rule_tables(cfg, DecodeOptions(), engine.tokenizer)
+    rf = decode_window(engine.params, jnp.asarray(xa_f), prompt, cfg,
+                       tables, DecodeOptions())[0]
+    rq = decode_window(engine.params, jnp.asarray(xa_q), prompt, cfg,
+                       tables, DecodeOptions())[0]
+    n = min(len(rf.tokens), len(rq.tokens), 5)
+    assert rf.tokens[:n] == rq.tokens[:n]
