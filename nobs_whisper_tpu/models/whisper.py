@@ -336,9 +336,11 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
         q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
         if isinstance(xk_l, dict):
+            import os
             from ..ops.attention_pallas import (
                 cross_attention_decode_q8, cross_attention_dequant_reference)
-            if q.shape[-2] == 1 and jax.default_backend() == "tpu":
+            if (q.shape[-2] == 1 and jax.default_backend() == "tpu"
+                    and not os.environ.get("NWT_Q8_KV_XLA")):
                 a = cross_attention_decode_q8(q, xk_l, xv_l)
             else:
                 a = cross_attention_dequant_reference(q, xk_l, xv_l)
