@@ -86,9 +86,12 @@ def test_graft_entry_dryrun():
 
 
 def test_graft_entry_forward_small():
-    """entry() builds large-v3-turbo which is too big for CI RAM comfort;
-    validate the same forward wiring on a tiny config instead by calling
-    entry's machinery indirectly via the dryrun (above) and checking
-    entry() is at least importable/callable lazily."""
+    """Execute entry()'s exact forward wiring (encode -> cross-KV ->
+    prefill decoder logits) on a tiny config — large-v3-turbo itself is
+    too big for CI RAM, but the code path is identical."""
     import __graft_entry__
-    assert callable(__graft_entry__.entry)
+    fn, args = __graft_entry__.entry(cfg=_tiny_cfg())
+    logits = jax.jit(fn)(*args)
+    params, mel, tokens = args
+    assert logits.shape == (mel.shape[0], tokens.shape[1], 1024)
+    assert np.all(np.isfinite(np.asarray(logits, np.float32)))
