@@ -60,10 +60,6 @@ def params_from_hf_state_dict(
             np.stack([g(fmt.format(i=i), transpose) for i in range(n)])
         ).astype(dtype)
 
-    def zeros_like_stack(fmt_w, n):
-        # k_proj has no bias in whisper; keep a zero bias slot out of tree
-        raise NotImplementedError
-
     ne, nd = cfg.n_audio_layer, cfg.n_text_layer
 
     def blocks(side, n, cross):

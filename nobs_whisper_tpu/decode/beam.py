@@ -239,20 +239,24 @@ def beam_decode_window(
 
     out: List[WindowResult] = []
     for i in range(len(prompts)):
+        # rank by cum/len (openai MaximumLikelihoodRanker: the eot logprob
+        # is in the sum, but the penalty divisor is the TEXT length); the
+        # /(len+1) value is only the *reported* avg_logprob
         best: Optional[Tuple[float, List[int], float]] = None
         for j in range(beam_size):
             if fin_valid[i, j]:
                 toks = fin_tokens[i, j, : fin_len[i, j]].tolist()
-                avg = float(fin_cum[i, j]) / (len(toks) + 1)
-                if best is None or avg > best[0]:
-                    best = (avg, toks, float(fin_cum[i, j]))
+                rank = float(fin_cum[i, j]) / max(len(toks), 1)
+                if best is None or rank > best[0]:
+                    best = (rank, toks, float(fin_cum[i, j]))
         if best is None:
             # no finished beam: fall back to best active
             j = int(np.argmax(act_cum[i]))
             toks = act_tokens[i, j, : n_steps].tolist()
-            avg = float(act_cum[i, j]) / (len(toks) + 1)
-            best = (avg, toks, float(act_cum[i, j]))
+            best = (float(act_cum[i, j]) / max(len(toks), 1), toks,
+                    float(act_cum[i, j]))
         out.append(WindowResult(
-            tokens=best[1], sum_logprob=best[2], avg_logprob=best[0],
+            tokens=best[1], sum_logprob=best[2],
+            avg_logprob=best[2] / (len(best[1]) + 1),
             no_speech_prob=float(nsp[i]), temperature=0.0))
     return out

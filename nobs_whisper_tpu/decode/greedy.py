@@ -34,6 +34,7 @@ class WindowResult:
     avg_logprob: float           # sum / (n_text_tokens + 1), openai semantics
     no_speech_prob: float
     temperature: float
+    language: Optional[str] = None   # set when the batcher auto-detected
 
 
 def _pad_len(n: int) -> int:

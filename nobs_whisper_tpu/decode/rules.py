@@ -215,11 +215,27 @@ def compression_ratio(text: str) -> float:
 
 
 def needs_fallback(avg_logprob: float, entropy: float, n_tokens: int,
-                   opts: DecodeOptions) -> bool:
-    """Decide whether to retry the window at a higher temperature."""
+                   opts: DecodeOptions, *, text: Optional[str] = None,
+                   no_speech_prob: Optional[float] = None) -> bool:
+    """Decide whether to retry the window at a higher temperature.
+
+    Gates (openai-whisper transcribe(), mirrored by whisper.cpp with
+    entropy_thold 2.4 / logprob_thold -1.0, src-tauri/src/whisper.rs:121-124):
+    low avg logprob, low token entropy (repetition), high zlib compression
+    ratio of the text (repetition). The silence override wins over all of
+    them: a window whose no_speech_prob exceeds the threshold is NOT worth
+    retrying at higher temperature — it gets skipped by the no-speech gate
+    instead of burning the whole ladder.
+    """
+    if (no_speech_prob is not None
+            and no_speech_prob > opts.no_speech_threshold):
+        return False
     if avg_logprob < opts.logprob_threshold:
         return True
     if n_tokens >= 32 and entropy < opts.entropy_threshold:
+        return True
+    if (text is not None and opts.compression_ratio_threshold is not None
+            and compression_ratio(text) > opts.compression_ratio_threshold):
         return True
     return False
 

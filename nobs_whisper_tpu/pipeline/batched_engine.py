@@ -20,7 +20,6 @@ import numpy as np
 
 from ..audio.mel import HOP_LENGTH, log_mel_longform
 from ..core.config import SAMPLE_RATE
-from ..core.tokenizer import LANGUAGES
 from ..decode.hallucination import filter_hallucinations
 from ..decode.rules import DecodeOptions
 from ..pipeline.batcher import WindowBatcher
@@ -65,9 +64,11 @@ class BatchedEngine:
         audio = np.asarray(audio, dtype=np.float32)
         window_frames = 2 * cfg.n_audio_ctx
         content_frames = audio.shape[0] // HOP_LENGTH
-        if content_frames > window_frames or (opts is not None
-                                              and opts != self.opts):
-            # long-form or custom options: sequential path
+        if content_frames > window_frames \
+                or (opts is not None and opts != self.opts) \
+                or (self.opts.best_of or 1) > 1:
+            # long-form, custom options, or best_of sampling (which tiles
+            # the batch axis): sequential path
             return self.engine.transcribe(audio, language=language,
                                           vocabulary=vocabulary,
                                           context=context, opts=opts)
@@ -77,33 +78,54 @@ class BatchedEngine:
         window = mel[:, :window_frames]
 
         lang = language if language not in (None, "auto") else None
-        if lang is None and cfg.multilingual:
-            lang = "en"  # batched path needs a language; callers that want
-            # auto-detection use the sequential engine
         prompt: List[int] = []
         initial = self.engine.build_initial_prompt(vocabulary, context)
         if initial:
             prompt.append(cfg.sot_prev)
             prompt.extend(initial[-(cfg.n_text_ctx // 2 - 1):])
+        sot_pos = len(prompt)
         prompt.extend(self.engine.tokenizer.sot_sequence(
-            language=lang if cfg.multilingual else None))
+            language=(lang or "en") if cfg.multilingual else None))
+        # auto mode: the batcher detects the language with one extra
+        # batched forward and patches the token after <|sot|>
+        # (whisper.rs:91-95)
+        lang_slot = (sot_pos + 1
+                     if lang is None and cfg.multilingual else None)
 
         # temperature fallback ladder through the shared batcher: retries
         # at higher temperature batch together with other sessions' work
-        from ..decode.rules import needs_fallback, token_entropy
+        from ..decode.rules import (is_no_speech, needs_fallback,
+                                    token_entropy)
         from .longform import _temperature_ladder
 
-        result = None
+        result, text = None, ""
         for temp in _temperature_ladder(self.opts):
-            result = self.batcher.submit(window, prompt,
-                                         temperature=temp).result(timeout=600)
+            result = self.batcher.submit(
+                window, prompt, temperature=temp,
+                lang_slot=lang_slot).result(timeout=600)
+            if lang_slot is not None and result.language:
+                # reuse the detected language on retries
+                lang = result.language
+                prompt[lang_slot] = \
+                    self.engine.tokenizer.language_token(lang)
+                lang_slot = None
+            text = self.engine.tokenizer.decode(result.tokens)
             if not needs_fallback(result.avg_logprob,
                                   token_entropy(result.tokens),
-                                  len(result.tokens), self.opts):
+                                  len(result.tokens), self.opts, text=text,
+                                  no_speech_prob=result.no_speech_prob):
                 break
 
-        text = self.engine.tokenizer.decode(result.tokens).strip()
-        text = filter_hallucinations(text)
+        final_lang = lang or result.language or "en"
+        # no-speech gate: silent windows emit nothing, matching the
+        # sequential path (longform.transcribe_mel) and the reference's
+        # no_speech_thold 0.6 (whisper.rs:122)
+        if is_no_speech(result.no_speech_prob, result.avg_logprob,
+                        self.opts):
+            return TranscribeResult(text="", segments=[],
+                                    language=final_lang)
+
+        text = filter_hallucinations(text.strip())
         seg = Segment(
             id=0, seek=0, start=0.0,
             end=content_frames * HOP_LENGTH / SAMPLE_RATE,
@@ -112,4 +134,4 @@ class BatchedEngine:
             avg_logprob=result.avg_logprob,
             no_speech_prob=result.no_speech_prob)
         return TranscribeResult(text=text, segments=[seg] if text else [],
-                                language=lang or "en")
+                                language=final_lang)

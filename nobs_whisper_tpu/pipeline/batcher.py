@@ -36,6 +36,9 @@ class _Request:
     prompt: List[int]
     future: Future
     temperature: float = 0.0
+    # index into prompt whose token is replaced by the detected language
+    # (auto-language mode, whisper.rs:91-95); None = language fixed
+    lang_slot: Optional[int] = None
 
 
 def _pad_batch_size(n: int, max_batch: int) -> int:
@@ -70,11 +73,13 @@ class WindowBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, mel_window: np.ndarray, prompt: Sequence[int],
-               temperature: float = 0.0) -> "Future[WindowResult]":
+               temperature: float = 0.0,
+               lang_slot: Optional[int] = None) -> "Future[WindowResult]":
         fut: Future = Future()
         self._q.put(_Request(mel=np.asarray(mel_window, np.float32),
                              prompt=list(prompt), future=fut,
-                             temperature=float(temperature)))
+                             temperature=float(temperature),
+                             lang_slot=lang_slot))
         return fut
 
     def close(self):
@@ -86,14 +91,20 @@ class WindowBatcher:
     def _collect(self) -> List[_Request]:
         """Block for one request, then sweep whatever arrives within the
         batching window (or until max_batch)."""
+        import time
         first = self._q.get()
         if first is None:
             return []
         batch = [first]
-        deadline = self.max_wait_s
+        # shrinking deadline: the FIRST request's wait is bounded by
+        # max_wait_s even under a steady trickle of arrivals
+        deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._q.get(timeout=deadline)
+                nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -119,19 +130,37 @@ class WindowBatcher:
         n = len(batch)
         padded_n = _pad_batch_size(n, self.max_batch)
         mels = [r.mel for r in batch]
-        prompts = [r.prompt for r in batch]
+        prompts = [list(r.prompt) for r in batch]
         temps = [r.temperature for r in batch]
         while len(mels) < padded_n:       # replicate a real row
             mels.append(mels[0])
-            prompts.append(prompts[0])
+            prompts.append(list(prompts[0]))
             temps.append(temps[0])
         self.batch_sizes.append(n)
 
         mel = jnp.asarray(np.stack(mels))
         xa = self._encode(mel)
+
+        # auto-language rows: ONE extra batched forward detects languages
+        # for the whole batch (whisper.rs:91-95), then the detected token
+        # is patched into each row's prompt at its lang_slot
+        langs: List[Optional[str]] = [None] * len(prompts)
+        if any(r.lang_slot is not None for r in batch):
+            from ..core.tokenizer import LANGUAGES
+            from ..decode.greedy import detect_language_jit
+            lang_idx, _ = detect_language_jit(self.params, xa, self.tables,
+                                              self.cfg, self.compute_dtype)
+            lang_idx = np.asarray(lang_idx)
+            for i, r in enumerate(batch):
+                if r.lang_slot is not None:
+                    prompts[i][r.lang_slot] = (self.cfg.lang_base
+                                               + int(lang_idx[i]))
+                    langs[i] = LANGUAGES[int(lang_idx[i])]
+
         results = decode_window(self.params, xa, prompts, self.cfg,
                                 self.tables, self.opts,
                                 temperature=np.asarray(temps, np.float32),
                                 compute_dtype=self.compute_dtype)
-        for r, res in zip(batch, results[:n]):
+        for r, res, lang in zip(batch, results[:n], langs[:n]):
+            res.language = lang
             r.future.set_result(res)

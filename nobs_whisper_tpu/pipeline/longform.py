@@ -61,10 +61,19 @@ def _temperature_ladder(opts: DecodeOptions) -> List[float]:
 
 def decode_with_fallback(
     params, xa, prompt: Sequence[int], cfg: WhisperConfig, tables, opts,
-    rng=None, compute_dtype=jnp.float32,
+    rng=None, compute_dtype=jnp.float32, tokenizer=None,
 ) -> WindowResult:
     """Temperature ladder: retry the window while quality gates fail
-    (logprob_threshold / entropy_threshold — whisper.rs:121-124 values)."""
+    (logprob_threshold / entropy_threshold / compression_ratio —
+    whisper.rs:121-124 values). A window flagged as silence
+    (no_speech_prob > threshold) breaks the ladder at the first rung —
+    the no-speech gate downstream will skip it (openai transcribe()).
+
+    At temperature>0 with best_of>1 (whisper.cpp Greedy{best_of},
+    whisper.rs:88), best_of candidates are sampled as ONE tiled device
+    batch and the highest avg-logprob candidate wins (openai
+    MaximumLikelihoodRanker semantics: rank by sum/len).
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     result = None
     for temp in _temperature_ladder(opts):
@@ -77,13 +86,25 @@ def decode_with_fallback(
                 params, xa, [prompt], cfg, tables,
                 beam_size=opts.beam_size, sample_len=opts.sample_len,
                 compute_dtype=compute_dtype)[0]
+        elif temp > 0 and opts.best_of and opts.best_of > 1:
+            # best_of candidates in one batch: rows sample independently
+            # (categorical draws are per-row), pick the best by sum/len
+            xa_rep = jnp.repeat(xa, opts.best_of, axis=0)
+            cands = decode_window(params, xa_rep, [prompt] * opts.best_of,
+                                  cfg, tables, opts, temperature=temp,
+                                  rng=sub, compute_dtype=compute_dtype)
+            result = max(cands, key=lambda r: r.sum_logprob /
+                         max(len(r.tokens), 1))
         else:
             result = decode_window(params, xa, [prompt], cfg, tables, opts,
                                    temperature=temp, rng=sub,
                                    compute_dtype=compute_dtype)[0]
         entropy = token_entropy(result.tokens)
+        text = (tokenizer.decode(result.tokens)
+                if tokenizer is not None else None)
         if not needs_fallback(result.avg_logprob, entropy,
-                              len(result.tokens), opts):
+                              len(result.tokens), opts, text=text,
+                              no_speech_prob=result.no_speech_prob):
             break
     return result
 
@@ -199,7 +220,8 @@ def transcribe_mel(
         with stage_timer("decode"):
             result = decode_with_fallback(params, xa, prompt, cfg, tables,
                                           opts, rng=sub,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          tokenizer=tokenizer)
 
         time_offset = seek * HOP_LENGTH / SAMPLE_RATE
         if is_no_speech(result.no_speech_prob, result.avg_logprob, opts):

@@ -172,6 +172,10 @@ class StreamingSession:
         def finalize() -> str:
             q.put(None)            # close the queue -> worker drains & exits
             worker.join(timeout=120)
+            if self._cancelled:
+                # cancel() raced the detached finalize: discard everything
+                # (reference discards on cancel, state.rs:874-914)
+                return ""
             remaining = buf.take()
             texts: List[str]
             with self._results_lock:
@@ -198,6 +202,8 @@ class StreamingSession:
                         rolling = r.text
             final_text = " ".join(texts)
             with self._lock:
+                if self._cancelled:   # cancelled mid-transcription
+                    return ""
                 self.state = SessionState.IDLE
                 self.last_transcript = final_text
             self._emit("done", transcript=final_text, final=True)

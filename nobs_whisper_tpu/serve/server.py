@@ -259,6 +259,20 @@ def make_handler(state: ServerState):
             if verb == "cancel":
                 s.cancel()
                 return self._json({"state": s.state.value})
+            if verb in ("press", "release"):
+                # hotkey analog (native_shortcut.rs:356-396): in
+                # push_to_talk mode press=start / release=stop; in toggle
+                # mode press=toggle / release=no-op
+                ptt = state.config_manager.config.push_to_talk
+                if verb == "press":
+                    if ptt:
+                        return self._json({"started": s.start(),
+                                           "state": s.state.value})
+                    return self._json({"recording": s.toggle(),
+                                       "state": s.state.value})
+                if ptt:
+                    s.stop(wait=False)
+                return self._json({"state": s.state.value})
             if verb == "audio":
                 frames = np.frombuffer(self._body(), "<f4")
                 s.push_audio(frames)

@@ -19,7 +19,8 @@ from nobs_whisper_tpu.decode.rules import DecodeOptions
 # gates disabled: with random weights the fallback ladder's RNG would make
 # path comparisons flaky; greedy-only keeps both paths deterministic
 _NO_FALLBACK = DecodeOptions(logprob_threshold=-1e9, entropy_threshold=0.0,
-                             no_speech_threshold=1.1)
+                             no_speech_threshold=1.1,
+                             compression_ratio_threshold=1e9)
 
 
 @pytest.fixture(scope="module")
@@ -103,3 +104,44 @@ def test_vocabulary_context_prompting(engines):
     r = batched.transcribe(audio, language="en", vocabulary="jax pallas",
                            context="prior text")
     assert isinstance(r.text, str)
+
+
+def test_auto_language_matches_sequential(engines):
+    """Auto mode runs language detect through the batcher (one extra
+    batched forward) and must agree with the sequential engine's detected
+    language on the same audio."""
+    eng, batched = engines
+    audio = speech_like_audio(0.5, seed=11)
+    b = batched.transcribe(audio)                    # language=None = auto
+    a = eng.transcribe(audio, opts=_NO_FALLBACK)
+    from nobs_whisper_tpu.core.tokenizer import LANGUAGES
+    assert b.language in LANGUAGES
+    # same window -> same detect_language_jit argmax (text can differ:
+    # the sequential seek loop re-decodes partial windows)
+    assert b.language == a.language
+
+
+def test_no_speech_gate_matches_sequential(engines):
+    """A window flagged as silence emits nothing on BOTH paths (reference
+    no_speech_thold behavior, whisper.rs:122), and the silence override
+    breaks the temperature ladder at the first rung on both."""
+    eng, batched = engines
+    # force the silence gate: any no_speech_prob passes (> -1), any
+    # avg_logprob is "low" (< 1e9); ladder would otherwise retry forever
+    # because logprob_threshold=1e9 also fails the logprob gate
+    silence_opts = DecodeOptions(no_speech_threshold=-1.0,
+                                 logprob_threshold=1e9,
+                                 entropy_threshold=0.0,
+                                 compression_ratio_threshold=1e9)
+    silent = BatchedEngine(eng, opts=silence_opts, max_batch=4,
+                           max_wait_ms=5)
+    try:
+        audio = speech_like_audio(0.5, seed=13)
+        b = silent.transcribe(audio, language="en")
+        a = eng.transcribe(audio, language="en", opts=silence_opts)
+        assert b.text == "" and b.segments == []
+        assert a.text == "" and a.segments == []
+        # early-break proof: exactly one decode submitted, not the ladder
+        assert len(silent.batcher.batch_sizes) == 1
+    finally:
+        silent.close()

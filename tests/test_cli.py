@@ -134,7 +134,8 @@ def test_beam_wired_into_transcribe(tmp_path):
     eng = WhisperEngine.from_ggml(model, dtype=jnp.float32)
     audio = speech_like_audio(0.5, seed=4)
     opts = DecodeOptions(beam_size=3, logprob_threshold=-1e9,
-                         entropy_threshold=0.0, no_speech_threshold=1.1)
+                         entropy_threshold=0.0, no_speech_threshold=1.1,
+                         compression_ratio_threshold=1e9)
     res = eng.transcribe(audio, language="en", opts=opts)
     assert isinstance(res.text, str)
 

@@ -212,6 +212,42 @@ def test_temperature_sampling_respects_rules(setup):
         assert t not in _suppress_ids(cfg)
 
 
+def test_best_of_sampling(setup):
+    """best_of>1 at temperature>0 (whisper.cpp Greedy{best_of},
+    whisper.rs:88): candidates sampled as one tiled batch, winner = max
+    sum_logprob/len (openai MaximumLikelihoodRanker)."""
+    from nobs_whisper_tpu.pipeline.longform import decode_with_fallback
+
+    model, hf_cfg, cfg, params, sp = setup
+    rng = np.random.RandomState(17)
+    mel = rng.randn(1, 80, 128).astype(np.float32)
+    prompt = [sp["sot"], sp["lang0"], sp["transcribe"]]
+    opts = DecodeOptions(temperature=0.6, temperature_increment=0.0,
+                         best_of=3, logprob_threshold=-1e9,
+                         entropy_threshold=0.0,
+                         compression_ratio_threshold=1e9,
+                         no_speech_threshold=1.1)
+    tables = build_rule_tables(cfg, opts)
+    xa = encode(params, jnp.asarray(mel), cfg)
+
+    key = jax.random.PRNGKey(5)
+    res = decode_with_fallback(params, xa, prompt, cfg, tables, opts,
+                               rng=key)
+    # deterministic given the rng
+    res2 = decode_with_fallback(params, xa, prompt, cfg, tables, opts,
+                                rng=key)
+    assert res.tokens == res2.tokens
+
+    # the winner must be the max-rank candidate of the tiled decode
+    _, sub = jax.random.split(key)
+    cands = decode_window(params, jnp.repeat(xa, 3, axis=0), [prompt] * 3,
+                          cfg, tables, opts, temperature=0.6, rng=sub)
+    ranks = [c.sum_logprob / max(len(c.tokens), 1) for c in cands]
+    assert res.tokens == cands[int(np.argmax(ranks))].tokens
+    # rules hold on the winner
+    assert res.tokens[0] >= sp["ts_begin"]
+
+
 # ---------------------------------------------------------------------------
 # scoring / fallback units
 # ---------------------------------------------------------------------------
@@ -238,6 +274,18 @@ def test_fallback_gates():
                               opts=opts)  # entropy gate needs >=32 tokens
     assert not needs_fallback(avg_logprob=-0.2, entropy=3.0, n_tokens=64,
                               opts=opts)
+    # compression-ratio gate (openai transcribe(): zlib ratio > 2.4)
+    assert needs_fallback(avg_logprob=-0.2, entropy=3.0, n_tokens=64,
+                          opts=opts, text="the same thing " * 50)
+    assert not needs_fallback(avg_logprob=-0.2, entropy=3.0, n_tokens=64,
+                              opts=opts, text="a quick brown fox jumps")
+    # silence override beats every retry gate: a no-speech window is
+    # skipped, not retried through the whole temperature ladder
+    assert not needs_fallback(avg_logprob=-5.0, entropy=0.0, n_tokens=64,
+                              opts=opts, text="the same thing " * 50,
+                              no_speech_prob=0.95)
+    assert needs_fallback(avg_logprob=-5.0, entropy=3.0, n_tokens=10,
+                          opts=opts, no_speech_prob=0.1)
 
 
 def test_no_speech_gate():

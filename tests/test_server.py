@@ -148,6 +148,39 @@ def test_session_cancel(server):
     assert out["state"] == "idle"
 
 
+def test_press_release_hotkey_semantics(server):
+    """press/release = the reference hotkey events
+    (native_shortcut.rs:356-396): toggle mode presses toggle; push-to-talk
+    mode maps press->start, release->stop."""
+    base, httpd = server
+    sid = _post(base, "/sessions", b"")["session"]
+
+    # toggle mode (push_to_talk=False, the default)
+    cm = httpd.state.config_manager
+    cm.update(push_to_talk=False)
+    assert _post(base, f"/sessions/{sid}/press")["recording"] is True
+    assert _post(base, f"/sessions/{sid}/release")["state"] == "recording"
+    assert _post(base, f"/sessions/{sid}/press")["recording"] is False
+    _wait_idle(base, sid)
+
+    # push-to-talk mode: hold to record
+    cm.update(push_to_talk=True)
+    assert _post(base, f"/sessions/{sid}/press")["started"] is True
+    assert _post(base, f"/sessions/{sid}/press")["started"] is False  # held
+    _post(base, f"/sessions/{sid}/release")
+    _wait_idle(base, sid)
+    cm.update(push_to_talk=False)
+
+
+def _wait_idle(base, sid, timeout=30):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if _get(base, "/state")[sid] == "idle":
+            return
+        time.sleep(0.05)
+    raise TimeoutError(f"session {sid} never went idle")
+
+
 def test_unknown_session_404(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -106,6 +106,29 @@ def test_cancel_discards_everything():
     assert events[-1].state == "cancelled"
 
 
+def test_cancel_during_processing_discards():
+    """cancel() racing a detached finalize must win: no 'done' event, no
+    stored transcript (reference discard-everything cancel,
+    state.rs:874-914)."""
+    class SlowEngine(FakeEngine):
+        def transcribe(self, *a, **kw):
+            time.sleep(0.3)
+            return super().transcribe(*a, **kw)
+
+    eng = SlowEngine()
+    s, events = make_session(eng)
+    s.start()
+    s.push_audio(_speech(2.0))          # residue -> finalize transcribes
+    s.stop(wait=False)                  # detached finalize starts
+    time.sleep(0.05)
+    s.cancel()                          # while PROCESSING
+    time.sleep(0.6)                     # let the finalize thread finish
+    assert s.state == SessionState.IDLE
+    assert s.last_transcript is None
+    assert events[-1].state == "cancelled"
+    assert all(e.state != "done" for e in events)
+
+
 def test_toggle():
     s, _ = make_session()
     assert s.toggle() is True
