@@ -3,10 +3,12 @@
 whisper.cpp exposes beam sampling next to greedy (the reference pins greedy
 via ``Greedy{best_of:1}``, src-tauri/src/whisper.rs:88, but the engine
 capability includes beam=5 + temperature fallback). Semantics follow
-openai-whisper's BeamSearchDecoder: per step expand K active beams over the
-vocab, candidates ending in eot retire to a finished set (capacity K, best
-kept), top-K non-eot survive; search ends when K beams finished or the
-token budget is out; final pick = highest avg logprob among finished.
+openai-whisper's BeamSearchDecoder exactly (oracle-tested in
+tests/test_decode.py): per step each beam's top-(K+1) tokens are candidates,
+eot candidates retire into a finished pool that fills WITHOUT replacement
+(first K finishers kept), top-K non-eot survive as the next actives; search
+ends when K sequences finished or the token budget is out (then the pool is
+topped up with the best actives); final pick = highest cum/len.
 
 Everything runs on device in one jitted while_loop: beams are a flattened
 batch axis (B*K) through the same decoder/rules as greedy; the KV cache is
@@ -34,23 +36,31 @@ NEG = jnp.float32(-1e30)
 def beam_step(
     cum_logprob: jnp.ndarray,     # (B, K) active beam scores
     step_logprobs: jnp.ndarray,   # (B, K, V) masked log-softmax this step
-    fin_score: jnp.ndarray,       # (B, K) finished avg-ish scores (cum)
-    fin_valid: jnp.ndarray,       # (B, K) bool
+    fin_valid: jnp.ndarray,       # (B, K) bool — filled pool slots
     eot: int,
     first_step: jnp.ndarray,      # scalar bool — only beam 0 is live
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray]:
-    """Pure beam bookkeeping for one step.
+    """Pure beam bookkeeping for one step, openai-BeamSearchDecoder exact
+    (decoding.py::BeamSearchDecoder.update, which whisper.cpp mirrors):
+
+    - active beams = best K non-eot candidates by cumulative score
+    - an eot candidate finishes only if it outranks the K-th active
+      candidate (openai iterates candidates best-first and STOPS once K
+      actives are saved, so lower-ranked eots are never collected; that
+      rank bound also implies membership in its beam's top-(K+1) topk)
+    - the finished pool fills WITHOUT replacement: new finishers (best
+      first) take empty slots only — once K sequences finished, later
+      (even better) finishers are discarded, and the search stops
 
     Returns (src_beam (B,K), new_token (B,K), new_cum (B,K),
-             fin_score', fin_src (B,K) source beam of newly finished,
-             fin_new_mask (B,K) which finished slots were replaced).
-    Finished slots store the *cumulative* logprob of sequences that just
-    emitted eot; ranking by avg happens at the end on host.
+             fin_slot (B,K) pool slot for the j-th best new finisher
+             (>=K = dropped), fin_src (B,K) its source beam,
+             fin_score (B,K) its cumulative score incl. eot).
     """
     b, k, v = step_logprobs.shape
     # at the first step all K beams are identical clones — expand only
-    # beam 0 to avoid K duplicate candidates
+    # beam 0 (openai dedups identical sequences via its dict keys)
     live = jnp.where(first_step,
                      jnp.arange(k)[None, :] == 0,
                      jnp.ones((b, k), bool))
@@ -58,8 +68,8 @@ def beam_step(
                      NEG)                                  # (B, K, V)
     flat = cand.reshape(b, k * v)
 
-    # top 2K candidates per element: enough to fill K active slots even if
-    # K of them are eot
+    # top 2K joint candidates: the true top-K non-eot all sit inside
+    # (at most one eot per beam can outrank any of them)
     scores2k, idx2k = jax.lax.top_k(flat, 2 * k)           # (B, 2K)
     src2k = idx2k // v
     tok2k = idx2k % v
@@ -72,20 +82,18 @@ def beam_step(
     new_token = jnp.take_along_axis(tok2k, a_idx, axis=1)
     new_cum = a_scores
 
-    # --- finished pool update: merge existing + new eot candidates ---
-    eot_scores = jnp.where(is_eot, scores2k, NEG)          # (B, 2K)
-    merged_scores = jnp.concatenate(
-        [jnp.where(fin_valid, fin_score, NEG), eot_scores], axis=1)
-    # (B, K+2K) -> keep best K. f_idx < K points into the OLD pool (it was
-    # reordered by the sort); f_idx >= K points at a new finisher.
-    f_scores, f_idx = jax.lax.top_k(merged_scores, k)
-    from_new = f_idx >= k                                  # new finisher
-    new_pos = jnp.clip(f_idx - k, 0, 2 * k - 1)
-    fin_src = jnp.take_along_axis(src2k, new_pos, axis=1)
-    fin_new_mask = from_new & (f_scores > NEG / 2)
-    old_pos = jnp.clip(f_idx, 0, k - 1)                    # old-pool reorder
-    return (src_beam, new_token, new_cum, f_scores, fin_src, fin_new_mask,
-            old_pos)
+    # --- new finishers: eot candidates outranking the K-th active ---
+    eot_lp = step_logprobs[..., eot]
+    eligible = live & (cum_logprob + eot_lp > a_scores[:, -1:])
+    fin_cand = jnp.where(eligible, cum_logprob + eot_lp, NEG)  # (B, K)
+
+    # append best-first into empty pool slots (no replacement)
+    order = jnp.argsort(-fin_cand, axis=1)                 # (B, K) beam ids
+    fin_score = jnp.take_along_axis(fin_cand, order, axis=1)
+    pool_size = jnp.sum(fin_valid, axis=1, keepdims=True)  # (B, 1)
+    fin_slot = pool_size + jnp.arange(k)[None, :]          # (B, K)
+    fin_slot = jnp.where(fin_score > NEG / 2, fin_slot, k)  # k = dropped
+    return src_beam, new_token, new_cum, fin_slot, order, fin_score
 
 
 @functools.partial(
@@ -156,25 +164,27 @@ def beam_decode_window_jit(
             max_ts_token=s["max_ts"].reshape(bk))
         logprobs = jax.nn.log_softmax(masked, axis=-1).reshape(b, k, -1)
 
-        (src, tok, cum, fin_cum, fin_src, fin_new, fin_old_pos) = beam_step(
-            s["cum"], logprobs, s["fin_cum"], s["fin_valid"],
-            tables.eot, step == 0)
+        (src, tok, cum, fin_slot, fin_src, fin_score) = beam_step(
+            s["cum"], logprobs, s["fin_valid"], tables.eot, step == 0)
 
-        # finished bookkeeping: sequences = source beam's tokens (eot not
-        # stored); length = current step count
         def gather_beams(x, idx):
             # x: (B, K, ...) gather along beam axis with idx (B, K)
             return jnp.take_along_axis(
                 x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
-        # surviving old-pool entries were reordered by the merge sort
-        old_fin_tokens = gather_beams(s["fin_tokens"], fin_old_pos)
-        old_fin_len = jnp.take_along_axis(s["fin_len"], fin_old_pos, axis=1)
-        fin_tokens = jnp.where(
-            fin_new[..., None], gather_beams(s["tokens"], fin_src),
-            old_fin_tokens)
-        fin_len = jnp.where(fin_new, step, old_fin_len)
-        fin_valid = fin_cum > NEG / 2
+        # append new finishers into empty pool slots (slot k = dropped);
+        # sequences = source beam's tokens (eot not stored), len = step
+        def scatter_slots(dst, val):
+            return jax.vmap(
+                lambda d, sl, v: d.at[sl].set(v, mode="drop"))(
+                    dst, fin_slot, val)
+
+        fin_tokens = scatter_slots(s["fin_tokens"],
+                                   gather_beams(s["tokens"], fin_src))
+        fin_len = scatter_slots(s["fin_len"],
+                                jnp.broadcast_to(step, (b, k)))
+        fin_cum = scatter_slots(s["fin_cum"], fin_score)
+        fin_valid = scatter_slots(s["fin_valid"], jnp.ones((b, k), bool))
 
         # reorder active beams
         tokens = gather_beams(s["tokens"], src)
@@ -239,24 +249,28 @@ def beam_decode_window(
 
     out: List[WindowResult] = []
     for i in range(len(prompts)):
+        # candidate pool = finished sequences; if the token budget ran out
+        # before K finished, top up with the best active beams (openai
+        # BeamSearchDecoder.finalize — their cum does NOT gain an eot
+        # logprob)
+        cands: List[Tuple[List[int], float]] = []
+        for j in range(beam_size):
+            if fin_valid[i, j]:
+                cands.append((fin_tokens[i, j, : fin_len[i, j]].tolist(),
+                              float(fin_cum[i, j])))
+        if len(cands) < beam_size:
+            for j in np.argsort(-act_cum[i]):
+                if len(cands) >= beam_size:
+                    break
+                cands.append((act_tokens[i, j, : n_steps].tolist(),
+                              float(act_cum[i, j])))
         # rank by cum/len (openai MaximumLikelihoodRanker: the eot logprob
         # is in the sum, but the penalty divisor is the TEXT length); the
         # /(len+1) value is only the *reported* avg_logprob
-        best: Optional[Tuple[float, List[int], float]] = None
-        for j in range(beam_size):
-            if fin_valid[i, j]:
-                toks = fin_tokens[i, j, : fin_len[i, j]].tolist()
-                rank = float(fin_cum[i, j]) / max(len(toks), 1)
-                if best is None or rank > best[0]:
-                    best = (rank, toks, float(fin_cum[i, j]))
-        if best is None:
-            # no finished beam: fall back to best active
-            j = int(np.argmax(act_cum[i]))
-            toks = act_tokens[i, j, : n_steps].tolist()
-            best = (float(act_cum[i, j]) / max(len(toks), 1), toks,
-                    float(act_cum[i, j]))
+        toks, cum = max(cands,
+                        key=lambda c: c[1] / max(len(c[0]), 1))
         out.append(WindowResult(
-            tokens=best[1], sum_logprob=best[2],
-            avg_logprob=best[2] / (len(best[1]) + 1),
+            tokens=toks, sum_logprob=cum,
+            avg_logprob=cum / (len(toks) + 1),
             no_speech_prob=float(nsp[i]), temperature=0.0))
     return out

@@ -16,16 +16,12 @@ from nobs_whisper_tpu.models.whisper import encode
 # beam_step pure math
 # ---------------------------------------------------------------------------
 
-def _step(cum, logprobs, fin_score=None, fin_valid=None, eot=3,
-          first=False):
+def _step(cum, logprobs, fin_valid=None, eot=3, first=False):
     b, k, v = logprobs.shape
-    fin_score = fin_score if fin_score is not None else np.full(
-        (b, k), -1e30, np.float32)
     fin_valid = fin_valid if fin_valid is not None else np.zeros((b, k), bool)
     return [np.asarray(x) for x in beam_step(
         jnp.asarray(cum, jnp.float32), jnp.asarray(logprobs, jnp.float32),
-        jnp.asarray(fin_score, jnp.float32), jnp.asarray(fin_valid),
-        eot, jnp.asarray(first))]
+        jnp.asarray(fin_valid), eot, jnp.asarray(first))]
 
 
 def test_beam_step_first_expands_only_beam0():
@@ -58,26 +54,42 @@ def test_beam_step_eot_goes_to_finished():
     lp[0, 0, 3] = -0.1        # eot on beam 0: best candidate -> finished
     lp[0, 0, 0] = -0.5
     lp[0, 1, 1] = -0.7
-    src, tok, new_cum, fin, fin_src, fin_new, old_pos = _step(cum, lp)
-    assert fin_new[0, 0]                  # one new finished entry
+    src, tok, new_cum, fin_slot, fin_src, fin_score = _step(cum, lp)
+    assert fin_slot[0, 0] == 0            # takes the first empty pool slot
     assert fin_src[0, 0] == 0
-    assert fin[0, 0] == pytest.approx(-0.1, rel=1e-5)
+    assert fin_score[0, 0] == pytest.approx(-0.1, rel=1e-5)
+    assert fin_slot[0, 1] >= 2            # no second finisher
     # active beams exclude the eot candidate
     assert 3 not in tok[0]
 
 
-def test_beam_step_finished_pool_keeps_best():
+def test_beam_step_full_pool_discards_new_finishers():
+    """openai semantics: the pool fills WITHOUT replacement — once K
+    sequences finished, even a better new finisher is discarded."""
     cum = np.zeros((1, 2), np.float32)
-    fin_score = np.array([[-0.05, -3.0]], np.float32)
-    fin_valid = np.array([[True, True]])
+    fin_valid = np.array([[True, True]])          # pool already full
     lp = np.full((1, 2, 4), -10.0, np.float32)
-    lp[0, 0, 3] = -0.5       # new eot, worse than -0.05, better than -3.0
+    lp[0, 0, 3] = -0.01                           # excellent new eot
     lp[0, 1, 0] = -0.2
-    src, tok, new_cum, fin, fin_src, fin_new, old_pos = _step(
-        cum, lp, fin_score, fin_valid)
-    np.testing.assert_allclose(fin[0], [-0.05, -0.5], rtol=1e-5)
-    assert not fin_new[0, 0] and old_pos[0, 0] == 0   # kept old best
-    assert fin_new[0, 1]                              # new replaced -3.0
+    src, tok, new_cum, fin_slot, fin_src, fin_score = _step(
+        cum, lp, fin_valid=fin_valid)
+    assert (fin_slot[0] >= 2).all()               # all dropped
+
+
+def test_beam_step_low_ranked_eot_not_collected():
+    """An eot candidate below the K-th active candidate never finishes
+    (openai's sorted sweep breaks once K actives are saved)."""
+    cum = np.zeros((1, 2), np.float32)
+    lp = np.full((1, 2, 4), -10.0, np.float32)
+    lp[0, 0, 0] = -0.2
+    lp[0, 1, 1] = -0.3      # K-th (=2nd) active = -0.3
+    lp[0, 0, 3] = -0.5      # eot BELOW the 2nd active: not a finisher
+    src, tok, new_cum, fin_slot, fin_src, fin_score = _step(cum, lp)
+    assert (fin_slot[0] >= 2).all()
+    lp[0, 0, 3] = -0.25     # eot ABOVE the 2nd active: finishes
+    src, tok, new_cum, fin_slot, fin_src, fin_score = _step(cum, lp)
+    assert fin_slot[0, 0] == 0
+    assert fin_score[0, 0] == pytest.approx(-0.25, rel=1e-5)
 
 
 # ---------------------------------------------------------------------------
