@@ -4,11 +4,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Method: random bf16 weights at exact large-v3-turbo dims (RTF is
-weight-value independent), real mel front-end, real encoder, real prefill,
-and a fixed-length decode loop of DECODE_TOKENS_PER_WINDOW steps per 30 s
-window (fixed so random-weight logits can't skew termination; 160 tokens is
-a dense-speech upper bound incl. timestamp tokens). RTF = batch * 30 s of
-audio per wall second, steady-state (compile excluded).
+weight-value independent), real mel front-end, real encoder, and — by
+default — the REAL serving decode loop (`decode_window_jit`: prefill,
+per-step `apply_logit_rules` with its softmax-class reductions, sampling,
+done-masking, logprob accumulation), dispatched encode-then-decode exactly
+like pipeline/batcher.py does in production. eot is added to the static
+suppress mask so random-weight logits can't terminate early: every window
+decodes exactly DECODE_TOKENS_PER_WINDOW steps (160 = a dense-speech upper
+bound incl. timestamp tokens) through the shipping op graph.
+`--raw-loop` times the old bare argmax fori_loop instead (kernel-ceiling
+diagnostic, NOT the product path). RTF = batch * 30 s of audio per wall
+second, steady-state (compile excluded).
 
 Synchronization: the tunneled TPU backend's block_until_ready does not
 block, so every timed pipeline ends in a scalar that is np.asarray()'d —
@@ -44,6 +50,9 @@ def main():
                    help="also measure p50 single-utterance latency")
     p.add_argument("--fuse-qkv", action="store_true",
                    help="fused qkv projection (measured slower; see note)")
+    p.add_argument("--raw-loop", action="store_true",
+                   help="time the bare argmax fori_loop instead of the "
+                        "real serving loop (kernel-ceiling diagnostic)")
     args = p.parse_args()
 
     import jax
@@ -126,6 +135,39 @@ def main():
         xa = encode(params, mel, cfg, compute_dtype=dtype)
         return _decode_from_xa(params, xa, prompt)
 
+    # ---- the REAL serving loop: encode dispatch + decode_window_jit
+    # dispatch, exactly the two device programs pipeline/batcher.py runs
+    import dataclasses as _dc
+
+    from nobs_whisper_tpu.decode.greedy import decode_window_jit, pad_prompts
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+
+    opts = DecodeOptions()
+    tables = build_rule_tables(cfg, opts, tokenizer=None)
+    # fixed-length honesty: suppressing eot pins every window at exactly
+    # n_steps through the unchanged shipping op graph
+    tables = _dc.replace(
+        tables, suppress_mask=tables.suppress_mask.at[cfg.eot].set(True))
+    pt_np, pl_np = pad_prompts(
+        [[cfg.sot, cfg.lang_base, cfg.transcribe]] * b, cfg.eot)
+    pt = jnp.asarray(pt_np)
+    pl = jnp.asarray(pl_np)
+    si = pl  # <|sot|> sits right after the left pad
+    temps = jnp.zeros((b,), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def p_xa(params, a):
+        mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+        return encode(params, mel, cfg, compute_dtype=dtype)
+
+    def p_real(params, a):
+        xa = p_xa(params, a)
+        toks, n, slp, nsp = decode_window_jit(
+            params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
+            dtype, sampling=False)
+        return slp
+
     audio_j = jax.device_put(audio)
 
     def timed(fn, *a):
@@ -138,14 +180,16 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
+    full_fn = ((lambda pr, a: p_full(pr, a, prompt)) if args.raw_loop
+               else p_real)
     t0 = time.perf_counter()
-    np.asarray(p_full(params, audio_j, prompt))
+    np.asarray(full_fn(params, audio_j))
     print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     t_mel = timed(p_mel, audio_j)
     t_enc = timed(p_enc, params, audio_j)
-    t_full = timed(p_full, params, audio_j, prompt)
+    t_full = timed(full_fn, params, audio_j)
 
     # p50 utterance latency (the BASELINE.md tracked metric): one 5 s
     # utterance, batch 1, ~48 tokens — reported as a diagnostic
@@ -196,10 +240,12 @@ def main():
 
     audio_seconds = b * 30.0
     rtf = audio_seconds / t_full
+    loop = "raw_argmax_loop" if args.raw_loop else "serving_loop"
     print(f"# stages (median s): mel={t_mel:.4f} "
           f"encode={max(t_enc - t_mel, 0):.4f} "
           f"decode={max(t_full - t_enc, 0):.4f} total={t_full:.4f} "
-          f"({n_steps} tokens/window, batch={b}, quant={args.quant})",
+          f"({n_steps} tokens/window, batch={b}, quant={args.quant}, "
+          f"{loop})",
           file=sys.stderr)
     print(json.dumps({
         "metric": f"rtf_{args.model}_{args.dtype}_"

@@ -76,6 +76,10 @@ def cmd_serve(args):
     from .serve.server import serve
 
     engine = _load_engine(args.model, args.dtype)
+    if args.quant == "int8":
+        # serving default = the benchmarked config: int8 decoder weights +
+        # dynamic-int8 encoder on the int8 MXU
+        engine = engine.quantize()
     if args.batch > 1:
         from .pipeline.batched_engine import BatchedEngine
         engine = BatchedEngine(engine, max_batch=args.batch)
@@ -149,6 +153,8 @@ def main(argv=None):
     s.add_argument("--dtype", default="bfloat16")
     s.add_argument("--batch", type=int, default=8,
                    help="max cross-session window batch (1 = sequential)")
+    s.add_argument("--quant", choices=["int8", "none"], default="int8",
+                   help="int8 serving path (default; 'none' = raw dtype)")
     s.set_defaults(fn=cmd_serve)
 
     mdl = sub.add_parser("models", help="manage model files")

@@ -20,7 +20,8 @@ import numpy as np
 
 from ..core.config import WhisperConfig
 from ..models.whisper import decoder_forward, init_kv_cache, precompute_cross_kv
-from .rules import DecodeOptions, RuleTables, apply_logit_rules
+from .rules import (DecodeOptions, RuleTables, apply_logit_rules,
+                    apply_logit_rules_scored)
 
 _NEG = jnp.float32(-1e30)
 
@@ -64,7 +65,8 @@ def pad_prompts(prompts: Sequence[Sequence[int]],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv"))
+    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
+                     "sampling"))
 def decode_window_jit(
     params,
     xa: jnp.ndarray,             # (B, T_audio, d) encoder states
@@ -78,6 +80,7 @@ def decode_window_jit(
     sample_len: int,
     compute_dtype=jnp.float32,
     q8_kv: bool = False,
+    sampling: bool = True,       # static: False skips per-step RNG work
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
     no_speech_prob (B,))."""
@@ -119,22 +122,37 @@ def decode_window_jit(
     def body(s):
         step = s["step"]
         logits = s["logits"].astype(jnp.float32)
-        masked = apply_logit_rules(
+        masked, lse, greedy_logit = apply_logit_rules_scored(
             logits, tables,
             n_sampled=jnp.broadcast_to(step, (b,)),
             last_token=s["last"], penult_token=s["penult"],
             max_ts_token=s["max_ts"])
 
-        rng, sub = jax.random.split(s["rng"])
         greedy_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temperature, 1e-6)[:, None]
-        sampled_tok = jax.random.categorical(
-            sub, masked / temp, axis=-1).astype(jnp.int32)
-        tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        if sampling:
+            # mixed-temperature batch: per-row categorical draws
+            rng, sub = jax.random.split(s["rng"])
+            temp = jnp.maximum(temperature, 1e-6)[:, None]
+            sampled_tok = jax.random.categorical(
+                sub, masked / temp, axis=-1).astype(jnp.int32)
+            tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+            # sampled token's logit via select+sum (a gather here flips
+            # the compiled loop into a slower regime on v5e)
+            ids = jnp.arange(masked.shape[1])[None, :]
+            tok_logit = jnp.sum(
+                jnp.where(ids == tok[:, None], masked, 0.0), axis=-1)
+        else:
+            # all-greedy (the serving common case): no threefry / gumbel
+            # generation over (B, V) per step, and the token's logit is
+            # the max the rules already computed
+            rng = s["rng"]
+            tok = greedy_tok
+            tok_logit = greedy_logit
         tok = jnp.where(s["done"], tables.eot, tok)
 
-        logprobs = jax.nn.log_softmax(masked, axis=-1)
-        tok_lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+        # log_softmax(masked)[tok] == masked[tok] - logsumexp(masked);
+        # both pieces fall out of the rules' region-split reductions
+        tok_lp = tok_logit - lse
         sum_logprob = s["sum_logprob"] + jnp.where(s["done"], 0.0, tok_lp)
 
         tokens = s["tokens"].at[:, step].set(
@@ -195,7 +213,7 @@ def decode_window(
         params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
         jnp.asarray(sot_idx), tables,
         jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
-        q8_kv=opts.q8_cross_kv)
+        q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
 
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)

@@ -130,62 +130,98 @@ def apply_logit_rules(
     Semantics pinned to openai-whisper's processors (which whisper.cpp and
     transformers reproduce); see tests/test_decode.py for the oracle check.
     """
+    return apply_logit_rules_scored(
+        logits, tables, n_sampled=n_sampled, last_token=last_token,
+        penult_token=penult_token, max_ts_token=max_ts_token)[0]
+
+
+def apply_logit_rules_scored(
+    logits: jnp.ndarray,        # (B, V) fp32
+    tables: RuleTables,
+    *,
+    n_sampled: jnp.ndarray,
+    last_token: jnp.ndarray,
+    penult_token: jnp.ndarray,
+    max_ts_token: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """apply_logit_rules + free scoring byproducts.
+
+    Returns (masked (B,V), lse (B,), greedy_logit (B,)) where
+    lse = logsumexp(masked) and greedy_logit = max(masked), both assembled
+    from the SAME region-split reductions the timestamp probability-mass
+    rule already computes. Measured on v5e: a logsumexp consuming the
+    logits matmul output directly flips the compiled loop into a ~0.8
+    ms/step slower regime, while these region-split reductions are free —
+    so the decode loop gets exact greedy scoring (tok_lp = max - lse) with
+    zero extra (B, V) passes.
+    """
     b, v = logits.shape
     tb = tables.timestamp_begin
     ids = jnp.arange(v)[None, :]                       # (1, V)
-    is_first_step = n_sampled == 0
+    is_first = (n_sampled == 0)[:, None]               # (B, 1)
 
-    # 1. static specials
-    logits = jnp.where(tables.suppress_mask[None, :], NEG_INF, logits)
-
-    # 2. blank suppression at first sampled step
-    logits = jnp.where(is_first_step[:, None] & tables.blank_mask[None, :],
-                       NEG_INF, logits)
+    # One combined boolean mask -> ONE where. All sub-rules are outer
+    # products of a per-row scalar (B,1) with a per-vocab predicate (1,V),
+    # which XLA fuses into a single elementwise kernel — the sequential
+    # where-chain this replaces serialized ~10 kernels per decode step.
+    static_mask = tables.suppress_mask[None, :]
 
     if not tables.timestamps_enabled:
         # no-timestamps mode: never sample timestamps (or the marker)
-        ts_or_marker = (ids >= tb) | (ids == tables.no_timestamps)
-        return jnp.where(ts_or_marker, NEG_INF, logits)
+        mask = (static_mask
+                | (is_first & tables.blank_mask[None, :])
+                | (ids >= tb) | (ids == tables.no_timestamps))
+        masked = jnp.where(mask, NEG_INF, logits)
+        lse = jax.nn.logsumexp(jnp.where(ids >= tb, NEG_INF, masked),
+                               axis=-1)
+        mx = jnp.max(jnp.where(ids >= tb, NEG_INF, masked), axis=-1)
+        return masked, lse, mx
 
-    # 3. timestamp rules
-    # 3a. the <|notimestamps|> marker is never sampled
-    logits = jnp.where(ids == tables.no_timestamps, NEG_INF, logits)
+    ts_region = ids >= tb                              # (1, V)
 
     # NB: with <2 sampled tokens the penultimate counts as a timestamp —
     # this forces text right after the initial timestamp (openai rule).
-    last_is_ts = (n_sampled >= 1) & (last_token >= tb)
-    penult_is_ts = (n_sampled < 2) | (penult_token >= tb)
+    last_is_ts = ((n_sampled >= 1) & (last_token >= tb))[:, None]
+    penult_is_ts = ((n_sampled < 2) | (penult_token >= tb))[:, None]
+    pair_ts = last_is_ts & penult_is_ts      # ts,ts -> next must be text
+    pair_text = last_is_ts & ~penult_is_ts   # text,ts -> next ts or eot
 
-    # 3b. pairing: ts,ts -> must be text; text,ts -> must be ts or eot
-    suppress_ts = (last_is_ts & penult_is_ts)[:, None] & (ids >= tb)
-    suppress_text = (last_is_ts & ~penult_is_ts)[:, None] & (ids < tables.eot)
-    logits = jnp.where(suppress_ts | suppress_text, NEG_INF, logits)
+    # monotonic timestamps: allow repeating the last timestamp only when
+    # closing a pair, else require strictly greater
+    has_ts = (max_ts_token >= tb)[:, None]
+    floor = jnp.where(pair_text, max_ts_token[:, None],
+                      max_ts_token[:, None] + 1)
 
-    # 3c. monotonic timestamps: allow repeating the last timestamp only
-    #     when closing a pair, else require strictly greater
-    has_ts = max_ts_token >= tb
-    floor = jnp.where(last_is_ts & ~penult_is_ts, max_ts_token,
-                      max_ts_token + 1)
-    non_monotonic = (has_ts[:, None] & (ids >= tb) &
-                     (ids < floor[:, None]))
-    logits = jnp.where(non_monotonic, NEG_INF, logits)
+    mask = (static_mask
+            | (ids == tables.no_timestamps)
+            | (is_first & tables.blank_mask[None, :])
+            | (pair_ts & ts_region)
+            | (pair_text & (ids < tables.eot))
+            | (has_ts & ts_region & (ids < floor))
+            # first step: must start with a timestamp, bounded by
+            # max_initial_timestamp
+            | (is_first & (~ts_region | (ids > tables.max_initial_ts_tok))))
+    masked = jnp.where(mask, NEG_INF, logits)
 
-    # 3d. first step: must start with a timestamp, bounded by
-    #     max_initial_timestamp
-    first = is_first_step[:, None]
-    logits = jnp.where(first & (ids < tb), NEG_INF, logits)
-    logits = jnp.where(first & (ids > tables.max_initial_ts_tok),
-                       NEG_INF, logits)
+    # probability-mass rule: if P(any timestamp) > max P(text token),
+    # force a timestamp. The softmax normalizer cancels on both sides of
+    # the comparison, so the full log_softmax is skipped: compare raw
+    # logsumexp(ts) vs max(text) on the masked logits directly.
+    ts_lse = jax.nn.logsumexp(
+        jnp.where(ts_region, masked, NEG_INF), axis=-1)         # (B,)
+    nonts_lse = jax.nn.logsumexp(
+        jnp.where(ts_region, NEG_INF, masked), axis=-1)
+    ts_max = jnp.max(jnp.where(ts_region, masked, NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(ts_region, NEG_INF, masked), axis=-1)
+    force_ts = ts_lse > max_text                                # (B,)
+    masked = jnp.where(force_ts[:, None] & ~ts_region, NEG_INF, masked)
 
-    # 3e. probability-mass rule: if P(any timestamp) > max P(text token),
-    #     force a timestamp
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    ts_logprob = jax.nn.logsumexp(
-        jnp.where(ids >= tb, logprobs, NEG_INF), axis=-1)       # (B,)
-    max_text = jnp.max(jnp.where(ids < tb, logprobs, NEG_INF), axis=-1)
-    force_ts = (ts_logprob > max_text)[:, None] & (ids < tb)
-    logits = jnp.where(force_ts, NEG_INF, logits)
-    return logits
+    # exact scoring byproducts of the final masked logits: when force_ts
+    # fires the non-ts region is all NEG_INF
+    lse = jnp.where(force_ts, ts_lse, jnp.logaddexp(ts_lse, nonts_lse))
+    greedy_logit = jnp.where(force_ts, ts_max,
+                             jnp.maximum(ts_max, max_text))
+    return masked, lse, greedy_logit
 
 
 # ---------------------------------------------------------------------------
