@@ -80,9 +80,14 @@ def cmd_serve(args):
         # serving default = the benchmarked config: int8 decoder weights +
         # dynamic-int8 encoder on the int8 MXU
         engine = engine.quantize()
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        dp, _, tp = args.mesh.partition("x")
+        mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
     if args.batch > 1:
         from .pipeline.batched_engine import BatchedEngine
-        engine = BatchedEngine(engine, max_batch=args.batch)
+        engine = BatchedEngine(engine, max_batch=args.batch, mesh=mesh)
     serve(engine, host=args.host, port=args.port,
           config_manager=ConfigManager())
 
@@ -155,6 +160,9 @@ def main(argv=None):
                    help="max cross-session window batch (1 = sequential)")
     s.add_argument("--quant", choices=["int8", "none"], default="int8",
                    help="int8 serving path (default; 'none' = raw dtype)")
+    s.add_argument("--mesh", default=None, metavar="DPxTP",
+                   help="shard serving over a device mesh, e.g. 4x2 "
+                        "(window batch over dp, heads/FFN over tp)")
     s.set_defaults(fn=cmd_serve)
 
     mdl = sub.add_parser("models", help="manage model files")

@@ -356,6 +356,10 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         x = x + _dense(h, p["fc2_w"], p["fc2_b"])
         return x, (ck_l, cv_l)
 
+    # NB: measured on v5e — unrolling this scan (unroll=n_text_layer for
+    # turbo's 4 layers) does NOT change step time; the ~180 us fixed
+    # loop-iteration cost applies to the OUTER decode while_loop only,
+    # not to nested scans. Keep the scan for compile-time economy.
     x, (ck, cv) = jax.lax.scan(block, x, (dec["blocks"], ck, cv, xk, xv))
     x = _layer_norm(x, dec["ln_g"], dec["ln_b"])
     if "tok_emb_q" in dec:

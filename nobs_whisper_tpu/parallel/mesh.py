@@ -76,6 +76,8 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         },
         "decoder": {
             "tok_emb": P("tp", None),
+            # quantized logit projection (d, V): shard the vocab axis
+            "tok_emb_q": P(None, "tp"),
             "pos": P(None, None),
             "blocks": enc_block_specs(cross=True),
             "ln_g": P(None), "ln_b": P(None),
@@ -84,11 +86,32 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a param tree onto the mesh with tensor-parallel shardings."""
+    """Place a param tree onto the mesh with tensor-parallel shardings.
+
+    Handles int8-quantized leaves ({"q": (..., K, N), "s": (..., 1, N)}):
+    q takes the weight's spec; s drops the contraction-axis sharding (its
+    K dim is 1) and keeps the out-channel axis.
+    """
+    from ..ops.quant import is_quantized
+
     specs = param_pspecs(params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def walk(p, s):
+        if is_quantized(p):
+            parts = list(s) if len(s) else []
+            s_spec = P(*(parts[:-2] + [None] + parts[-1:])) \
+                if len(parts) >= 2 else P()
+            return {"q": place(p["q"], s), "s": place(p["s"], s_spec)}
+        if isinstance(p, dict):
+            return {k: walk(v, s[k] if isinstance(s, dict) and k in s
+                            else P())
+                    for k, v in p.items()}
+        return place(p, s)
+
+    return walk(params, specs)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

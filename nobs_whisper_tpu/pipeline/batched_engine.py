@@ -32,13 +32,13 @@ class BatchedEngine:
     """Same surface as WhisperEngine.transcribe, batched across callers."""
 
     def __init__(self, engine, opts: Optional[DecodeOptions] = None,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None):
         self.engine = engine
         self.opts = opts or DecodeOptions()
         self.batcher = WindowBatcher(
             engine.params, engine.cfg, engine.tokenizer, self.opts,
             max_batch=max_batch, max_wait_ms=max_wait_ms,
-            compute_dtype=engine.compute_dtype)
+            compute_dtype=engine.compute_dtype, mesh=mesh)
 
     # passthroughs
     @property

@@ -20,6 +20,7 @@ import threading
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,8 +55,21 @@ class WindowBatcher:
     def __init__(self, params, cfg: WhisperConfig, tokenizer=None,
                  opts: Optional[DecodeOptions] = None, max_batch: int = 8,
                  max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
-                 encode_fn=None):
+                 encode_fn=None, mesh=None):
+        """``mesh``: a (dp, tp) jax.sharding.Mesh. When given, params are
+        placed with tensor-parallel shardings and every window batch is
+        sharded over dp — the SURVEY §2.3 "window batch over a mesh"
+        serving mode (the reference serializes chunks on one GPU,
+        src-tauri/src/whisper.rs:151)."""
         from ..models.whisper import encode_jit
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+            params = shard_params(params, mesh)
+            if max_batch % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"max_batch ({max_batch}) must be divisible by dp "
+                    f"({mesh.shape['dp']})")
         self.params = params
         self.cfg = cfg
         self.opts = opts or DecodeOptions()
@@ -129,6 +143,10 @@ class WindowBatcher:
     def _run_batch(self, batch: List[_Request]):
         n = len(batch)
         padded_n = _pad_batch_size(n, self.max_batch)
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            padded_n = max(padded_n, dp)
+            padded_n += (-padded_n) % dp          # divisible by dp
         mels = [r.mel for r in batch]
         prompts = [list(r.prompt) for r in batch]
         temps = [r.temperature for r in batch]
@@ -138,7 +156,12 @@ class WindowBatcher:
             temps.append(temps[0])
         self.batch_sizes.append(n)
 
-        mel = jnp.asarray(np.stack(mels))
+        mel = np.stack(mels)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            mel = jax.device_put(mel, batch_sharding(self.mesh))
+        else:
+            mel = jnp.asarray(mel)
         xa = self._encode(mel)
 
         # auto-language rows: ONE extra batched forward detects languages

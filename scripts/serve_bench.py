@@ -30,6 +30,10 @@ def main():
     p.add_argument("--audio-seconds", type=float, default=4.0)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mesh", default=None, metavar="DPxTP",
+                   help="serve over a device mesh, e.g. 4x2; pair with "
+                        "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                        "platform_device_count=8 for a virtual mesh")
     args = p.parse_args()
 
     import jax
@@ -51,7 +55,14 @@ def main():
         model_path = os.path.join(tempfile.mkdtemp(), "ggml-tiny-random.bin")
         write_tiny_checkpoint(model_path)
     engine = WhisperEngine.from_ggml(model_path, dtype=dtype)
-    batched = BatchedEngine(engine, max_batch=args.batch)
+    mesh = None
+    if args.mesh:
+        from nobs_whisper_tpu.parallel.mesh import make_mesh
+        dp, _, tp = args.mesh.partition("x")
+        mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
+        print(f"# mesh: dp={dp} tp={tp or 1} over "
+              f"{len(jax.devices())} devices", file=sys.stderr)
+    batched = BatchedEngine(engine, max_batch=args.batch, mesh=mesh)
 
     import socket
     with socket.socket() as s:

@@ -32,12 +32,22 @@ def test_mesh_construction():
         make_mesh(dp=3, tp=2)
 
 
-def test_param_pspec_tree_matches_params():
+def test_param_pspec_tree_covers_params():
+    """Every param leaf has an explicit spec (specs may carry extra keys,
+    e.g. tok_emb_q, that only exist after quantization)."""
     cfg = _tiny_cfg()
     params = init_params(jax.random.PRNGKey(0), cfg)
     specs = param_pspecs(params)
-    # tree structures line up leaf-for-leaf
-    jax.tree.map(lambda a, b: None, params, specs)
+
+    def walk(p, s, path=""):
+        if isinstance(p, dict):
+            for k, v in p.items():
+                assert isinstance(s, dict) and k in s, f"no spec for {path}/{k}"
+                walk(v, s[k], f"{path}/{k}")
+        else:
+            assert not isinstance(s, dict), f"spec for {path} is a subtree"
+
+    walk(params, specs)
 
 
 def test_sharded_encode_matches_single_device():
@@ -76,6 +86,103 @@ def test_sharded_train_step_runs_and_improves():
             compute_dtype=jnp.float32)
     assert np.isfinite(float(loss))
     assert float(loss) < loss0  # same batch -> loss must drop
+
+
+def test_sharded_decode_window_matches_single_device():
+    """SURVEY §2.3: the serving decode loop under dp=4 x tp=2 must equal
+    single-device decode token-exactly."""
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mel = np.random.RandomState(1).randn(8, 80, 64).astype(np.float32)
+    opts = DecodeOptions()
+    tables = build_rule_tables(cfg, opts)
+    prompts = [[cfg.sot, cfg.lang_base + (i % 4), cfg.transcribe]
+               for i in range(8)]
+
+    xa = encode(params, jnp.asarray(mel), cfg)
+    expected = decode_window(params, xa, prompts, cfg, tables, opts)
+
+    mesh = make_mesh(dp=4, tp=2)
+    sparams = shard_params(params, mesh)
+    smel = jax.device_put(mel, batch_sharding(mesh))
+    sxa = encode(sparams, smel, cfg)
+    got = decode_window(sparams, sxa, prompts, cfg, tables, opts)
+
+    for e, g in zip(expected, got):
+        assert g.tokens == e.tokens
+        assert g.sum_logprob == pytest.approx(e.sum_logprob, rel=1e-3,
+                                              abs=1e-3)
+        assert g.no_speech_prob == pytest.approx(e.no_speech_prob,
+                                                 rel=1e-3, abs=1e-4)
+
+
+def test_shard_params_quantized():
+    """Int8-quantized params shard: q takes the weight spec, s drops the
+    contraction axis; sharded quantized decode still runs."""
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+    from nobs_whisper_tpu.ops.quant import quantize_decoder_params
+
+    cfg = _tiny_cfg()
+    params = quantize_decoder_params(init_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_mesh(dp=4, tp=2)
+    sparams = shard_params(params, mesh)
+    blk = sparams["decoder"]["blocks"]
+    assert blk["q_w"]["q"].sharding.spec == (None, None, "tp")
+    assert blk["q_w"]["s"].sharding.spec == (None, None, "tp")
+    assert blk["o_w"]["q"].sharding.spec == (None, "tp", None)
+    # s has K=1: the contraction-axis sharding must be dropped
+    assert blk["o_w"]["s"].sharding.spec == (None, None, None)
+
+    mel = np.random.RandomState(2).randn(8, 80, 64).astype(np.float32)
+    tables = build_rule_tables(cfg, DecodeOptions())
+    smel = jax.device_put(mel, batch_sharding(mesh))
+    sxa = encode(sparams, smel, cfg)
+    res = decode_window(sparams, sxa,
+                        [[cfg.sot, cfg.lang_base, cfg.transcribe]] * 8,
+                        cfg, tables, DecodeOptions())
+    assert all(np.isfinite(r.sum_logprob) for r in res)
+
+
+def test_batcher_mesh_mode_matches_unsharded():
+    """WindowBatcher(mesh=...) returns the same tokens as the unsharded
+    batcher for identical requests."""
+    from nobs_whisper_tpu.audio.mel import HOP_LENGTH, log_mel_longform
+    from nobs_whisper_tpu.core.config import SAMPLE_RATE
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+    from nobs_whisper_tpu.pipeline.batcher import WindowBatcher
+    from nobs_whisper_tpu.utils.testing import speech_like_audio
+
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opts = DecodeOptions(logprob_threshold=-1e9, entropy_threshold=0.0,
+                         no_speech_threshold=1.1,
+                         compression_ratio_threshold=1e9)
+    wf = 2 * cfg.n_audio_ctx
+    windows = []
+    for i in range(4):
+        audio = speech_like_audio(0.3, seed=20 + i)
+        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
+                               padding=wf * HOP_LENGTH)[:, :wf]
+        windows.append(mel)
+    prompt = [cfg.sot, cfg.lang_base, cfg.transcribe]
+
+    plain = WindowBatcher(params, cfg, opts=opts, max_batch=4,
+                          max_wait_ms=50)
+    futs = [plain.submit(w, prompt) for w in windows]
+    expected = [f.result(timeout=120).tokens for f in futs]
+    plain.close()
+
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = WindowBatcher(params, cfg, opts=opts, max_batch=4,
+                            max_wait_ms=50, mesh=mesh)
+    futs = [sharded.submit(w, prompt) for w in windows]
+    got = [f.result(timeout=120).tokens for f in futs]
+    sharded.close()
+    assert got == expected
 
 
 def test_graft_entry_dryrun():
