@@ -49,7 +49,7 @@ class SessionState(enum.Enum):
 
 @dataclasses.dataclass
 class SessionEvent:
-    state: str                       # recording | processing | done | cancelled
+    state: str     # recording | processing | partial | done | cancelled
     transcript: Optional[str] = None
     is_final: bool = False
 
@@ -99,7 +99,12 @@ class StreamingSession:
 
     def _worker_loop(self, q: queue.Queue):
         """Chunk consumer: resample -> transcribe with rolling context ->
-        ordered results. A failed chunk is logged and skipped."""
+        ordered results. A failed chunk is logged and skipped.
+
+        Each finished chunk is emitted live as a ``partial`` event — the
+        streaming analog of the reference accumulating results while
+        recording continues (state.rs:147-155) — and the first one
+        records the session's first-partial latency in /stats."""
         rolling: Optional[str] = None
         while True:
             item = q.get()
@@ -113,8 +118,16 @@ class StreamingSession:
                     vocabulary=self.config.vocabulary, context=rolling)
                 if r.text:
                     with self._results_lock:
+                        first = not self._results
                         self._results.append(r.text)
                     rolling = r.text
+                    if first:
+                        from ..utils.profiling import GLOBAL_PROFILER
+                        GLOBAL_PROFILER.record(
+                            "first_partial",
+                            time.monotonic() - self._started_at)
+                    if not self._cancelled:
+                        self._emit("partial", transcript=r.text)
             except Exception:
                 log.exception("streaming chunk failed; skipping")
 
@@ -200,6 +213,8 @@ class StreamingSession:
                     if r.text:
                         texts.append(r.text)
                         rolling = r.text
+                        if not self._cancelled:
+                            self._emit("partial", transcript=r.text)
             final_text = " ".join(texts)
             with self._lock:
                 if self._cancelled:   # cancelled mid-transcription

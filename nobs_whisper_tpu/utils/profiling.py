@@ -47,6 +47,12 @@ class Profiler:
             with self._lock:
                 self._stages[name].add(dt)
 
+    def record(self, name: str, dt: float) -> None:
+        """Record an externally measured duration (e.g. first-partial
+        latency, whose start point lives in another thread)."""
+        with self._lock:
+            self._stages[name].add(dt)
+
     def snapshot(self) -> Dict[str, Dict[str, float]]:
         with self._lock:
             return {

@@ -91,6 +91,16 @@ def test_streaming_chunks_and_finalize():
     assert "processing" in states
     assert states[-1] == "done"
     assert events[-1].is_final
+    # live streaming: every finished chunk was emitted as a partial
+    # BEFORE done (reference accumulates results live, state.rs:147-155)
+    partials = [e for e in events if e.state == "partial"]
+    assert partials, "no partial events emitted"
+    assert all(p.transcript.startswith("chunk") for p in partials)
+    assert states.index("partial") < states.index("done")
+    # first-partial latency recorded for /stats
+    from nobs_whisper_tpu.utils.profiling import GLOBAL_PROFILER
+    snap = GLOBAL_PROFILER.snapshot()
+    assert snap.get("first_partial", {}).get("count", 0) >= 1
 
 
 def test_cancel_discards_everything():
