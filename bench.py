@@ -157,16 +157,17 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     @jax.jit
-    def p_xa(params, a):
+    def p_real_jit(params, a, pt, pl, si, tables, temps, rng):
+        # one device program, exactly like the batcher's fast path
         mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
-        return encode(params, mel, cfg, compute_dtype=dtype)
-
-    def p_real(params, a):
-        xa = p_xa(params, a)
+        xa = encode(params, mel, cfg, compute_dtype=dtype)
         toks, n, slp, nsp = decode_window_jit(
             params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
             dtype, sampling=False)
         return slp
+
+    def p_real(params, a):
+        return p_real_jit(params, a, pt, pl, si, tables, temps, rng)
 
     audio_j = jax.device_put(audio)
 

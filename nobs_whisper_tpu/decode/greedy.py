@@ -187,6 +187,28 @@ def decode_window_jit(
     return tokens, n_sampled, state["sum_logprob"], no_speech_prob
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
+                     "sampling"))
+def encode_decode_window_jit(
+    params, mel, prompt_tokens, pad_lens, sot_idx, tables, temperature,
+    rng, cfg, sample_len, compute_dtype=jnp.float32, q8_kv=False,
+    sampling=True,
+):
+    """Encoder + decode loop in ONE device program.
+
+    The serving batcher's inner step is encode-then-decode; dispatching
+    them separately costs a full host<->device round trip between the two
+    (measured ~27 ms each through this box's TPU tunnel). Fusing them
+    into one program removes it."""
+    from ..models.whisper import encode
+    xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
+    return decode_window_jit(params, xa, prompt_tokens, pad_lens, sot_idx,
+                             tables, temperature, rng, cfg, sample_len,
+                             compute_dtype, q8_kv, sampling)
+
+
 def decode_window(
     params,
     xa: jnp.ndarray,
@@ -197,8 +219,13 @@ def decode_window(
     temperature=0.0,             # scalar or per-element sequence
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
 ) -> List[WindowResult]:
-    """Host wrapper: pad prompts, run the jitted loop, score results."""
+    """Host wrapper: pad prompts, run the jitted loop, score results.
+
+    Pass ``mel`` (and xa=None) to run mel->encode->decode as one device
+    program (single dispatch — the serving fast path)."""
+    n = len(prompts)
     prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
     p_max = prompt_tokens.shape[1]
     sot_idx = np.array([pad_lens[i] + list(p).index(cfg.sot)
@@ -207,13 +234,20 @@ def decode_window(
     sample_len = min(sample_len, cfg.n_text_ctx - p_max)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     temps = np.broadcast_to(np.asarray(temperature, np.float32),
-                            (len(prompts),)).copy()
+                            (n,)).copy()
 
-    tokens, n_sampled, sum_lp, nsp = decode_window_jit(
-        params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
-        jnp.asarray(sot_idx), tables,
-        jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
-        q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
+    if mel is not None:
+        tokens, n_sampled, sum_lp, nsp = encode_decode_window_jit(
+            params, mel, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
+            jnp.asarray(sot_idx), tables,
+            jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
+            q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
+    else:
+        tokens, n_sampled, sum_lp, nsp = decode_window_jit(
+            params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
+            jnp.asarray(sot_idx), tables,
+            jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
+            q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
 
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)

@@ -130,13 +130,16 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     x = x + enc["pos"].astype(compute_dtype)
 
     n_head = cfg.n_audio_head
-    # Stock Pallas flash attention is available but measured 2x SLOWER
-    # than XLA's fused attention for this shape (seq 1500, head_dim 64,
-    # encode 0.26s -> 0.52s on v5e) — opt-in for experimentation only.
+    # Pallas flash attention with TUNED block sizes (whole padded
+    # sequence per block) is the measured win here: full encode 227 ->
+    # 152 device-ms on v5e (XLA's unfused softmax materializes ~1.4 GB of
+    # f32 scores per layer). NB the library DEFAULT block sizes lose to
+    # XLA (0.26 -> 0.52 s) — the tuning is the point. NWT_NO_FLASH=1
+    # falls back to XLA attention.
     import os
     use_flash = (jax.default_backend() == "tpu"
                  and compute_dtype == jnp.bfloat16
-                 and bool(os.environ.get("NWT_FLASH_ATTENTION")))
+                 and not os.environ.get("NWT_NO_FLASH"))
 
     def block(x, p):
         from ..ops.quant import dense_int8_dynamic, is_quantized
@@ -155,10 +158,16 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
-                SegmentIds, flash_attention)
+                BlockSizes, SegmentIds, flash_attention)
             dh = q.shape[-1]
             bsz, _, t, _ = q.shape
-            tp = -(-t // 128) * 128  # kernel needs 128-divisible seq lens
+            tp = -(-t // 512) * 512  # pad; blocks = whole padded sequence
+            blk = min(tp, 2048)      # VMEM: scores block tp^2 f32
+            bs = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
             pad = tp - t
             if pad:
                 padding = ((0, 0), (0, 0), (0, pad), (0, 0))
@@ -168,10 +177,10 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                      jnp.zeros((bsz, pad), jnp.int32)], axis=-1)
                 a = flash_attention(q_, k_, v_,
                                     segment_ids=SegmentIds(seg, seg),
-                                    causal=False,
+                                    causal=False, block_sizes=bs,
                                     sm_scale=float(dh) ** -0.5)[..., :t, :]
             else:
-                a = flash_attention(q, k, v, causal=False,
+                a = flash_attention(q, k, v, causal=False, block_sizes=bs,
                                     sm_scale=float(dh) ** -0.5)
             a = _merge_heads(a.astype(x.dtype))
         else:

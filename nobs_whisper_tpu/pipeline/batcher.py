@@ -77,8 +77,9 @@ class WindowBatcher:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.compute_dtype = compute_dtype
+        self._custom_encode = encode_fn is not None
         self._encode = encode_fn or (
-            lambda m: encode_jit(params, m, cfg, compute_dtype))
+            lambda m: encode_jit(self.params, m, cfg, compute_dtype))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
@@ -162,28 +163,37 @@ class WindowBatcher:
             mel = jax.device_put(mel, batch_sharding(self.mesh))
         else:
             mel = jnp.asarray(mel)
-        xa = self._encode(mel)
 
-        # auto-language rows: ONE extra batched forward detects languages
-        # for the whole batch (whisper.rs:91-95), then the detected token
-        # is patched into each row's prompt at its lang_slot
         langs: List[Optional[str]] = [None] * len(prompts)
-        if any(r.lang_slot is not None for r in batch):
-            from ..core.tokenizer import LANGUAGES
-            from ..decode.greedy import detect_language_jit
-            lang_idx, _ = detect_language_jit(self.params, xa, self.tables,
-                                              self.cfg, self.compute_dtype)
-            lang_idx = np.asarray(lang_idx)
-            for i, r in enumerate(batch):
-                if r.lang_slot is not None:
-                    prompts[i][r.lang_slot] = (self.cfg.lang_base
-                                               + int(lang_idx[i]))
-                    langs[i] = LANGUAGES[int(lang_idx[i])]
-
-        results = decode_window(self.params, xa, prompts, self.cfg,
-                                self.tables, self.opts,
-                                temperature=np.asarray(temps, np.float32),
-                                compute_dtype=self.compute_dtype)
+        need_lang = any(r.lang_slot is not None for r in batch)
+        if need_lang or self._custom_encode:
+            xa = self._encode(mel)
+            if need_lang:
+                # auto-language rows: ONE extra batched forward detects
+                # languages for the whole batch (whisper.rs:91-95), then
+                # the detected token is patched into each row's prompt
+                from ..core.tokenizer import LANGUAGES
+                from ..decode.greedy import detect_language_jit
+                lang_idx, _ = detect_language_jit(
+                    self.params, xa, self.tables, self.cfg,
+                    self.compute_dtype)
+                lang_idx = np.asarray(lang_idx)
+                for i, r in enumerate(batch):
+                    if r.lang_slot is not None:
+                        prompts[i][r.lang_slot] = (self.cfg.lang_base
+                                                   + int(lang_idx[i]))
+                        langs[i] = LANGUAGES[int(lang_idx[i])]
+            results = decode_window(
+                self.params, xa, prompts, self.cfg, self.tables, self.opts,
+                temperature=np.asarray(temps, np.float32),
+                compute_dtype=self.compute_dtype)
+        else:
+            # fixed-language fast path: mel -> encode -> decode as ONE
+            # device program (saves a host<->device round trip per batch)
+            results = decode_window(
+                self.params, None, prompts, self.cfg, self.tables,
+                self.opts, temperature=np.asarray(temps, np.float32),
+                compute_dtype=self.compute_dtype, mel=mel)
         for r, res, lang in zip(batch, results[:n], langs[:n]):
             res.language = lang
             r.future.set_result(res)
