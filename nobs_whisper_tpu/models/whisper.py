@@ -324,9 +324,7 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
     ck, cv = kv_cache
     xk, xv = cross_kv
 
-    def block(x, scanned):
-        p, ck_l, cv_l, xk_l, xv_l = scanned
-        # self-attention with cache
+    def project_qkv(x, p):
         h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
         if "qkv_w" in p:  # fused projection (ops.quant.fuse_qkv)
             qkv = _dense(h, p["qkv_w"], p["qkv_b"])
@@ -336,11 +334,9 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
             q = _split_heads(_dense(h, p["q_w"], p["q_b"]), n_head)
             k = _split_heads(_dense(h, p["k_w"]), n_head)
             v = _split_heads(_dense(h, p["v_w"], p["v_b"]), n_head)
-        ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), cache_start)
-        cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), cache_start)
-        a = _attention(q, ck_l.astype(compute_dtype),
-                       cv_l.astype(compute_dtype), self_mask)
-        x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
+        return q, k, v
+
+    def cross_and_mlp(x, p, xk_l, xv_l):
         # cross-attention (keys precomputed; optionally int8-quantized)
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
         q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
@@ -363,13 +359,46 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
         h = _gelu(_dense(h, p["fc1_w"], p["fc1_b"]))
         x = x + _dense(h, p["fc2_w"], p["fc2_b"])
-        return x, (ck_l, cv_l)
+        return x
 
-    # NB: measured on v5e — unrolling this scan (unroll=n_text_layer for
-    # turbo's 4 layers) does NOT change step time; the ~180 us fixed
-    # loop-iteration cost applies to the OUTER decode while_loop only,
-    # not to nested scans. Keep the scan for compile-time economy.
-    x, (ck, cv) = jax.lax.scan(block, x, (dec["blocks"], ck, cv, xk, xv))
+    if cfg.n_text_layer <= 8:
+        # Unrolled layer loop with tiny IN-PLACE writes into the stacked
+        # cache. Carrying the caches through lax.scan as xs/ys re-stacks
+        # the whole (L,B,H,T,Dh) K/V buffers every call — measured 1.81 ->
+        # 0.33 ms/token-step for turbo's 4-layer decoder on v5e. Static
+        # layer slices (ck[l], xk[l]) fuse into their consumers; the only
+        # cache traffic left is the (B,H,S,Dh) write and the attention
+        # read itself.
+        for layer in range(cfg.n_text_layer):
+            p = jax.tree.map(lambda t: t[layer], dec["blocks"])
+            q, k, v = project_qkv(x, p)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (layer, 0, 0, cache_start, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
+            a = _attention(q, ck[layer].astype(compute_dtype),
+                           cv[layer].astype(compute_dtype), self_mask)
+            x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
+            xk_l = (jax.tree.map(lambda t: t[layer], xk)
+                    if isinstance(xk, dict) else xk[layer])
+            xv_l = (jax.tree.map(lambda t: t[layer], xv)
+                    if isinstance(xv, dict) else xv[layer])
+            x = cross_and_mlp(x, p, xk_l, xv_l)
+    else:
+        # deep decoders (large-v3: 32 layers): scan for compile economy
+        def block(x, scanned):
+            p, ck_l, cv_l, xk_l, xv_l = scanned
+            q, k, v = project_qkv(x, p)
+            ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), cache_start)
+            cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), cache_start)
+            a = _attention(q, ck_l.astype(compute_dtype),
+                           cv_l.astype(compute_dtype), self_mask)
+            x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
+            x = cross_and_mlp(x, p, xk_l, xv_l)
+            return x, (ck_l, cv_l)
+
+        x, (ck, cv) = jax.lax.scan(block, x,
+                                   (dec["blocks"], ck, cv, xk, xv))
     x = _layer_norm(x, dec["ln_g"], dec["ln_b"])
     if "tok_emb_q" in dec:
         # quantized logit projection: the largest per-step HBM read
