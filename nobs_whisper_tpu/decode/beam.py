@@ -121,7 +121,11 @@ def beam_decode_window_jit(
 
     cross_kv = precompute_cross_kv(params, xa, cfg)
     cross_kv = jax.tree.map(lambda t: jnp.repeat(t, k, axis=1), cross_kv)
-    cache = init_kv_cache(cfg, bk, dtype=compute_dtype)
+    # right-sized cache (see decode/greedy.py): attention reads scale with
+    # the cache length, and the loop never writes past p_max + sample_len
+    t_cache = -(-(p_max + sample_len) // 8) * 8
+    cache = init_kv_cache(cfg, bk, dtype=compute_dtype,
+                          t_ctx=min(t_cache, cfg.n_text_ctx))
 
     pad_rep = rep(pad_lens)
     logits_all, cache = decoder_forward(

@@ -66,7 +66,7 @@ def pad_prompts(prompts: Sequence[Sequence[int]],
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "sampling"))
+                     "xattn_bf16", "sampling"))
 def decode_window_jit(
     params,
     xa: jnp.ndarray,             # (B, T_audio, d) encoder states
@@ -80,6 +80,7 @@ def decode_window_jit(
     sample_len: int,
     compute_dtype=jnp.float32,
     q8_kv: bool = False,
+    xattn_bf16: bool = False,    # fused bf16 single-query cross-attn kernel
     sampling: bool = True,       # static: False skips per-step RNG work
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
@@ -89,7 +90,15 @@ def decode_window_jit(
     if q8_kv:
         from ..ops.attention_pallas import quantize_cross_kv
         cross_kv = quantize_cross_kv(cross_kv)
-    cache = init_kv_cache(cfg, b, dtype=compute_dtype)
+    elif xattn_bf16:
+        from ..ops.attention_pallas import pack_cross_kv_bf16
+        cross_kv = pack_cross_kv_bf16(cross_kv)
+    # Right-sized cache: the loop never writes past p_max + sample_len, so
+    # don't make every step's self-attention read a full 448-slot buffer.
+    # (Rounded to the sublane quantum; measured ~0.2 ms/step on v5e turbo.)
+    t_cache = -(-(p_max + sample_len) // 8) * 8
+    cache = init_kv_cache(cfg, b, dtype=compute_dtype,
+                          t_ctx=min(t_cache, cfg.n_text_ctx))
 
     # ---- prefill (left-padded: everyone's prompt ends at P_max) ----
     logits_all, cache = decoder_forward(
@@ -190,11 +199,11 @@ def decode_window_jit(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "sampling"))
+                     "xattn_bf16", "sampling"))
 def encode_decode_window_jit(
     params, mel, prompt_tokens, pad_lens, sot_idx, tables, temperature,
     rng, cfg, sample_len, compute_dtype=jnp.float32, q8_kv=False,
-    sampling=True,
+    xattn_bf16=False, sampling=True,
 ):
     """Encoder + decode loop in ONE device program.
 
@@ -206,7 +215,7 @@ def encode_decode_window_jit(
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
     return decode_window_jit(params, xa, prompt_tokens, pad_lens, sot_idx,
                              tables, temperature, rng, cfg, sample_len,
-                             compute_dtype, q8_kv, sampling)
+                             compute_dtype, q8_kv, xattn_bf16, sampling)
 
 
 def decode_window(
@@ -236,18 +245,23 @@ def decode_window(
     temps = np.broadcast_to(np.asarray(temperature, np.float32),
                             (n,)).copy()
 
+    import os
+    xattn_bf16 = (opts.xattn_bf16 or
+                  bool(os.environ.get("NWT_XATTN_BF16")))
     if mel is not None:
         tokens, n_sampled, sum_lp, nsp = encode_decode_window_jit(
             params, mel, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
             jnp.asarray(sot_idx), tables,
             jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
-            q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
+            q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
+            sampling=bool(np.any(temps > 0)))
     else:
         tokens, n_sampled, sum_lp, nsp = decode_window_jit(
             params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
             jnp.asarray(sot_idx), tables,
             jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
-            q8_kv=opts.q8_cross_kv, sampling=bool(np.any(temps > 0)))
+            q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
+            sampling=bool(np.any(temps > 0)))
 
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)
@@ -277,7 +291,7 @@ def detect_language_jit(params, xa, tables: RuleTables, cfg: WhisperConfig,
     src-tauri/src/whisper.rs:91-95)."""
     b = xa.shape[0]
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    cache = init_kv_cache(cfg, b, dtype=compute_dtype)
+    cache = init_kv_cache(cfg, b, dtype=compute_dtype, t_ctx=8)
     sot = jnp.full((b, 1), cfg.sot, jnp.int32)
     logits, _ = decoder_forward(params, sot, jnp.int32(0),
                                 jnp.zeros((b,), jnp.int32),

@@ -51,6 +51,10 @@ class DecodeOptions:
     # TPU serving knob: int8 cross-attention K/V (halves the dominant
     # per-token HBM read; fused Pallas kernel)
     q8_cross_kv: bool = False
+    # TPU serving knob: fused bf16 single-query cross-attention kernel
+    # (full precision, one K+V streaming pass per step; also settable via
+    # NWT_XATTN_BF16=1)
+    xattn_bf16: bool = False
     # word-level timestamps via cross-attention DTW (decode/timing.py)
     word_timestamps: bool = False
 

@@ -224,10 +224,16 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int,
-                  dtype: jnp.dtype = jnp.float32) -> Tuple[jnp.ndarray,
-                                                           jnp.ndarray]:
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx,
-             cfg.head_dim)
+                  dtype: jnp.dtype = jnp.float32,
+                  t_ctx: Optional[int] = None) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+    """t_ctx defaults to the model's full text context (448). Decode loops
+    that know their true horizon pass t_ctx = p_max + sample_len: the
+    self-attention read (the cache's whole cost) scales with the cache
+    length, so a right-sized cache reads ~2.3x less HBM per step than the
+    448-slot worst case."""
+    shape = (cfg.n_text_layer, batch, cfg.n_text_head,
+             t_ctx or cfg.n_text_ctx, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -305,13 +311,15 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
     dec = params["decoder"]
     n_head = cfg.n_text_head
     b, s = tokens.shape
-    t_ctx = cfg.n_text_ctx
+    # self-attention span = the CACHE's length (may be right-sized below
+    # cfg.n_text_ctx); position-embedding indices clip to the pos table
+    t_ctx = kv_cache[0].shape[3]
 
     tok_emb = dec["tok_emb"]
     cache_idx = cache_start + jnp.arange(s)                     # (S,)
     # position embedding index = element's own sequence position
     pos_idx = jnp.clip(cache_idx[None, :] - pad_lens[:, None], 0,
-                       t_ctx - 1)                               # (B, S)
+                       cfg.n_text_ctx - 1)                      # (B, S)
     x = (tok_emb[tokens] + dec["pos"][pos_idx]).astype(compute_dtype)
 
     # self-attn mask: query at cache index i attends keys j with
@@ -337,10 +345,21 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         return q, k, v
 
     def cross_and_mlp(x, p, xk_l, xv_l):
-        # cross-attention (keys precomputed; optionally int8-quantized)
+        # cross-attention (keys precomputed; optionally int8-quantized or
+        # bf16-packed for the fused single-query kernel)
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
         q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
-        if isinstance(xk_l, dict):
+        if isinstance(xk_l, dict) and "kT" in xk_l:
+            from ..ops.attention_pallas import (
+                cross_attention_bf16_reference, cross_attention_decode_bf16)
+            packed = {"kT": xk_l["kT"], "v": xv_l["v"]}
+            if q.shape[-2] == 1 and jax.default_backend() == "tpu":
+                a = cross_attention_decode_bf16(q, packed, cfg.n_audio_ctx)
+            else:
+                a = cross_attention_bf16_reference(q, packed,
+                                                   cfg.n_audio_ctx)
+            a = a.astype(compute_dtype)
+        elif isinstance(xk_l, dict):
             import os
             from ..ops.attention_pallas import (
                 cross_attention_decode_q8, cross_attention_dequant_reference)

@@ -129,6 +129,89 @@ def cross_attention_decode_q8(
     return out.reshape(b, h, 1, dh)
 
 
+def pack_cross_kv_bf16(
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """(xk, xv) fp (L, B, H, T, Dh) -> bf16 with K pre-transposed.
+
+    Layout for the single-query decode kernel: K as (L,B,H,Dh,Tp) so the
+    per-step scores are one (1,Dh)x(Dh,Tp) MXU matmul with NO per-step
+    transpose; V as (L,B,H,Tp,Dh). T padded to a lane multiple; padded
+    positions are masked by index inside the kernel (no scales needed —
+    this is the full-precision variant of quantize_cross_kv)."""
+    xk, xv = cross_kv
+    t = xk.shape[-2]
+    t_pad = _round_up(t, 128)
+    kT = jnp.swapaxes(xk.astype(jnp.bfloat16), -1, -2)       # (L,B,H,Dh,T)
+    kT = jnp.pad(kT, [(0, 0)] * (kT.ndim - 1) + [(0, t_pad - t)])
+    v = jnp.pad(xv.astype(jnp.bfloat16),
+                [(0, 0)] * (xv.ndim - 2) + [(0, t_pad - t), (0, 0)])
+    # two dicts so the (xk, xv) tuple shape of plain cross_kv is preserved
+    return {"kT": kT}, {"v": v}
+
+
+def _xattn_bf16_kernel(t_real, scale, q_ref, kT_ref, v_ref, out_ref):
+    """Grid: (B*H,). One fused scores->softmax->mix pass per (element,
+    head): K and V stream through VMEM exactly once per step, the only
+    HBM traffic cross-attention fundamentally needs."""
+    q = q_ref[0]                                          # (1, Dh) bf16
+    kT = kT_ref[0]                                        # (Dh, Tp) bf16
+    raw = jnp.dot(q, kT, preferred_element_type=jnp.float32)   # (1, Tp)
+    idx = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    scores = jnp.where(idx < t_real, raw * scale, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    v = v_ref[0]                                          # (Tp, Dh) bf16
+    out_ref[...] = jnp.dot(probs.astype(jnp.bfloat16), v,
+                           preferred_element_type=jnp.float32)[None]
+
+
+def cross_attention_decode_bf16(
+    q: jnp.ndarray,          # (B, H, 1, Dh) — single decode position
+    packed: Dict[str, jnp.ndarray],   # {"kT": (B,H,Dh,Tp), "v": (B,H,Tp,Dh)}
+    t_real: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-query bf16 cross-attention; returns (B, H, 1, Dh) f32.
+
+    Applies the standard 1/sqrt(dh) scaling internally (matching
+    models.whisper._attention numerics)."""
+    b, h, s, dh = q.shape
+    assert s == 1, "decode kernel is single-query"
+    t_pad = packed["kT"].shape[-1]
+    bh = b * h
+
+    out = pl.pallas_call(
+        functools.partial(_xattn_bf16_kernel, t_real, float(dh) ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((bh, 1, dh), jnp.float32),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, 1, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, t_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16).reshape(bh, 1, dh),
+      packed["kT"].reshape(bh, dh, t_pad),
+      packed["v"].reshape(bh, t_pad, dh))
+    return out.reshape(b, h, 1, dh)
+
+
+def cross_attention_bf16_reference(q, packed, t_real):
+    """XLA fallback with identical semantics (CPU and prefill S>1)."""
+    k = jnp.swapaxes(packed["kT"][..., :t_real], -1, -2)  # (B,H,T,Dh)
+    v = packed["v"][..., :t_real, :]
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhsd,bhtd->bhst", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (dh ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v.astype(jnp.float32))
+
+
 def cross_attention_dequant_reference(q, kq, vq):
     """XLA fallback with identical semantics (used on CPU and for S>1)."""
     k = (kq["q"].astype(jnp.float32) *

@@ -59,6 +59,61 @@ def test_kernel_matches_dequant_reference():
     assert np.abs(got - expected).max() < 0.02
 
 
+def test_bf16_pack_shapes():
+    from nobs_whisper_tpu.ops.attention_pallas import pack_cross_kv_bf16
+    q, k, v = _make(t=300)
+    kd, vd = pack_cross_kv_bf16((k, v))
+    assert kd["kT"].shape == (1, 2, 4, 64, 384)     # T padded to 384
+    assert kd["kT"].dtype == jnp.bfloat16
+    assert vd["v"].shape == (1, 2, 4, 384, 64)
+    # padded tail is zeros (masked by index in the kernel)
+    assert np.asarray(kd["kT"])[..., 300:].max() == 0.0
+
+
+def test_bf16_kernel_matches_reference():
+    from nobs_whisper_tpu.ops.attention_pallas import (
+        cross_attention_bf16_reference, cross_attention_decode_bf16,
+        pack_cross_kv_bf16)
+    q, k, v = _make(seed=7)
+    kd, vd = pack_cross_kv_bf16((k, v))
+    packed = {"kT": kd["kT"][0], "v": vd["v"][0]}
+    expected = np.asarray(_fp_reference(q, k[0], v[0]))
+    ref = np.asarray(cross_attention_bf16_reference(q, packed, 300))
+    got = np.asarray(cross_attention_decode_bf16(q, packed, 300,
+                                                 interpret=True))
+    assert got.shape == expected.shape
+    assert np.abs(ref - expected).max() < 0.02      # bf16 K/V rounding
+    assert np.abs(got - ref).max() < 0.02
+
+
+def test_bf16_decode_window_matches_fp32():
+    """Greedy decode with the bf16 packed cross-KV tracks the plain path."""
+    import tempfile, os
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+    from nobs_whisper_tpu.models.whisper import encode
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+
+    path = os.path.join(tempfile.mkdtemp(), "m.bin")
+    write_tiny_checkpoint(path)
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    cfg = eng.cfg
+    rng = np.random.RandomState(0)
+    mel = rng.randn(1, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    xa = encode(eng.params, jnp.asarray(mel), cfg)
+    prompt = [[cfg.sot, cfg.lang_base, cfg.transcribe]]
+
+    tables = build_rule_tables(cfg, DecodeOptions(), eng.tokenizer)
+    fp = decode_window(eng.params, xa, prompt, cfg, tables,
+                       DecodeOptions())[0]
+    bf = decode_window(eng.params, xa, prompt, cfg, tables,
+                       DecodeOptions(xattn_bf16=True))[0]
+    n = min(len(fp.tokens), len(bf.tokens), 5)
+    assert fp.tokens[:n] == bf.tokens[:n]
+    assert bf.no_speech_prob == pytest.approx(fp.no_speech_prob, abs=0.05)
+
+
 def test_quantized_decode_window_matches_fp32():
     """Greedy decode with q8 cross-KV tracks the fp32 path."""
     import tempfile, os
