@@ -40,7 +40,7 @@ DECODE_TOKENS_PER_WINDOW = 160
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="large-v3-turbo")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--decode-tokens", type=int,
                    default=DECODE_TOKENS_PER_WINDOW)
@@ -50,6 +50,9 @@ def main():
                    help="also measure p50 single-utterance latency")
     p.add_argument("--fuse-qkv", action="store_true",
                    help="fused qkv projection (measured slower; see note)")
+    p.add_argument("--xattn-bf16", action="store_true",
+                   help="fused bf16 single-query cross-attention kernel "
+                        "in the serving loop (A/B experiment)")
     p.add_argument("--raw-loop", action="store_true",
                    help="time the bare argmax fori_loop instead of the "
                         "real serving loop (kernel-ceiling diagnostic)")
@@ -163,7 +166,7 @@ def main():
         xa = encode(params, mel, cfg, compute_dtype=dtype)
         toks, n, slp, nsp = decode_window_jit(
             params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
-            dtype, sampling=False)
+            dtype, xattn_bf16=args.xattn_bf16, sampling=False)
         return slp
 
     def p_real(params, a):

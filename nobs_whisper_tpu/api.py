@@ -35,6 +35,27 @@ class NoModelError(RuntimeError):
     (reference: WhisperError::NoModel, whisper.rs:279-283)."""
 
 
+def _load_alignment_heads_sidecar(model_path: str):
+    """GGML files carry no DTW head metadata (whisper.cpp selects a
+    built-in preset by model type); we read an optional JSON sidecar
+    ``<model>.alignment_heads.json`` — a [[layer, head], ...] list —
+    written by the user or a conversion tool."""
+    import json
+    import os
+
+    sidecar = os.path.splitext(model_path)[0] + ".alignment_heads.json"
+    if not os.path.exists(sidecar):
+        return None
+    try:
+        with open(sidecar) as f:
+            raw = json.load(f)
+        return [(int(l), int(h)) for l, h in raw]
+    except (ValueError, TypeError, OSError) as e:
+        log.warning("ignoring bad alignment-heads sidecar %s: %s",
+                    sidecar, e)
+        return None
+
+
 @dataclasses.dataclass
 class WhisperEngine:
     params: Optional[Any] = None
@@ -42,6 +63,10 @@ class WhisperEngine:
     tokenizer: Optional[WhisperTokenizer] = None
     compute_dtype: Any = jnp.float32
     model_path: Optional[str] = None
+    # tuned (layer, head) word-timestamp alignment heads from checkpoint
+    # metadata (HF generation_config.json, or a ``<model>.alignment_heads
+    # .json`` sidecar next to a GGML file); None = heuristic fallback
+    alignment_heads: Optional[List[tuple]] = None
 
     # ------------------------------------------------------------------
     # loading
@@ -60,7 +85,8 @@ class WhisperEngine:
         log.info("loaded GGML model %s in %.2fs", path,
                  time.perf_counter() - t0)
         return cls(params=params, cfg=ckpt.config, tokenizer=tokenizer,
-                   compute_dtype=dtype, model_path=path)
+                   compute_dtype=dtype, model_path=path,
+                   alignment_heads=_load_alignment_heads_sidecar(path))
 
     @classmethod
     def from_hf_dir(cls, path: str, dtype=jnp.bfloat16,
@@ -93,8 +119,19 @@ class WhisperEngine:
         sd = load_safetensors(os.path.join(path, "model.safetensors"))
         params = params_from_hf_state_dict(sd, cfg, dtype=dtype)
         tokenizer = WhisperTokenizer(vocab, cfg) if vocab else None
+        # HF snapshots ship the model's tuned DTW alignment heads in
+        # generation_config.json (e.g. openai/whisper-large-v3-turbo)
+        heads = None
+        gen_path = os.path.join(path, "generation_config.json")
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                gen = json.load(f)
+            raw = gen.get("alignment_heads")
+            if raw:
+                heads = [(int(l), int(h)) for l, h in raw]
         return cls(params=params, cfg=cfg, tokenizer=tokenizer,
-                   compute_dtype=dtype, model_path=path)
+                   compute_dtype=dtype, model_path=path,
+                   alignment_heads=heads)
 
     @classmethod
     def from_native(cls, path: str) -> "WhisperEngine":
@@ -199,7 +236,8 @@ class WhisperEngine:
         result = transcribe_mel(
             self.params, mel, content_frames, self.cfg, self.tokenizer,
             opts, initial_prompt_tokens=initial,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            alignment_heads=self.alignment_heads)
 
         filtered = filter_hallucinations(result.text)
         return TranscribeResult(text=filtered, segments=result.segments,

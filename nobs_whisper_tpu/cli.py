@@ -7,6 +7,7 @@ models, show/set config, run the benchmark.
 Usage:
   python -m nobs_whisper_tpu.cli transcribe FILE [--model PATH|ID] [...]
   python -m nobs_whisper_tpu.cli serve [--host H] [--port P] [--model ...]
+  python -m nobs_whisper_tpu.cli route --backends URL,URL [--port P]
   python -m nobs_whisper_tpu.cli models list|download|delete [ID]
   python -m nobs_whisper_tpu.cli config get|set key=value [...]
 """
@@ -92,6 +93,13 @@ def cmd_serve(args):
           config_manager=ConfigManager())
 
 
+def cmd_route(args):
+    from .serve.router import serve_router
+
+    backends = [b for b in args.backends.split(",") if b]
+    serve_router(backends, host=args.host, port=args.port)
+
+
 def cmd_models(args):
     from .serve import models as m
 
@@ -156,14 +164,26 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8777)
     s.add_argument("--model", default=None)
     s.add_argument("--dtype", default="bfloat16")
-    s.add_argument("--batch", type=int, default=8,
-                   help="max cross-session window batch (1 = sequential)")
+    s.add_argument("--batch", type=int, default=16,
+                   help="max cross-session window batch (1 = sequential). "
+                        "16 = measured throughput knee on v5e; light load "
+                        "still dispatches small batches after the 5 ms "
+                        "collection window")
     s.add_argument("--quant", choices=["int8", "none"], default="int8",
                    help="int8 serving path (default; 'none' = raw dtype)")
     s.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="shard serving over a device mesh, e.g. 4x2 "
                         "(window batch over dp, heads/FFN over tp)")
     s.set_defaults(fn=cmd_serve)
+
+    r = sub.add_parser("route", help="multi-host fan-out front-end over "
+                                     "N backend servers (one per TPU host)")
+    r.add_argument("--backends", required=True,
+                   help="comma-separated backend base URLs, e.g. "
+                        "http://host1:8777,http://host2:8777")
+    r.add_argument("--host", default="127.0.0.1")
+    r.add_argument("--port", type=int, default=8700)
+    r.set_defaults(fn=cmd_route)
 
     mdl = sub.add_parser("models", help="manage model files")
     mdl.add_argument("action", choices=["list", "download", "delete"])

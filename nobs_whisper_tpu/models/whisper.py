@@ -163,11 +163,14 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             bsz, _, t, _ = q.shape
             tp = -(-t // 512) * 512  # pad; blocks = whole padded sequence
             blk = min(tp, 2048)      # VMEM: scores block tp^2 f32
+            # sweep hooks (bench-only; read at trace time)
+            bq = int(os.environ.get("NWT_FLASH_BQ", 0)) or blk
+            bk = int(os.environ.get("NWT_FLASH_BK", 0)) or blk
             bs = BlockSizes(
-                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                block_q_major_dkv=blk, block_k_major_dkv=blk,
-                block_k_dkv=blk, block_q_dkv=blk,
-                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
             pad = tp - t
             if pad:
                 padding = ((0, 0), (0, 0), (0, pad), (0, 0))

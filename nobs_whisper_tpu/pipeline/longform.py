@@ -166,8 +166,13 @@ def transcribe_mel(
     encode_fn=None,
     compute_dtype=jnp.float32,
     rng=None,
+    alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> TranscribeResult:
-    """Sequential window loop over a precomputed long-form mel."""
+    """Sequential window loop over a precomputed long-form mel.
+
+    ``alignment_heads``: tuned (layer, head) list for word-timestamp DTW
+    (from checkpoint metadata); falls back to the upper-half-layers
+    heuristic when absent."""
     from ..models.whisper import encode_jit
     encode_fn = encode_fn or (
         lambda m: encode_jit(params, m, cfg, compute_dtype))
@@ -240,7 +245,8 @@ def transcribe_mel(
                 task=opts.task, timestamps=opts.timestamps)
             window_words = find_word_timings(
                 params, cfg, tokenizer, xa, result.tokens, sot_seq,
-                num_frames=segment_size, time_offset=time_offset)
+                num_frames=segment_size, time_offset=time_offset,
+                alignment_heads=alignment_heads)
             merge_punctuations(window_words)
 
         for rs in raw_segments:

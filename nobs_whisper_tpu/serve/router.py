@@ -1,0 +1,315 @@
+"""Multi-host serving fan-out: an HTTP front-end over N backend servers.
+
+The reference is single-machine by design ("GPU can only process one at a
+time", src-tauri/src/whisper.rs:151); SURVEY §2.3 requires the TPU-native
+scale-out story: ICI collectives shard the window batch *within* a host
+(parallel/mesh.py + pipeline/batcher.py), and the fan-out *across* hosts
+rides the data-center network at the serving layer — each backend process
+owns one TPU host and runs the full `serve.server` API; this router
+spreads sessions and one-shot transcriptions over them.
+
+Semantics:
+- `POST /sessions` picks the healthy backend with the fewest live
+  sessions (least-loaded); the session id is returned verbatim and all
+  subsequent `/sessions/<sid>/...` verbs — including the SSE event
+  stream — are proxied to the owning backend (session affinity: session
+  state is host-local, exactly like the reference's in-process AppState,
+  src-tauri/src/state.rs:171).
+- `POST /transcribe` round-robins over healthy backends.
+- `GET /health|/state|/stats` aggregate all backends.
+- `GET/POST /config` and model verbs broadcast (every host keeps its own
+  disk registry, mirroring the reference's per-machine models dir,
+  src-tauri/src/config.rs:100-106).
+- A backend that fails a request is marked down and retried after a
+  cooldown; in-flight work fails over to the next healthy backend
+  (per-chunk error isolation at cluster scope, state.rs:157-159 analog).
+
+Pure stdlib, same as serve.server.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+log = logging.getLogger(__name__)
+
+DOWN_COOLDOWN_S = 5.0
+REQUEST_TIMEOUT_S = 600.0   # transcription of a 600 s cap recording
+
+
+class Backend:
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+        self.down_until = 0.0
+        self.sessions = 0          # live sessions routed here
+        self.lock = threading.Lock()
+
+    def healthy(self) -> bool:
+        return time.monotonic() >= self.down_until
+
+    def mark_down(self) -> None:
+        self.down_until = time.monotonic() + DOWN_COOLDOWN_S
+        log.warning("backend %s marked down for %.0fs", self.base_url,
+                    DOWN_COOLDOWN_S)
+
+
+class RouterState:
+    def __init__(self, backends: List[str]):
+        if not backends:
+            raise ValueError("router needs at least one backend")
+        self.backends = [Backend(b) for b in backends]
+        self.affinity: Dict[str, Backend] = {}   # session id -> backend
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    # ---- selection ----------------------------------------------------
+    def healthy_backends(self) -> List[Backend]:
+        return [b for b in self.backends if b.healthy()]
+
+    def pick_least_loaded(self) -> Optional[Backend]:
+        up = self.healthy_backends()
+        return min(up, key=lambda b: b.sessions) if up else None
+
+    def pick_round_robin(self) -> Optional[Backend]:
+        with self._lock:
+            up = self.healthy_backends()
+            if not up:
+                return None
+            b = up[self._rr % len(up)]
+            self._rr += 1
+            return b
+
+    # ---- plain HTTP to a backend ---------------------------------------
+    def request(self, backend: Backend, method: str, path: str,
+                body: Optional[bytes] = None,
+                timeout: float = REQUEST_TIMEOUT_S):
+        """Returns (status, body bytes). Marks the backend down on
+        connection-level failure and re-raises."""
+        req = urllib.request.Request(
+            backend.base_url + path, data=body, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            # an HTTP-level error is a healthy backend answering
+            return e.code, e.read()
+        except (urllib.error.URLError, OSError, TimeoutError):
+            backend.mark_down()
+            raise
+
+
+def make_handler(state: RouterState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            log.debug("router: " + fmt, *args)
+
+        def _json(self, obj, code=200):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _error(self, msg, code=502):
+            self._json({"error": msg}, code)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def _relay(self, backend: Backend, method: str,
+                   body: Optional[bytes] = None):
+            try:
+                status, data = state.request(backend, method, self.path,
+                                             body)
+            except Exception as e:
+                return self._error(f"backend {backend.base_url}: {e}")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _session_backend(self, sid: str) -> Optional[Backend]:
+            b = state.affinity.get(sid)
+            if b is None:
+                self._error(f"no session {sid}", 404)
+            return b
+
+        # ---- GET -------------------------------------------------------
+        def do_GET(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if parts == ["health"]:
+                return self._aggregate("GET", "/health", key="backends")
+            if parts in (["state"], ["stats"]):
+                return self._aggregate("GET", "/" + parts[0],
+                                       key="backends")
+            if parts == ["backends"]:
+                return self._json([{
+                    "url": b.base_url, "healthy": b.healthy(),
+                    "sessions": b.sessions} for b in state.backends])
+            if len(parts) == 3 and parts[0] == "sessions" \
+                    and parts[2] == "events":
+                b = self._session_backend(parts[1])
+                if b:
+                    return self._proxy_sse(b)
+                return
+            # config / models / download progress: first healthy backend
+            b = state.pick_round_robin()
+            if b is None:
+                return self._error("no healthy backends")
+            return self._relay(b, "GET")
+
+        def _aggregate(self, method: str, path: str, key: str):
+            out = {}
+            for b in state.backends:
+                if not b.healthy():
+                    out[b.base_url] = {"error": "down"}
+                    continue
+                try:
+                    _, data = state.request(b, method, path, timeout=10)
+                    out[b.base_url] = json.loads(data)
+                except Exception as e:
+                    out[b.base_url] = {"error": str(e)}
+            self._json({key: out})
+
+        def _proxy_sse(self, backend: Backend):
+            """Stream the backend's SSE body through unbuffered."""
+            import http.client
+            from urllib.parse import urlsplit
+            u = urlsplit(backend.base_url)
+            conn = http.client.HTTPConnection(
+                u.hostname, u.port, timeout=REQUEST_TIMEOUT_S)
+            try:
+                conn.request("GET", self.path)
+                resp = conn.getresponse()
+                self.send_response(resp.status)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                # stream until backend closes; length unknown
+                self.send_header("Connection", "close")
+                self.end_headers()
+                while True:
+                    chunk = resp.read1(8192)
+                    if not chunk:
+                        break
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            except OSError as e:
+                log.warning("SSE proxy to %s failed: %s",
+                            backend.base_url, e)
+            finally:
+                conn.close()
+
+        # ---- POST ------------------------------------------------------
+        def do_POST(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            body = self._body()
+            if parts == ["sessions"]:
+                return self._create_session(body)
+            if len(parts) >= 2 and parts[0] == "sessions":
+                b = self._session_backend(parts[1])
+                if b:
+                    self._relay(b, "POST", body)
+                return
+            if parts == ["transcribe"]:
+                return self._transcribe(body)
+            if parts == ["config"] or (
+                    len(parts) == 3 and parts[0] == "models"):
+                # broadcast: config + model downloads apply on every host
+                results = {}
+                for b in state.backends:
+                    if not b.healthy():
+                        results[b.base_url] = {"error": "down"}
+                        continue
+                    try:
+                        _, data = state.request(b, "POST", self.path, body,
+                                                timeout=30)
+                        results[b.base_url] = json.loads(data)
+                    except Exception as e:
+                        results[b.base_url] = {"error": str(e)}
+                return self._json({"backends": results})
+            self._error("not found", 404)
+
+        def _create_session(self, body: bytes):
+            b = state.pick_least_loaded()
+            if b is None:
+                return self._error("no healthy backends")
+            try:
+                status, data = state.request(b, "POST", "/sessions", body,
+                                             timeout=30)
+            except Exception as e:
+                return self._error(f"backend {b.base_url}: {e}")
+            if status == 200:
+                sid = json.loads(data)["session"]
+                state.affinity[sid] = b
+                with b.lock:
+                    b.sessions += 1
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _transcribe(self, body: bytes):
+            """Round-robin with failover: a connection-level failure on
+            one backend retries the remaining healthy ones."""
+            tried = set()
+            while True:
+                b = state.pick_round_robin()
+                if b is None or b.base_url in tried:
+                    return self._error("no healthy backends")
+                tried.add(b.base_url)
+                try:
+                    status, data = state.request(b, "POST", self.path,
+                                                 body)
+                except Exception:
+                    continue   # marked down; try the next one
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+
+        def do_DELETE(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if len(parts) == 2 and parts[0] == "sessions":
+                b = state.affinity.pop(parts[1], None)
+                if b is None:
+                    return self._error(f"no session {parts[1]}", 404)
+                with b.lock:
+                    b.sessions = max(0, b.sessions - 1)
+                return self._relay(b, "DELETE")
+            b = state.pick_round_robin()
+            if b is None:
+                return self._error("no healthy backends")
+            return self._relay(b, "DELETE")
+
+    return Handler
+
+
+def serve_router(backends: List[str], host: str = "127.0.0.1",
+                 port: int = 8700,
+                 background: bool = False) -> ThreadingHTTPServer:
+    state = RouterState(backends)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state  # for tests
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    else:
+        log.info("routing %d backends on %s:%d", len(backends), host, port)
+        httpd.serve_forever()
+    return httpd

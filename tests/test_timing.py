@@ -123,3 +123,30 @@ def test_default_alignment_heads(tiny_engine):
     assert all(l >= cfg.n_text_layer // 2 for l, _ in heads)
     assert len(heads) == (cfg.n_text_layer - cfg.n_text_layer // 2) * \
         cfg.n_text_head
+
+
+def test_alignment_heads_from_checkpoint_metadata(tmp_path):
+    """Tuned DTW heads flow from checkpoint metadata into the engine:
+    GGML sidecar JSON and HF generation_config.json."""
+    import json
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+
+    path = str(tmp_path / "m.bin")
+    write_tiny_checkpoint(path)
+
+    # no sidecar -> None (heuristic fallback downstream)
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    assert eng.alignment_heads is None
+
+    with open(str(tmp_path / "m.alignment_heads.json"), "w") as f:
+        json.dump([[1, 0], [1, 2]], f)
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    assert eng.alignment_heads == [(1, 0), (1, 2)]
+
+    # malformed sidecar is ignored, not fatal
+    with open(str(tmp_path / "m.alignment_heads.json"), "w") as f:
+        f.write("{broken")
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    assert eng.alignment_heads is None

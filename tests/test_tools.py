@@ -121,10 +121,14 @@ def test_from_hf_dir(tmp_path):
             f.write(b)
     with open(tmp_path / "config.json", "w") as f:
         json.dump(hf_cfg.to_dict(), f)
+    # tuned DTW heads ride in generation_config.json on HF snapshots
+    with open(tmp_path / "generation_config.json", "w") as f:
+        json.dump({"alignment_heads": [[1, 0], [1, 3]]}, f)
 
     eng = WhisperEngine.from_hf_dir(str(tmp_path), dtype=jnp.float32)
     assert eng.cfg.n_audio_state == 64
     assert eng.cfg.n_vocab == 600
+    assert eng.alignment_heads == [(1, 0), (1, 3)]
 
     rng = np.random.RandomState(0)
     mel = rng.randn(1, 80, 64).astype(np.float32)
