@@ -21,6 +21,15 @@ import sys
 from typing import Optional
 
 
+def _apply_platform(platform: Optional[str]) -> None:
+    """Select the JAX backend. Must use config.update AFTER importing jax:
+    this box's sitecustomize pre-imports jax with the TPU backend, so
+    JAX_PLATFORMS in the environment is a silent no-op."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+
 def _load_engine(model: Optional[str], dtype: str = "bfloat16"):
     import jax.numpy as jnp
 
@@ -139,6 +148,10 @@ def cmd_config(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="nobs-whisper-tpu")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force the JAX backend (set via config.update "
+                        "post-import; env vars are ignored when a "
+                        "sitecustomize pre-initializes jax)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("transcribe", help="transcribe an audio file")
@@ -196,6 +209,7 @@ def main(argv=None):
     c.set_defaults(fn=cmd_config)
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     args.fn(args)
 
 

@@ -218,9 +218,9 @@ def encode_decode_window_jit(
                              compute_dtype, q8_kv, xattn_bf16, sampling)
 
 
-def decode_window(
+def decode_window_dispatch(
     params,
-    xa: jnp.ndarray,
+    xa: Optional[jnp.ndarray],
     prompts: Sequence[Sequence[int]],
     cfg: WhisperConfig,
     tables: RuleTables,
@@ -229,11 +229,13 @@ def decode_window(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
-) -> List[WindowResult]:
-    """Host wrapper: pad prompts, run the jitted loop, score results.
+):
+    """Pad prompts and LAUNCH the jitted window decode; returns an opaque
+    handle of in-flight device arrays for :func:`decode_window_finalize`.
 
-    Pass ``mel`` (and xa=None) to run mel->encode->decode as one device
-    program (single dispatch — the serving fast path)."""
+    JAX dispatch is asynchronous: this returns as soon as the program is
+    enqueued, so a caller (pipeline/batcher.py) can overlap host work for
+    the NEXT batch with the device executing this one."""
     n = len(prompts)
     prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
     p_max = prompt_tokens.shape[1]
@@ -262,7 +264,13 @@ def decode_window(
             jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
             q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
             sampling=bool(np.any(temps > 0)))
+    return (tokens, n_sampled, sum_lp, nsp, temps)
 
+
+def decode_window_finalize(handle) -> List[WindowResult]:
+    """Block on the device arrays from :func:`decode_window_dispatch` and
+    score them into WindowResults."""
+    tokens, n_sampled, sum_lp, nsp, temps = handle
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)
     sum_lp = np.asarray(sum_lp)
@@ -280,6 +288,27 @@ def decode_window(
             temperature=float(temps[i]),
         ))
     return out
+
+
+def decode_window(
+    params,
+    xa: jnp.ndarray,
+    prompts: Sequence[Sequence[int]],
+    cfg: WhisperConfig,
+    tables: RuleTables,
+    opts: DecodeOptions,
+    temperature=0.0,             # scalar or per-element sequence
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
+) -> List[WindowResult]:
+    """Host wrapper: pad prompts, run the jitted loop, score results.
+
+    Pass ``mel`` (and xa=None) to run mel->encode->decode as one device
+    program (single dispatch — the serving fast path)."""
+    return decode_window_finalize(decode_window_dispatch(
+        params, xa, prompts, cfg, tables, opts, temperature, rng,
+        compute_dtype, mel))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

@@ -129,17 +129,47 @@ class WindowBatcher:
         return batch
 
     def _loop(self):
-        while self._running:
+        """Two-deep pipeline: JAX dispatch is async, so batch N+1 is
+        collected, packed, and ENQUEUED while the device still executes
+        batch N; N's results are then synced (the TPU analog of the
+        reference's capture/transcribe worker overlap, state.rs:549-607).
+        Idle queue = finalize immediately (no added latency).
+
+        Shutdown is sentinel-driven (None in the queue), NOT flag-driven:
+        requests already submitted when close() is called are still
+        decoded and delivered (drain semantics)."""
+        pending = None   # (batch, finalize_thunk) in flight on the device
+        while True:
+            if pending is not None and self._q.empty():
+                pending = self._finalize(pending)
             batch = self._collect()
             if not batch:
-                return
+                break
             try:
-                self._run_batch(batch)
+                thunk = self._run_batch(batch)
+                new_pending = (batch, thunk)
             except Exception as e:  # fail the whole batch, keep serving
                 log.exception("batch decode failed")
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                new_pending = None
+            if pending is not None:
+                self._finalize(pending)
+            pending = new_pending
+        if pending is not None:
+            self._finalize(pending)
+
+    def _finalize(self, pending):
+        batch, thunk = pending
+        try:
+            thunk()
+        except Exception as e:
+            log.exception("batch finalize failed")
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        return None
 
     def _run_batch(self, batch: List[_Request]):
         n = len(batch)
@@ -166,12 +196,15 @@ class WindowBatcher:
 
         langs: List[Optional[str]] = [None] * len(prompts)
         need_lang = any(r.lang_slot is not None for r in batch)
+        from ..decode.greedy import (decode_window_dispatch,
+                                     decode_window_finalize)
         if need_lang or self._custom_encode:
             xa = self._encode(mel)
             if need_lang:
                 # auto-language rows: ONE extra batched forward detects
                 # languages for the whole batch (whisper.rs:91-95), then
                 # the detected token is patched into each row's prompt
+                # (this sync is inherent: the prompt depends on the result)
                 from ..core.tokenizer import LANGUAGES
                 from ..decode.greedy import detect_language_jit
                 lang_idx, _ = detect_language_jit(
@@ -183,17 +216,22 @@ class WindowBatcher:
                         prompts[i][r.lang_slot] = (self.cfg.lang_base
                                                    + int(lang_idx[i]))
                         langs[i] = LANGUAGES[int(lang_idx[i])]
-            results = decode_window(
+            handle = decode_window_dispatch(
                 self.params, xa, prompts, self.cfg, self.tables, self.opts,
                 temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype)
         else:
             # fixed-language fast path: mel -> encode -> decode as ONE
             # device program (saves a host<->device round trip per batch)
-            results = decode_window(
+            handle = decode_window_dispatch(
                 self.params, None, prompts, self.cfg, self.tables,
                 self.opts, temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype, mel=mel)
-        for r, res, lang in zip(batch, results[:n], langs[:n]):
-            res.language = lang
-            r.future.set_result(res)
+
+        def finalize():
+            results = decode_window_finalize(handle)
+            for r, res, lang in zip(batch, results[:n], langs[:n]):
+                res.language = lang
+                r.future.set_result(res)
+
+        return finalize

@@ -165,3 +165,18 @@ def test_batcher_concurrency_stress(engine):
             assert isinstance(r.tokens, list)
     finally:
         batcher.close()
+
+
+def test_pending_batch_finalized_on_close(engine):
+    """The two-deep dispatch pipeline must drain on shutdown: a result
+    still in flight when close() is called is delivered, not dropped."""
+    cfg = engine.cfg
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer,
+                            DecodeOptions(), max_batch=2, max_wait_ms=1)
+    rng = np.random.RandomState(2)
+    mel = rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    prompt = engine.tokenizer.sot_sequence(language="en")
+    futs = [batcher.submit(mel, prompt) for _ in range(3)]
+    batcher.close()                      # may race the in-flight batch
+    for f in futs:
+        assert f.result(timeout=120).tokens is not None
