@@ -128,7 +128,7 @@ def decode_window_jit(
     def cond(s):
         return (s["step"] < sample_len) & ~jnp.all(s["done"])
 
-    def body(s):
+    def body(s, _=None):
         step = s["step"]
         logits = s["logits"].astype(jnp.float32)
         masked, lse, greedy_logit = apply_logit_rules_scored(
@@ -188,9 +188,30 @@ def decode_window_jit(
             penult=jnp.where(s["done"], s["penult"], s["last"]),
             logits=logits_next[:, 0],
             rng=rng,
-        )
+        ), None
 
-    state = jax.lax.while_loop(cond, body, state0)
+    # Two-level loop: outer while_loop over chunks of steps, inner
+    # lax.scan over the steps of a chunk. On this box's v5e, every
+    # OUTER device-loop iteration pays a ~180 us fixed cost while
+    # nested-scan iterations pay ~nothing (docs/ROADMAP.md platform
+    # facts), so chunking trades early-exit granularity (<= chunk-1
+    # wasted steps per window, once) for removing the fixed cost from
+    # every step. Chunk must divide sample_len so the last executed
+    # step is exactly sample_len - 1 (all cache writes stay in bounds).
+    step_chunk = 1
+    for c in (8, 4, 2):
+        if sample_len % c == 0:
+            step_chunk = c
+            break
+
+    if step_chunk == 1:
+        state = jax.lax.while_loop(cond, lambda s: body(s)[0], state0)
+    else:
+        def chunk_body(s):
+            s, _ = jax.lax.scan(body, s, None, length=step_chunk)
+            return s
+
+        state = jax.lax.while_loop(cond, chunk_body, state0)
     tokens = state["tokens"]
     n_sampled = jnp.sum(tokens != tables.eot, axis=1)
     return tokens, n_sampled, state["sum_logprob"], no_speech_prob

@@ -1,9 +1,18 @@
-"""Fused decoder-MLP kernel: LN -> fc1(int8) -> GELU -> fc2(int8) -> +res.
+"""Fused MLP kernels: LN -> fc1(int8) -> GELU -> fc2(int8) -> +residual.
 
-One Pallas launch replaces ~6 XLA ops + 2 dequant matmuls in the decode
-hot loop. For large-v3-turbo the int8 weights (2 x 6.5 MB) are VMEM-
-resident for the single-program call, so per-step HBM traffic is exactly
-one int8 weight read + the (tiny) activations.
+Two variants:
+
+- ``fused_mlp_q8`` (decoder, small M): one program, whole weights in
+  VMEM, bf16 dequant matmuls. Measured slower than XLA in the decode
+  loop; kept as an op.
+- ``encoder_mlp_int8`` (encoder, M = B*1500): grid-tiled with the row
+  tile resident and the FFN axis streamed in chunks; BOTH matmuls run
+  int8 x int8 -> int32 on the native int8 MXU with dynamic per-row
+  activation scales, and the fc1 output never exists in HBM (gelu +
+  requantize happen in VMEM). Per layer the HBM traffic is exactly:
+  read x (bf16), read w1+w2 (int8), write out (bf16) — the elementwise
+  passes XLA materializes (LN out, fc1 out, gelu out, quantized copies)
+  all disappear.
 """
 
 from __future__ import annotations
@@ -76,3 +85,136 @@ def mlp_reference(x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b):
     o = jnp.dot(a.astype(jnp.bfloat16), w2,
                 preferred_element_type=jnp.float32) + fc2_b
     return (x.astype(jnp.float32) + o).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# encoder variant: large M, int8 MXU, FFN streamed in chunks
+# ---------------------------------------------------------------------------
+
+def _enc_mlp_kernel(n_chunks,
+                    x_ref, g_ref, b_ref,
+                    w1q_ref, w1s_ref, b1_ref,
+                    w2q_ref, w2s_ref, b2_ref,
+                    out_ref,
+                    acc_ref, xq_ref, sx_ref):
+    """Grid (m_tiles, n_chunks), FFN chunks innermost: the x row-tile and
+    its LN+quantized form stay resident across the whole FFN sweep; w1/w2
+    chunks stream through VMEM (double-buffered by the Pallas pipeline)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        x = x_ref[...].astype(jnp.float32)               # (bm, d)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = (h * g_ref[...].astype(jnp.float32)
+             + b_ref[...].astype(jnp.float32))
+        sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                         1e-6) / 127.0
+        xq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
+            jnp.int8)
+        sx_ref[...] = sx
+        # residual + fc2 bias seeded once; chunk partials accumulate below
+        acc_ref[...] = x + b2_ref[...].astype(jnp.float32)
+
+    h1 = jnp.dot(xq_ref[...], w1q_ref[...],
+                 preferred_element_type=jnp.int32)       # (bm, bf) int8 MXU
+    a = (h1.astype(jnp.float32) * sx_ref[...] *
+         w1s_ref[...].astype(jnp.float32)
+         + b1_ref[...].astype(jnp.float32))
+    # tanh-gelu (Mosaic has no erf); < ~3e-4 off exact, below int8 noise
+    c = 0.7978845608028654  # sqrt(2/pi)
+    a = 0.5 * a * (1.0 + jnp.tanh(c * (a + 0.044715 * a * a * a)))
+
+    sa = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
+                     1e-6) / 127.0
+    aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+    p = jnp.dot(aq, w2q_ref[...],
+                preferred_element_type=jnp.int32)        # (bm, d) int8 MXU
+    acc_ref[...] += (p.astype(jnp.float32) * sa *
+                     w2s_ref[...].astype(jnp.float32))
+
+    @pl.when(j == n_chunks - 1)
+    def _flush():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def encoder_mlp_int8(x: jnp.ndarray, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+                     block_m: int = 256, block_f: int = 640,
+                     interpret: bool = False) -> jnp.ndarray:
+    """x: (M, d), M large (encoder: B*1500). fc1/fc2: int8 QTensors
+    ((d, F) and (F, d) with per-output-channel scales). Returns
+    x + fc2(gelu(fc1(ln(x)))) in x.dtype.
+
+    Numerics: dynamic per-row int8 activations on both matmuls (fc2's
+    input is quantized per (row, chunk), finer than the XLA path's
+    per-row-over-F), tanh gelu.
+    """
+    import functools
+
+    m, d = x.shape
+    ffn = fc1["q"].shape[-1]
+    # snap block_f to the largest 128-multiple divisor of ffn <= block_f
+    # (ffn varies by model: 1536 tiny ... 5120 large)
+    block_f = min(block_f, ffn)
+    while ffn % block_f or block_f % 128:
+        block_f -= 128
+        if block_f <= 0:
+            block_f = ffn
+            break
+    n_chunks = ffn // block_f
+    block_m = min(block_m, m)
+    m_pad = -(-m // block_m) * block_m
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // block_m, n_chunks)
+
+    out = pl.pallas_call(
+        functools.partial(_enc_mlp_kernel, n_chunks),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),       # x (resident / i)
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),       # ln_g
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),       # ln_b
+            pl.BlockSpec((d, block_f), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),       # w1 chunk
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),       # w1 scales
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),       # b1 chunk
+            pl.BlockSpec((block_f, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),       # w2 chunk
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),       # w2 scales
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),       # b2
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d), jnp.float32),       # acc
+            pltpu.VMEM((block_m, d), jnp.int8),          # xq
+            pltpu.VMEM((block_m, 1), jnp.float32),       # sx
+        ],
+        interpret=interpret,
+    )(x, ln_g.reshape(1, d), ln_b.reshape(1, d),
+      fc1["q"], fc1["s"].reshape(1, ffn), fc1_b.reshape(1, ffn),
+      fc2["q"], fc2["s"].reshape(1, d), fc2_b.reshape(1, d))
+    return out[:m]
+
+
+def encoder_mlp_reference(x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b):
+    """XLA dynamic-int8 reference (the shipping encoder path numerics,
+    models/whisper.py::block) for parity-testing the fused kernel."""
+    from ..models.whisper import _gelu, _layer_norm
+    from .quant import dense_int8_dynamic
+
+    h = _layer_norm(x, ln_g, ln_b)
+    a = _gelu(dense_int8_dynamic(h, fc1, fc1_b))
+    o = dense_int8_dynamic(a, fc2, fc2_b)
+    return (x.astype(jnp.float32) + o.astype(jnp.float32)).astype(x.dtype)

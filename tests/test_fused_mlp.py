@@ -42,3 +42,37 @@ def test_fused_mlp_bf16_io():
     ref = mlp_reference(x, ln_g, ln_b, fc1, zb1, fc2, zb2)
     assert np.abs(np.asarray(out, np.float32) -
                   np.asarray(ref, np.float32)).max() < 0.1
+
+
+def test_encoder_mlp_int8_matches_reference():
+    """Fused encoder MLP (interpret) vs the XLA dynamic-int8 path.
+
+    Differences allowed: tanh vs exact gelu, per-(row,chunk) vs per-row
+    fc2 input scales, bf16 MXU vs int8 — all sub-1e-2 on unit-scale data."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.ops.fused_mlp import (encoder_mlp_int8,
+                                                encoder_mlp_reference)
+    from nobs_whisper_tpu.ops.quant import quantize_int8
+
+    rng = np.random.RandomState(0)
+    m, d, f = 300, 256, 512          # m not a multiple of block_m: pads
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    ln_g = jnp.asarray(1.0 + 0.1 * rng.randn(d).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    fc1 = quantize_int8(jnp.asarray(
+        rng.randn(d, f).astype(np.float32) * (d ** -0.5)))
+    fc1_b = jnp.asarray(0.1 * rng.randn(f).astype(np.float32))
+    fc2 = quantize_int8(jnp.asarray(
+        rng.randn(f, d).astype(np.float32) * (f ** -0.5)))
+    fc2_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+
+    ref = np.asarray(encoder_mlp_reference(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b), np.float32)
+    got = np.asarray(encoder_mlp_int8(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+        block_m=128, block_f=128, interpret=True), np.float32)
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 0.05, err
