@@ -151,6 +151,15 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     use_int8_mlp = (jax.default_backend() == "tpu"
                     and jax.device_count() == 1
                     and not os.environ.get("NWT_NO_INT8_MLP"))
+    # experiment flag (trace-time): fused int8 QKV + residual-o kernels.
+    # MEASURED SLOWER (B=16 turbo encode 318.3 -> 370.3 ms): unlike the
+    # MLP kernel, which amortizes its VPU phase (LN+quant) over 4 FFN
+    # chunk steps, each QKV grid step strictly alternates VPU and MXU
+    # work — XLA's split kernels pipeline the projections better. Kept
+    # opt-in for re-measurement on other topologies.
+    use_int8_qkv = (jax.default_backend() == "tpu"
+                    and jax.device_count() == 1
+                    and bool(os.environ.get("NWT_INT8_QKV")))
 
     def block(x, p):
         from ..ops.quant import dense_int8_dynamic, is_quantized
@@ -163,10 +172,22 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             y = h @ w
             return y if bias is None else y + bias
 
-        h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
-        k = _split_heads(lin(h, p["k_w"]), n_head)
-        v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
+        if use_int8_qkv and is_quantized(p["q_w"]):
+            from ..ops.fused_qkv import encoder_qkv_int8
+            bsz, t, d = x.shape
+            bm = int(os.environ.get("NWT_QKV_BM", 0)) or 256
+            qf, kf, vf = encoder_qkv_int8(
+                x.reshape(bsz * t, d), p["ln1_g"], p["ln1_b"],
+                p["q_w"], p["q_b"], p["k_w"], p["v_w"], p["v_b"],
+                block_m=bm)
+            q = _split_heads(qf.reshape(bsz, t, d), n_head)
+            k = _split_heads(kf.reshape(bsz, t, d), n_head)
+            v = _split_heads(vf.reshape(bsz, t, d), n_head)
+        else:
+            h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+            q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
+            k = _split_heads(lin(h, p["k_w"]), n_head)
+            v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention)
@@ -199,7 +220,16 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             a = _merge_heads(a.astype(x.dtype))
         else:
             a = _merge_heads(_attention(q, k, v, mask=None))
-        x = x + lin(a, p["o_w"], p["o_b"])
+        if use_int8_qkv and is_quantized(p["o_w"]):
+            from ..ops.fused_qkv import residual_o_int8
+            bsz, t, d = x.shape
+            x = residual_o_int8(
+                x.reshape(bsz * t, d), a.reshape(bsz * t, d),
+                p["o_w"], p["o_b"],
+                block_m=int(os.environ.get("NWT_QKV_BM", 0)) or 256,
+            ).reshape(bsz, t, d)
+        else:
+            x = x + lin(a, p["o_w"], p["o_b"])
         if use_int8_mlp and is_quantized(p["fc1_w"]):
             from ..ops.fused_mlp import encoder_mlp_int8
             bsz, t, d = x.shape
