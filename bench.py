@@ -40,7 +40,7 @@ DECODE_TOKENS_PER_WINDOW = 160
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="large-v3-turbo")
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=24)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--decode-tokens", type=int,
                    default=DECODE_TOKENS_PER_WINDOW)
@@ -50,6 +50,10 @@ def main():
                    help="also measure p50 single-utterance latency")
     p.add_argument("--fuse-qkv", action="store_true",
                    help="fused qkv projection (measured slower; see note)")
+    p.add_argument("--q8-kv", action="store_true",
+                   help="int8 cross-KV in the serving loop (A/B "
+                        "experiment; NWT_Q8_KV_XLA=1 picks the "
+                        "XLA-dequant variant over the Pallas kernel)")
     p.add_argument("--xattn-bf16", action="store_true",
                    help="fused bf16 single-query cross-attention kernel "
                         "in the serving loop (A/B experiment)")
@@ -166,7 +170,8 @@ def main():
         xa = encode(params, mel, cfg, compute_dtype=dtype)
         toks, n, slp, nsp = decode_window_jit(
             params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
-            dtype, xattn_bf16=args.xattn_bf16, sampling=False)
+            dtype, q8_kv=args.q8_kv, xattn_bf16=args.xattn_bf16,
+            sampling=False)
         return slp
 
     def p_real(params, a):

@@ -291,16 +291,6 @@ def init_kv_cache(cfg: WhisperConfig, batch: int,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def _write_cache(cache: jnp.ndarray, layer_vals: jnp.ndarray,
-                 start: jnp.ndarray) -> jnp.ndarray:
-    """Write a (B, H, S, Dh) slice into cache layer (B, H, T, Dh) at the
-    *uniform* start position ``start`` (scalar). A single sliced
-    dynamic_update — per-element positions would lower to a scatter, which
-    measured ~0.5 ms/step on v5e for the 4-layer turbo decoder."""
-    return jax.lax.dynamic_update_slice(
-        cache, layer_vals, (0, 0, start, 0))
-
-
 def decoder_forward(
     params: Params,
     tokens: jnp.ndarray,          # (B, S) int32 — token slice
@@ -434,7 +424,8 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         x = x + _dense(h, p["fc2_w"], p["fc2_b"])
         return x
 
-    if cfg.n_text_layer <= 8:
+    import os
+    if cfg.n_text_layer <= 8 and not os.environ.get("NWT_DEEP_DECODER"):
         # Unrolled layer loop with tiny IN-PLACE writes into the stacked
         # cache. Carrying the caches through lax.scan as xs/ys re-stacks
         # the whole (L,B,H,T,Dh) K/V buffers every call — measured 1.81 ->
@@ -458,20 +449,38 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
                     if isinstance(xv, dict) else xv[layer])
             x = cross_and_mlp(x, p, xk_l, xv_l)
     else:
-        # deep decoders (large-v3: 32 layers): scan for compile economy
-        def block(x, scanned):
-            p, ck_l, cv_l, xk_l, xv_l = scanned
+        # deep decoders (small 12 / medium 24 / large-v3 32 layers):
+        # fori_loop for compile economy, with the SAME in-place stacked-
+        # cache writes as the unrolled path. Carrying the caches through
+        # lax.scan as xs/ys re-stacks the whole (L,B,H,T,Dh) buffers
+        # every token step (measured 1.81 vs 0.33 ms/step on turbo);
+        # dynamic_update_slice at the layer index keeps the write tiny.
+        def layer_body(layer, carry):
+            x, ck, cv = carry
+            p = jax.tree.map(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, layer, keepdims=False), dec["blocks"])
             q, k, v = project_qkv(x, p)
-            ck_l = _write_cache(ck_l, k.astype(ck_l.dtype), cache_start)
-            cv_l = _write_cache(cv_l, v.astype(cv_l.dtype), cache_start)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (layer, 0, 0, cache_start, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
+            ck_l = jax.lax.dynamic_index_in_dim(ck, layer, keepdims=False)
+            cv_l = jax.lax.dynamic_index_in_dim(cv, layer, keepdims=False)
             a = _attention(q, ck_l.astype(compute_dtype),
                            cv_l.astype(compute_dtype), self_mask)
             x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
+            xk_l = jax.tree.map(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, layer, keepdims=False), xk)
+            xv_l = jax.tree.map(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, layer, keepdims=False), xv)
             x = cross_and_mlp(x, p, xk_l, xv_l)
-            return x, (ck_l, cv_l)
+            return x, ck, cv
 
-        x, (ck, cv) = jax.lax.scan(block, x,
-                                   (dec["blocks"], ck, cv, xk, xv))
+        x, ck, cv = jax.lax.fori_loop(
+            0, cfg.n_text_layer, layer_body, (x, ck, cv))
     x = _layer_norm(x, dec["ln_g"], dec["ln_b"])
     if "tok_emb_q" in dec:
         # quantized logit projection: the largest per-step HBM read

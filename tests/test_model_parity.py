@@ -198,3 +198,39 @@ def test_bf16_close_to_fp32(torch_model, jax_params):
                             compute_dtype=jnp.bfloat16).astype(jnp.float32))
     # bf16 has ~3 decimal digits; activations are O(1)
     assert np.abs(b16 - f32).mean() < 0.05
+
+
+def test_deep_decoder_path_matches_unrolled(torch_model, jax_params):
+    """The fori_loop decoder branch (small/medium/large-v3, >8 layers)
+    must equal the unrolled branch exactly — same in-place cache
+    semantics, layer params/cross-KV fetched by dynamic index."""
+    import os
+    import jax
+    params, cfg = jax_params
+    mel = _rand_mel((torch_model)[1], seed=7)
+    xa = encode(params, jnp.asarray(mel), cfg)
+    cross_kv = precompute_cross_kv(params, xa, cfg)
+    toks = jnp.asarray([[3, 7, 11], [3, 5, 2]], jnp.int32)
+    pads = jnp.asarray([0, 1], jnp.int32)
+
+    def run():
+        cache = init_kv_cache(cfg, batch=2)
+        lg1, cache = decoder_forward(params, toks, jnp.int32(0), pads,
+                                     cache, cross_kv, cfg)
+        lg2, cache = decoder_forward(
+            params, jnp.full((2, 1), 9, jnp.int32), jnp.int32(3), pads,
+            cache, cross_kv, cfg)
+        return np.asarray(lg1), np.asarray(lg2), jax.tree.map(
+            np.asarray, cache)
+
+    assert not os.environ.get("NWT_DEEP_DECODER")
+    a1, a2, ca = run()
+    os.environ["NWT_DEEP_DECODER"] = "1"
+    try:
+        b1, b2, cb = run()
+    finally:
+        del os.environ["NWT_DEEP_DECODER"]
+    np.testing.assert_allclose(a1, b1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(a2, b2, rtol=1e-6, atol=1e-6)
+    for x, y in zip(jax.tree.leaves(ca), jax.tree.leaves(cb)):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-6)
