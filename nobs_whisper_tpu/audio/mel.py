@@ -219,6 +219,58 @@ def log_mel_longform(audio: np.ndarray, n_mels: int = 80,
     return ((log_spec + 4.0) / 4.0).astype(np.float32)
 
 
+def frame_window_np(audio: np.ndarray,
+                    n_frames: int = N_FRAMES) -> np.ndarray:
+    """Host-side framing of ONE window-length chunk into
+    (n_frames, N_FFT) f32 — exactly ``log_mel_longform(audio,
+    padding=n_frames*HOP)``'s first window (reflect left edge over the
+    signal, zero right tail).
+
+    This is the serving fast path's host half: the session frames the
+    chunk (a strided memcpy), and the batcher's ONE device program does
+    DFT -> mel -> clamp -> encode -> decode (see
+    decode/greedy.py::frames_encode_decode_window_jit) — no separate mel
+    dispatch through the device tunnel per chunk.
+    """
+    audio = np.asarray(audio, dtype=np.float32)[: n_frames * HOP_LENGTH]
+    pad = N_FFT // 2
+    if audio.shape[0] <= pad:   # sub-12.5 ms residue: zero-extend first
+        audio = np.concatenate([audio,
+                                np.zeros(pad + 1 - audio.shape[0],
+                                         np.float32)])
+    need = (n_frames - 1) * HOP_LENGTH + N_FFT
+    left = audio[1: pad + 1][::-1]
+    tail = np.zeros(max(need - pad - audio.shape[0], 0), np.float32)
+    padded = np.concatenate([left, audio, tail])
+    frames = np.lib.stride_tricks.sliding_window_view(
+        padded, N_FFT)[:: HOP_LENGTH][:n_frames]
+    return np.ascontiguousarray(frames)
+
+
+def log_mel_from_frames(frames: jnp.ndarray,
+                        n_mels: int = 80) -> jnp.ndarray:
+    """(B, N_FRAMES, N_FFT) pre-framed windows -> (B, n_mels, N_FRAMES)
+    normalized log-mel. Jit-inlinable device half of the framed fast path;
+    numerically identical to ``log_mel_longform``'s first window for
+    <=30 s chunks (the zero-pad frames sit at the log floor, so the
+    per-window max equals the longform global max)."""
+    cos_b, sin_b = _dft_bases()
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btf,fk->btk", frames, cos_b, precision=hi)
+    im = jnp.einsum("btf,fk->btk", frames, sin_b, precision=hi)
+    power = re * re + im * im
+    mel_f = jnp.asarray(mel_filter_bank(n_mels))
+    mel = jnp.einsum("btk,mk->btm", power, mel_f, precision=hi)
+    log_spec = jnp.swapaxes(jnp.log10(jnp.maximum(mel, 1e-10)), -1, -2)
+    mx = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, mx - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(jnp.float32)
+
+
+log_mel_from_frames_jit = jax.jit(log_mel_from_frames,
+                                  static_argnames=("n_mels",))
+
+
 def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
     """Pad with zeros / trim to exactly ``length`` samples (last axis)."""
     t = audio.shape[-1]

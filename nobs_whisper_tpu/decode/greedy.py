@@ -239,6 +239,29 @@ def encode_decode_window_jit(
                              compute_dtype, q8_kv, xattn_bf16, sampling)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
+                     "xattn_bf16", "sampling"))
+def frames_encode_decode_window_jit(
+    params, frames, prompt_tokens, pad_lens, sot_idx, tables, temperature,
+    rng, cfg, sample_len, compute_dtype=jnp.float32, q8_kv=False,
+    xattn_bf16=False, sampling=True,
+):
+    """STFT-framed audio -> mel -> encoder -> decode loop in ONE device
+    program — the serving fast path. Sessions frame the chunk on the host
+    (audio/mel.py::frame_window_np, a strided memcpy) so the per-chunk
+    device work is a single dispatch; the separate jitted-mel call (and
+    its ~27 ms tunnel round trip + host hop) disappears."""
+    from ..audio.mel import log_mel_from_frames
+    from ..models.whisper import encode
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
+    return decode_window_jit(params, xa, prompt_tokens, pad_lens, sot_idx,
+                             tables, temperature, rng, cfg, sample_len,
+                             compute_dtype, q8_kv, xattn_bf16, sampling)
+
+
 def decode_window_dispatch(
     params,
     xa: Optional[jnp.ndarray],
@@ -250,6 +273,7 @@ def decode_window_dispatch(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
+    frames: Optional[jnp.ndarray] = None,  # fuse mel+encode (framed audio)
 ):
     """Pad prompts and LAUNCH the jitted window decode; returns an opaque
     handle of in-flight device arrays for :func:`decode_window_finalize`.
@@ -271,7 +295,14 @@ def decode_window_dispatch(
     import os
     xattn_bf16 = (opts.xattn_bf16 or
                   bool(os.environ.get("NWT_XATTN_BF16")))
-    if mel is not None:
+    if frames is not None:
+        tokens, n_sampled, sum_lp, nsp = frames_encode_decode_window_jit(
+            params, frames, jnp.asarray(prompt_tokens),
+            jnp.asarray(pad_lens), jnp.asarray(sot_idx), tables,
+            jnp.asarray(temps), rng, cfg, sample_len, compute_dtype,
+            q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
+            sampling=bool(np.any(temps > 0)))
+    elif mel is not None:
         tokens, n_sampled, sum_lp, nsp = encode_decode_window_jit(
             params, mel, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
             jnp.asarray(sot_idx), tables,

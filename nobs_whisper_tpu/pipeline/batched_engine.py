@@ -73,9 +73,13 @@ class BatchedEngine:
                                           vocabulary=vocabulary,
                                           context=context, opts=opts)
 
-        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
-                               padding=window_frames * HOP_LENGTH)
-        window = mel[:, :window_frames]
+        # serving fast path: frame the chunk on the host (a strided
+        # memcpy) and let the batcher's ONE device program do
+        # mel -> encode -> decode — no per-chunk jitted-mel dispatch.
+        # frame_window_np + log_mel_from_frames reproduce
+        # log_mel_longform's first window exactly (test_mel.py).
+        from ..audio.mel import frame_window_np
+        frames = frame_window_np(audio, n_frames=window_frames)
 
         lang = language if language not in (None, "auto") else None
         prompt: List[int] = []
@@ -101,8 +105,8 @@ class BatchedEngine:
         result, text = None, ""
         for temp in _temperature_ladder(self.opts):
             result = self.batcher.submit(
-                window, prompt, temperature=temp,
-                lang_slot=lang_slot).result(timeout=600)
+                None, prompt, temperature=temp,
+                lang_slot=lang_slot, frames=frames).result(timeout=600)
             if lang_slot is not None and result.language:
                 # reuse the detected language on retries
                 lang = result.language

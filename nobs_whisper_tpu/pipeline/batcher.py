@@ -33,13 +33,16 @@ log = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class _Request:
-    mel: np.ndarray             # (n_mels, 2*n_audio_ctx)
+    mel: Optional[np.ndarray]   # (n_mels, 2*n_audio_ctx), or None
     prompt: List[int]
     future: Future
     temperature: float = 0.0
     # index into prompt whose token is replaced by the detected language
     # (auto-language mode, whisper.rs:91-95); None = language fixed
     lang_slot: Optional[int] = None
+    # STFT-framed audio (N_FRAMES, N_FFT) — the fused mel+encode+decode
+    # fast path (one device dispatch per batch, no per-chunk mel call)
+    frames: Optional[np.ndarray] = None
 
 
 def _pad_batch_size(n: int, max_batch: int) -> int:
@@ -87,14 +90,24 @@ class WindowBatcher:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit(self, mel_window: np.ndarray, prompt: Sequence[int],
+    def submit(self, mel_window: Optional[np.ndarray], prompt: Sequence[int],
                temperature: float = 0.0,
-               lang_slot: Optional[int] = None) -> "Future[WindowResult]":
+               lang_slot: Optional[int] = None,
+               frames: Optional[np.ndarray] = None
+               ) -> "Future[WindowResult]":
+        """Submit either a mel window or STFT ``frames`` (the fused fast
+        path — see audio/mel.py::frame_window_np)."""
+        if (mel_window is None) == (frames is None):
+            raise ValueError("pass exactly one of mel_window / frames")
         fut: Future = Future()
-        self._q.put(_Request(mel=np.asarray(mel_window, np.float32),
-                             prompt=list(prompt), future=fut,
-                             temperature=float(temperature),
-                             lang_slot=lang_slot))
+        self._q.put(_Request(
+            mel=(None if mel_window is None
+                 else np.asarray(mel_window, np.float32)),
+            prompt=list(prompt), future=fut,
+            temperature=float(temperature),
+            lang_slot=lang_slot,
+            frames=(None if frames is None
+                    else np.asarray(frames, np.float32))))
         return fut
 
     def close(self):
@@ -178,27 +191,47 @@ class WindowBatcher:
             dp = self.mesh.shape["dp"]
             padded_n = max(padded_n, dp)
             padded_n += (-padded_n) % dp          # divisible by dp
-        mels = [r.mel for r in batch]
+        # a batch mixing framed and mel requests (possible only when
+        # heterogeneous callers share one batcher) degrades to the mel
+        # path: framed rows get their mel from one jitted call here
+        all_frames = all(r.frames is not None for r in batch)
+        if not all_frames and any(r.frames is not None for r in batch):
+            from ..audio.mel import log_mel_from_frames_jit
+            mixed = np.stack([r.frames for r in batch
+                              if r.frames is not None])
+            mixed_mels = iter(np.asarray(log_mel_from_frames_jit(
+                jnp.asarray(mixed), n_mels=self.cfg.n_mels)))
+            for r in batch:
+                if r.frames is not None:
+                    r.mel = next(mixed_mels)
+
+        rows = [(r.frames if all_frames else r.mel) for r in batch]
         prompts = [list(r.prompt) for r in batch]
         temps = [r.temperature for r in batch]
-        while len(mels) < padded_n:       # replicate a real row
-            mels.append(mels[0])
+        while len(rows) < padded_n:       # replicate a real row
+            rows.append(rows[0])
             prompts.append(list(prompts[0]))
             temps.append(temps[0])
         self.batch_sizes.append(n)
 
-        mel = np.stack(mels)
+        stacked = np.stack(rows)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
-            mel = jax.device_put(mel, batch_sharding(self.mesh))
+            stacked = jax.device_put(stacked, batch_sharding(self.mesh))
         else:
-            mel = jnp.asarray(mel)
+            stacked = jnp.asarray(stacked)
 
         langs: List[Optional[str]] = [None] * len(prompts)
         need_lang = any(r.lang_slot is not None for r in batch)
         from ..decode.greedy import (decode_window_dispatch,
                                      decode_window_finalize)
         if need_lang or self._custom_encode:
+            if all_frames:
+                from ..audio.mel import log_mel_from_frames_jit
+                mel = log_mel_from_frames_jit(stacked,
+                                              n_mels=self.cfg.n_mels)
+            else:
+                mel = stacked
             xa = self._encode(mel)
             if need_lang:
                 # auto-language rows: ONE extra batched forward detects
@@ -221,12 +254,14 @@ class WindowBatcher:
                 temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype)
         else:
-            # fixed-language fast path: mel -> encode -> decode as ONE
-            # device program (saves a host<->device round trip per batch)
+            # fixed-language fast path: (frames ->) mel -> encode ->
+            # decode as ONE device program per batch
             handle = decode_window_dispatch(
                 self.params, None, prompts, self.cfg, self.tables,
                 self.opts, temperature=np.asarray(temps, np.float32),
-                compute_dtype=self.compute_dtype, mel=mel)
+                compute_dtype=self.compute_dtype,
+                mel=None if all_frames else stacked,
+                frames=stacked if all_frames else None)
 
         def finalize():
             results = decode_window_finalize(handle)

@@ -71,3 +71,26 @@ def test_pad_or_trim():
     p = np.asarray(pad_or_trim(a, 200))
     assert p.shape == (200,)
     assert p[100:].sum() == 0
+
+
+def test_framed_fast_path_matches_longform_window():
+    """frame_window_np + log_mel_from_frames (the serving fast path's
+    host/device halves) must reproduce log_mel_longform's first window
+    exactly for <=30 s chunks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.audio.mel import (HOP_LENGTH, N_FRAMES,
+                                            frame_window_np,
+                                            log_mel_from_frames,
+                                            log_mel_longform)
+
+    rng = np.random.RandomState(0)
+    for seconds in (0.5, 5.0, 29.0, 30.0):
+        audio = (rng.randn(int(16000 * seconds)) * 0.3).astype(np.float32)
+        ref = log_mel_longform(audio, n_mels=80,
+                               padding=N_FRAMES * HOP_LENGTH)[:, :N_FRAMES]
+        frames = frame_window_np(audio)
+        assert frames.shape == (N_FRAMES, 400)
+        got = np.asarray(log_mel_from_frames(
+            jnp.asarray(frames)[None], n_mels=80))[0]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
