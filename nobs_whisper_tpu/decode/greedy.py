@@ -85,12 +85,21 @@ def decode_window_jit(
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
     no_speech_prob (B,))."""
+    import os
     b, p_max = prompt_tokens.shape
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if q8_kv:
         from ..ops.attention_pallas import quantize_cross_kv
         cross_kv = quantize_cross_kv(cross_kv)
-    elif xattn_bf16:
+    elif xattn_bf16 or (compute_dtype == jnp.bfloat16
+                        and jax.default_backend() == "tpu"
+                        and not os.environ.get("NWT_NO_KT_XATTN")):
+        # Packed (Dh, T) K layout, DEFAULT on the bf16 TPU serving path:
+        # the per-step scores contraction runs over the sublane Dh axis
+        # with no per-step transpose of K. Measured (B=24 turbo, v5e):
+        # decode 0.461 -> 0.390 s/batch, headline 774 -> 839x RTF.
+        # Lossless when compute_dtype is bf16 (KV were bf16 already);
+        # the f32 oracle path keeps the plain layout.
         from ..ops.attention_pallas import pack_cross_kv_bf16
         cross_kv = pack_cross_kv_bf16(cross_kv)
     # Right-sized cache: the loop never writes past p_max + sample_len, so

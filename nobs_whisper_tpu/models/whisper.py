@@ -394,14 +394,20 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         h = _layer_norm(x, p["lnx_g"], p["lnx_b"])
         q = _split_heads(_dense(h, p["xq_w"], p["xq_b"]), n_head)
         if isinstance(xk_l, dict) and "kT" in xk_l:
+            import os
             from ..ops.attention_pallas import (
-                cross_attention_bf16_reference, cross_attention_decode_bf16)
+                cross_attention_decode_bf16, cross_attention_kt_xla)
             packed = {"kT": xk_l["kT"], "v": xv_l["v"]}
-            if q.shape[-2] == 1 and jax.default_backend() == "tpu":
+            if (os.environ.get("NWT_XATTN_KERNEL")
+                    and q.shape[-2] == 1
+                    and jax.default_backend() == "tpu"):
+                # opt-in Pallas single-query kernel (measured ~2x slower
+                # than the XLA packed-layout einsums; kept for re-tries)
                 a = cross_attention_decode_bf16(q, packed, cfg.n_audio_ctx)
             else:
-                a = cross_attention_bf16_reference(q, packed,
-                                                   cfg.n_audio_ctx)
+                # packed-layout XLA einsums: the measured decode winner
+                # (no per-step K transpose; docs/ROADMAP.md round-2 log)
+                a = cross_attention_kt_xla(q, packed, cfg.n_audio_ctx)
             a = a.astype(compute_dtype)
         elif isinstance(xk_l, dict):
             import os

@@ -201,6 +201,25 @@ def cross_attention_decode_bf16(
     return out.reshape(b, h, 1, dh)
 
 
+def cross_attention_kt_xla(q, packed, t_real):
+    """Pure-XLA cross-attention on the PACKED (Dh, Tp) K layout — the
+    layout A/B for the decode hot loop (NWT_XATTN_KT_XLA): the scores
+    contraction runs over the sublane Dh axis with T on lanes, no
+    per-step transpose, padding masked by index."""
+    kT = packed["kT"]                                      # (B,H,Dh,Tp)
+    v = packed["v"]                                        # (B,H,Tp,Dh)
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhsd,bhdt->bhst", q.astype(jnp.bfloat16), kT,
+        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    tp = kT.shape[-1]
+    mask = jnp.arange(tp) < t_real
+    scores = jnp.where(mask[None, None, None, :], scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs.astype(jnp.bfloat16), v,
+                      preferred_element_type=jnp.float32)
+
+
 def cross_attention_bf16_reference(q, packed, t_real):
     """XLA fallback with identical semantics (CPU and prefill S>1)."""
     k = jnp.swapaxes(packed["kT"][..., :t_real], -1, -2)  # (B,H,T,Dh)

@@ -140,3 +140,18 @@ def test_quantized_decode_window_matches_fp32():
     n = min(len(fp.tokens), len(q8.tokens), 5)
     assert fp.tokens[:n] == q8.tokens[:n]
     assert q8.no_speech_prob == pytest.approx(fp.no_speech_prob, abs=0.05)
+
+
+def test_kt_xla_layout_matches_reference():
+    """The packed-layout XLA cross-attention (NWT_XATTN_KT_XLA A/B)
+    matches the plain fp path within bf16 rounding."""
+    from nobs_whisper_tpu.ops.attention_pallas import (
+        cross_attention_bf16_reference, cross_attention_kt_xla,
+        pack_cross_kv_bf16)
+    q, k, v = _make(seed=11, t=300)
+    kd, vd = pack_cross_kv_bf16((k, v))
+    packed = {"kT": kd["kT"][0], "v": vd["v"][0]}
+    ref = np.asarray(cross_attention_bf16_reference(q, packed, 300))
+    got = np.asarray(cross_attention_kt_xla(q, packed, 300))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 0.02
