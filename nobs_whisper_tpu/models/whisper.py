@@ -92,6 +92,23 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("...hts,...hsd->...htd", probs.astype(v.dtype), v)
 
 
+def _attention_kt(q: jnp.ndarray, kT: jnp.ndarray, v: jnp.ndarray,
+                  mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Attention over a PRE-TRANSPOSED K (..., H, Dh, Tk) — the decode
+    self-cache layout: scores contract the sublane Dh axis with Tk on
+    lanes, no per-step transpose. Same math as :func:`_attention`
+    (contraction dim identical, so accumulation order matches)."""
+    dh = q.shape[-1]
+    scale = dh ** -0.25
+    scores = jnp.einsum(
+        "...htd,...hds->...hts", q * scale, kT * scale,
+        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("...hts,...hsd->...htd", probs.astype(v.dtype), v)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -285,10 +302,18 @@ def init_kv_cache(cfg: WhisperConfig, batch: int,
     that know their true horizon pass t_ctx = p_max + sample_len: the
     self-attention read (the cache's whole cost) scales with the cache
     length, so a right-sized cache reads ~2.3x less HBM per step than the
-    448-slot worst case."""
-    shape = (cfg.n_text_layer, batch, cfg.n_text_head,
-             t_ctx or cfg.n_text_ctx, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    448-slot worst case.
+
+    Layout: K is stored PRE-TRANSPOSED (L, B, H, Dh, T) so the per-step
+    scores contraction runs over the sublane Dh axis with T on lanes and
+    no per-step transpose (same layout win as the packed cross-K,
+    docs/ROADMAP.md); V stays (L, B, H, T, Dh). Writes remain single
+    slices: a step writes a (B, H, Dh, 1) column at the uniform position.
+    """
+    t = t_ctx or cfg.n_text_ctx
+    l, h, dh = cfg.n_text_layer, cfg.n_text_head, cfg.head_dim
+    return (jnp.zeros((l, batch, h, dh, t), dtype),
+            jnp.zeros((l, batch, h, t, dh), dtype))
 
 
 def decoder_forward(
@@ -357,7 +382,7 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
     b, s = tokens.shape
     # self-attention span = the CACHE's length (may be right-sized below
     # cfg.n_text_ctx); position-embedding indices clip to the pos table
-    t_ctx = kv_cache[0].shape[3]
+    t_ctx = kv_cache[0].shape[-1]          # ck is (L, B, H, Dh, T)
 
     tok_emb = dec["tok_emb"]
     cache_idx = cache_start + jnp.arange(s)                     # (S,)
@@ -442,12 +467,13 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         for layer in range(cfg.n_text_layer):
             p = jax.tree.map(lambda t: t[layer], dec["blocks"])
             q, k, v = project_qkv(x, p)
+            kT = jnp.swapaxes(k, -1, -2)             # (B, H, Dh, S)
             ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (layer, 0, 0, cache_start, 0))
+                ck, kT[None].astype(ck.dtype), (layer, 0, 0, 0, cache_start))
             cv = jax.lax.dynamic_update_slice(
                 cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
-            a = _attention(q, ck[layer].astype(compute_dtype),
-                           cv[layer].astype(compute_dtype), self_mask)
+            a = _attention_kt(q, ck[layer].astype(compute_dtype),
+                              cv[layer].astype(compute_dtype), self_mask)
             x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
             xk_l = (jax.tree.map(lambda t: t[layer], xk)
                     if isinstance(xk, dict) else xk[layer])
@@ -467,14 +493,15 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
                 lambda t: jax.lax.dynamic_index_in_dim(
                     t, layer, keepdims=False), dec["blocks"])
             q, k, v = project_qkv(x, p)
+            kT = jnp.swapaxes(k, -1, -2)             # (B, H, Dh, S)
             ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (layer, 0, 0, cache_start, 0))
+                ck, kT[None].astype(ck.dtype), (layer, 0, 0, 0, cache_start))
             cv = jax.lax.dynamic_update_slice(
                 cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
             ck_l = jax.lax.dynamic_index_in_dim(ck, layer, keepdims=False)
             cv_l = jax.lax.dynamic_index_in_dim(cv, layer, keepdims=False)
-            a = _attention(q, ck_l.astype(compute_dtype),
-                           cv_l.astype(compute_dtype), self_mask)
+            a = _attention_kt(q, ck_l.astype(compute_dtype),
+                              cv_l.astype(compute_dtype), self_mask)
             x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
             xk_l = jax.tree.map(
                 lambda t: jax.lax.dynamic_index_in_dim(
