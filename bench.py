@@ -40,7 +40,7 @@ DECODE_TOKENS_PER_WINDOW = 160
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="large-v3-turbo")
-    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--batch", type=int, default=28)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--decode-tokens", type=int,
                    default=DECODE_TOKENS_PER_WINDOW)
@@ -54,13 +54,16 @@ def main():
                    help="int8 cross-KV in the serving loop (A/B "
                         "experiment; NWT_Q8_KV_XLA=1 picks the "
                         "XLA-dequant variant over the Pallas kernel)")
-    p.add_argument("--xattn-bf16", action="store_true",
-                   help="fused bf16 single-query cross-attention kernel "
-                        "in the serving loop (A/B experiment)")
+    p.add_argument("--xattn-kernel", action="store_true",
+                   help="use the Pallas single-query cross-attention "
+                        "kernel instead of the default packed-layout XLA "
+                        "einsums (measured ~2x slower; A/B hook)")
     p.add_argument("--raw-loop", action="store_true",
                    help="time the bare argmax fori_loop instead of the "
                         "real serving loop (kernel-ceiling diagnostic)")
     args = p.parse_args()
+    if args.xattn_kernel:
+        os.environ["NWT_XATTN_KERNEL"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -170,8 +173,7 @@ def main():
         xa = encode(params, mel, cfg, compute_dtype=dtype)
         toks, n, slp, nsp = decode_window_jit(
             params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
-            dtype, q8_kv=args.q8_kv, xattn_bf16=args.xattn_bf16,
-            sampling=False)
+            dtype, q8_kv=args.q8_kv, sampling=False)
         return slp
 
     def p_real(params, a):

@@ -232,7 +232,12 @@ def frame_window_np(audio: np.ndarray,
     decode/greedy.py::frames_encode_decode_window_jit) — no separate mel
     dispatch through the device tunnel per chunk.
     """
-    audio = np.asarray(audio, dtype=np.float32)[: n_frames * HOP_LENGTH]
+    # keep every sample the window's LAST frame can see: frame n-1 spans
+    # [(n-1)*hop, (n-1)*hop + n_fft) — up to n_fft - hop samples past the
+    # hop grid (a 30 s chunk with a sub-hop residue still contributes its
+    # real tail to frame 2999, exactly as log_mel_longform does)
+    audio = np.asarray(audio, dtype=np.float32)[
+        : (n_frames - 1) * HOP_LENGTH + N_FFT]
     pad = N_FFT // 2
     if audio.shape[0] <= pad:   # sub-12.5 ms residue: zero-extend first
         audio = np.concatenate([audio,
@@ -253,15 +258,10 @@ def log_mel_from_frames(frames: jnp.ndarray,
     normalized log-mel. Jit-inlinable device half of the framed fast path;
     numerically identical to ``log_mel_longform``'s first window for
     <=30 s chunks (the zero-pad frames sit at the log floor, so the
-    per-window max equals the longform global max)."""
-    cos_b, sin_b = _dft_bases()
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.einsum("btf,fk->btk", frames, cos_b, precision=hi)
-    im = jnp.einsum("btf,fk->btk", frames, sin_b, precision=hi)
-    power = re * re + im * im
-    mel_f = jnp.asarray(mel_filter_bank(n_mels))
-    mel = jnp.einsum("btk,mk->btm", power, mel_f, precision=hi)
-    log_spec = jnp.swapaxes(jnp.log10(jnp.maximum(mel, 1e-10)), -1, -2)
+    per-window max equals the longform global max). Shares the DFT core
+    with the longform path (:func:`_log10_mel_windows`) and adds only
+    the per-window clamp/normalize."""
+    log_spec = _log10_mel_windows(frames, n_mels)     # (B, n_mels, T)
     mx = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, mx - 8.0)
     return ((log_spec + 4.0) / 4.0).astype(jnp.float32)

@@ -177,10 +177,10 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8777)
     s.add_argument("--model", default=None)
     s.add_argument("--dtype", default="bfloat16")
-    s.add_argument("--batch", type=int, default=24,
+    s.add_argument("--batch", type=int, default=28,
                    help="max cross-session window batch (1 = sequential). "
-                        "24 = measured throughput knee on v5e (772x RTF, "
-                        "0.93 s/batch); light load still dispatches small "
+                        "28 = measured throughput knee on v5e (870x RTF, "
+                        "0.97 s/batch); light load still dispatches small "
                         "batches after the 5 ms collection window")
     s.add_argument("--quant", choices=["int8", "none"], default="int8",
                    help="int8 serving path (default; 'none' = raw dtype)")

@@ -203,7 +203,7 @@ def cross_attention_decode_bf16(
 
 def cross_attention_kt_xla(q, packed, t_real):
     """Pure-XLA cross-attention on the PACKED (Dh, Tp) K layout — the
-    layout A/B for the decode hot loop (NWT_XATTN_KT_XLA): the scores
+    decode-loop DEFAULT on bf16 TPU (NWT_NO_KT_XATTN opts out): the scores
     contraction runs over the sublane Dh axis with T on lanes, no
     per-step transpose, padding masked by index."""
     kT = packed["kT"]                                      # (B,H,Dh,Tp)

@@ -18,7 +18,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..audio.mel import HOP_LENGTH, log_mel_longform
+from ..audio.mel import HOP_LENGTH
 from ..core.config import SAMPLE_RATE
 from ..decode.hallucination import filter_hallucinations
 from ..decode.rules import DecodeOptions

@@ -53,10 +53,11 @@ def main():
             return jnp.sum(xa[:, -1, -1])
         return p_enc
 
-    os.environ.pop("NWT_INT8_MLP", None)
+    # the kernel is DEFAULT-ON now; NWT_NO_INT8_MLP selects the baseline
+    os.environ["NWT_NO_INT8_MLP"] = "1"
     print(f"xla: {timed(make_enc()) * 1000:.1f}ms", flush=True)
 
-    os.environ["NWT_INT8_MLP"] = "1"
+    os.environ.pop("NWT_NO_INT8_MLP", None)
     for bm, bf in [(256, 640), (512, 256), (512, 512), (256, 1280)]:
         os.environ["NWT_MLP_BM"] = str(bm)
         os.environ["NWT_MLP_BF"] = str(bf)

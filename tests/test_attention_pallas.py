@@ -143,7 +143,7 @@ def test_quantized_decode_window_matches_fp32():
 
 
 def test_kt_xla_layout_matches_reference():
-    """The packed-layout XLA cross-attention (NWT_XATTN_KT_XLA A/B)
+    """The packed-layout XLA cross-attention (the bf16 TPU decode default)
     matches the plain fp path within bf16 rounding."""
     from nobs_whisper_tpu.ops.attention_pallas import (
         cross_attention_bf16_reference, cross_attention_kt_xla,

@@ -180,3 +180,36 @@ def test_pending_batch_finalized_on_close(engine):
     batcher.close()                      # may race the in-flight batch
     for f in futs:
         assert f.result(timeout=120).tokens is not None
+
+
+def test_mixed_frames_and_mel_batch(engine):
+    """A batch mixing framed and mel requests degrades to the mel path:
+    framed rows must decode to the same tokens as their mel twins."""
+    import time
+    from nobs_whisper_tpu.audio.mel import (HOP_LENGTH, frame_window_np,
+                                            log_mel_longform)
+
+    cfg = engine.cfg
+    opts = DecodeOptions()
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer, opts,
+                            max_batch=4, max_wait_ms=200)
+    try:
+        rng = np.random.RandomState(3)
+        n_frames = 2 * cfg.n_audio_ctx
+        audio = (rng.randn(n_frames * HOP_LENGTH) * 0.3).astype(np.float32)
+        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
+                               padding=n_frames * HOP_LENGTH)[:, :n_frames]
+        frames = frame_window_np(audio, n_frames=n_frames)
+        prompt = engine.tokenizer.sot_sequence(language="en")
+
+        # submit back-to-back so the 200 ms window packs them together
+        f_mel = batcher.submit(mel, prompt)
+        f_frames = batcher.submit(None, prompt, frames=frames)
+        r_mel = f_mel.result(timeout=120)
+        r_frames = f_frames.result(timeout=120)
+        assert batcher.batch_sizes and max(batcher.batch_sizes) == 2
+        assert r_frames.tokens == r_mel.tokens
+        assert r_frames.avg_logprob == pytest.approx(r_mel.avg_logprob,
+                                                     abs=2e-3)
+    finally:
+        batcher.close()

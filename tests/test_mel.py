@@ -85,7 +85,7 @@ def test_framed_fast_path_matches_longform_window():
                                             log_mel_longform)
 
     rng = np.random.RandomState(0)
-    for seconds in (0.5, 5.0, 29.0, 30.0):
+    for seconds in (0.5, 5.0, 29.0, 30.0, 30.003):
         audio = (rng.randn(int(16000 * seconds)) * 0.3).astype(np.float32)
         ref = log_mel_longform(audio, n_mels=80,
                                padding=N_FRAMES * HOP_LENGTH)[:, :N_FRAMES]
