@@ -373,12 +373,35 @@ def decode_window(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def frames_encode_detect_jit(params, frames, tables: RuleTables,
+                             cfg: WhisperConfig,
+                             compute_dtype=jnp.float32):
+    """STFT frames -> mel -> encoder states + detected languages in ONE
+    device program. The auto-language serving path (the production
+    default) previously dispatched mel, encode, and language detection
+    separately — three tunnel round trips (~27 ms each on this box)
+    before the decode dispatch. Returns (xa, lang_idx, lang_probs); xa
+    stays on device and feeds decode_window_dispatch."""
+    from ..audio.mel import log_mel_from_frames
+    from ..models.whisper import encode
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
+    lang_idx, lang_probs = _detect_language(params, xa, cfg, compute_dtype)
+    return xa, lang_idx, lang_probs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def detect_language_jit(params, xa, tables: RuleTables, cfg: WhisperConfig,
                         compute_dtype=jnp.float32):
     """Single forward from [sot]: softmax over the language tokens.
 
     whisper.cpp runs this when no language is set (auto mode, reference
     src-tauri/src/whisper.rs:91-95)."""
+    return _detect_language(params, xa, cfg, compute_dtype)
+
+
+def _detect_language(params, xa, cfg: WhisperConfig,
+                     compute_dtype=jnp.float32):
     b = xa.shape[0]
     cross_kv = precompute_cross_kv(params, xa, cfg)
     cache = init_kv_cache(cfg, b, dtype=compute_dtype, t_ctx=8)

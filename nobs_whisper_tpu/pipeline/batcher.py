@@ -226,23 +226,34 @@ class WindowBatcher:
         from ..decode.greedy import (decode_window_dispatch,
                                      decode_window_finalize)
         if need_lang or self._custom_encode:
-            if all_frames:
-                from ..audio.mel import log_mel_from_frames_jit
-                mel = log_mel_from_frames_jit(stacked,
-                                              n_mels=self.cfg.n_mels)
+            if all_frames and not self._custom_encode:
+                # auto-language framed path: mel + encode + language
+                # detection in ONE device program (3 tunnel round trips
+                # collapse to 1; the lang_idx sync is inherent — the
+                # prompt depends on the result)
+                from ..decode.greedy import frames_encode_detect_jit
+                xa, lang_idx, _ = frames_encode_detect_jit(
+                    self.params, stacked, self.tables, self.cfg,
+                    self.compute_dtype)
             else:
-                mel = stacked
-            xa = self._encode(mel)
+                if all_frames:
+                    from ..audio.mel import log_mel_from_frames_jit
+                    mel = log_mel_from_frames_jit(stacked,
+                                                  n_mels=self.cfg.n_mels)
+                else:
+                    mel = stacked
+                xa = self._encode(mel)
+                lang_idx = None
             if need_lang:
                 # auto-language rows: ONE extra batched forward detects
                 # languages for the whole batch (whisper.rs:91-95), then
                 # the detected token is patched into each row's prompt
-                # (this sync is inherent: the prompt depends on the result)
                 from ..core.tokenizer import LANGUAGES
-                from ..decode.greedy import detect_language_jit
-                lang_idx, _ = detect_language_jit(
-                    self.params, xa, self.tables, self.cfg,
-                    self.compute_dtype)
+                if lang_idx is None:
+                    from ..decode.greedy import detect_language_jit
+                    lang_idx, _ = detect_language_jit(
+                        self.params, xa, self.tables, self.cfg,
+                        self.compute_dtype)
                 lang_idx = np.asarray(lang_idx)
                 for i, r in enumerate(batch):
                     if r.lang_slot is not None:
