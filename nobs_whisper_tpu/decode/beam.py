@@ -119,8 +119,20 @@ def beam_decode_window_jit(
     def rep(x):
         return jnp.repeat(x, k, axis=0)
 
+    import os
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    cross_kv = jax.tree.map(lambda t: jnp.repeat(t, k, axis=1), cross_kv)
+    if (compute_dtype == jnp.bfloat16
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("NWT_FORCE_KT"))
+            and not os.environ.get("NWT_NO_KT_XATTN")):
+        # packed (Dh,T) K layout, SHARED across beams: the decoder's
+        # grouped cross-attention reads each element's K/V once per step
+        # instead of once per beam (a K-fold cut of the dominant read)
+        from ..ops.attention_pallas import pack_cross_kv_bf16
+        cross_kv = pack_cross_kv_bf16(cross_kv)
+    else:
+        cross_kv = jax.tree.map(lambda t: jnp.repeat(t, k, axis=1),
+                                cross_kv)
     # right-sized cache (see decode/greedy.py): attention reads scale with
     # the cache length, and the loop never writes past p_max + sample_len
     t_cache = -(-(p_max + sample_len) // 8) * 8

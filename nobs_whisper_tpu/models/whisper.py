@@ -421,9 +421,18 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
         if isinstance(xk_l, dict) and "kT" in xk_l:
             import os
             from ..ops.attention_pallas import (
-                cross_attention_decode_bf16, cross_attention_kt_xla)
+                cross_attention_decode_bf16, cross_attention_kt_xla,
+                cross_attention_kt_xla_grouped)
             packed = {"kT": xk_l["kT"], "v": xv_l["v"]}
-            if (os.environ.get("NWT_XATTN_KERNEL")
+            bq, bkv = q.shape[0], packed["kT"].shape[0]
+            if bq != bkv:
+                # beam search: G beams per element share ONE cross-KV —
+                # the dominant HBM read happens per element, not per beam
+                g = bq // bkv
+                a = cross_attention_kt_xla_grouped(
+                    q.reshape(bkv, g, *q.shape[1:]), packed,
+                    cfg.n_audio_ctx).reshape(bq, *q.shape[1:])
+            elif (os.environ.get("NWT_XATTN_KERNEL")
                     and q.shape[-2] == 1
                     and jax.default_backend() == "tpu"):
                 # opt-in Pallas single-query kernel (measured ~2x slower

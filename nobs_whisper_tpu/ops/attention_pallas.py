@@ -220,6 +220,25 @@ def cross_attention_kt_xla(q, packed, t_real):
                       preferred_element_type=jnp.float32)
 
 
+def cross_attention_kt_xla_grouped(q, packed, t_real):
+    """Grouped variant of :func:`cross_attention_kt_xla` for beam search:
+    q is (B, G, H, S, Dh) — G beams per element sharing ONE packed K/V
+    (B, H, Dh, Tp) — so the dominant cross-KV HBM read happens once per
+    element instead of once per beam. Returns (B, G, H, S, Dh) f32."""
+    kT = packed["kT"]                                      # (B,H,Dh,Tp)
+    v = packed["v"]                                        # (B,H,Tp,Dh)
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bghsd,bhdt->bghst", q.astype(jnp.bfloat16), kT,
+        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    tp = kT.shape[-1]
+    mask = jnp.arange(tp) < t_real
+    scores = jnp.where(mask[None, None, None, None, :], scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bghst,bhtd->bghsd", probs.astype(jnp.bfloat16), v,
+                      preferred_element_type=jnp.float32)
+
+
 def cross_attention_bf16_reference(q, packed, t_real):
     """XLA fallback with identical semantics (CPU and prefill S>1)."""
     k = jnp.swapaxes(packed["kT"][..., :t_real], -1, -2)  # (B,H,T,Dh)

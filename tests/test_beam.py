@@ -188,3 +188,36 @@ def test_beam_batch_matches_solo(setup):
         assert batch[i].tokens == solo.tokens
         assert batch[i].avg_logprob == pytest.approx(solo.avg_logprob,
                                                      abs=1e-3)
+
+
+def test_beam_shared_packed_cross_kv_matches_plain(setup):
+    """The packed, beam-SHARED cross-KV path (grouped cross-attention,
+    the bf16 TPU default) must produce the same beams as the plain
+    repeated-KV path at the same precision."""
+    import os
+    import jax
+    params, cfg, sp = setup
+    p16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    tables = build_rule_tables(cfg, DecodeOptions())
+    for seed in (0, 3):
+        xa, prompt = _xa_and_prompt(params, cfg, sp, seed)
+        xa16 = xa.astype(jnp.bfloat16)
+        os.environ["NWT_NO_KT_XATTN"] = "1"     # plain repeated KV
+        try:
+            plain = beam_decode_window(p16, xa16, [prompt], cfg, tables,
+                                       beam_size=3,
+                                       compute_dtype=jnp.bfloat16)[0]
+        finally:
+            del os.environ["NWT_NO_KT_XATTN"]
+        os.environ["NWT_FORCE_KT"] = "1"        # packed + shared (grouped)
+        try:
+            shared = beam_decode_window(p16, xa16, [prompt], cfg, tables,
+                                        beam_size=3,
+                                        compute_dtype=jnp.bfloat16)[0]
+        finally:
+            del os.environ["NWT_FORCE_KT"]
+        assert shared.tokens == plain.tokens, f"seed {seed}"
+        assert shared.sum_logprob == pytest.approx(plain.sum_logprob,
+                                                   abs=5e-2)
