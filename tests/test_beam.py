@@ -201,23 +201,25 @@ def test_beam_shared_packed_cross_kv_matches_plain(setup):
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, params)
     tables = build_rule_tables(cfg, DecodeOptions())
-    for seed in (0, 3):
-        xa, prompt = _xa_and_prompt(params, cfg, sp, seed)
+    for seed, batch in ((0, 1), (3, 2)):
+        xa, prompt = _xa_and_prompt(params, cfg, sp, seed, batch=batch)
         xa16 = xa.astype(jnp.bfloat16)
+        prompts = [prompt] * batch
         os.environ["NWT_NO_KT_XATTN"] = "1"     # plain repeated KV
         try:
-            plain = beam_decode_window(p16, xa16, [prompt], cfg, tables,
+            plain = beam_decode_window(p16, xa16, prompts, cfg, tables,
                                        beam_size=3,
-                                       compute_dtype=jnp.bfloat16)[0]
+                                       compute_dtype=jnp.bfloat16)
         finally:
             del os.environ["NWT_NO_KT_XATTN"]
         os.environ["NWT_FORCE_KT"] = "1"        # packed + shared (grouped)
         try:
-            shared = beam_decode_window(p16, xa16, [prompt], cfg, tables,
+            shared = beam_decode_window(p16, xa16, prompts, cfg, tables,
                                         beam_size=3,
-                                        compute_dtype=jnp.bfloat16)[0]
+                                        compute_dtype=jnp.bfloat16)
         finally:
             del os.environ["NWT_FORCE_KT"]
-        assert shared.tokens == plain.tokens, f"seed {seed}"
-        assert shared.sum_logprob == pytest.approx(plain.sum_logprob,
-                                                   abs=5e-2)
+        for pl_r, sh_r in zip(plain, shared):
+            assert sh_r.tokens == pl_r.tokens, f"seed {seed}"
+            assert sh_r.sum_logprob == pytest.approx(pl_r.sum_logprob,
+                                                     abs=5e-2)
