@@ -80,7 +80,9 @@ def decode_window_jit(
     sample_len: int,
     compute_dtype=jnp.float32,
     q8_kv: bool = False,
-    xattn_bf16: bool = False,    # fused bf16 single-query cross-attn kernel
+    xattn_bf16: bool = False,    # force the packed (Dh,T) cross-K layout
+                                 # (already the default on bf16 TPU; the
+                                 # Pallas kernel itself is NWT_XATTN_KERNEL)
     sampling: bool = True,       # static: False skips per-step RNG work
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
