@@ -95,6 +95,15 @@ def cmd_serve(args):
         from .parallel.mesh import make_mesh
         dp, _, tp = args.mesh.partition("x")
         mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
+        # the batcher requires max_batch % dp == 0; round the (possibly
+        # default) batch down to a dp multiple rather than failing at
+        # startup for dp values like 8 that don't divide the default 28
+        dp_n = int(dp)
+        if args.batch % dp_n:
+            adj = max((args.batch // dp_n) * dp_n, dp_n)
+            print(f"rounding --batch {args.batch} -> {adj} "
+                  f"(must be divisible by dp={dp_n})", file=sys.stderr)
+            args.batch = adj
     if args.batch > 1:
         from .pipeline.batched_engine import BatchedEngine
         engine = BatchedEngine(engine, max_batch=args.batch, mesh=mesh)

@@ -375,8 +375,7 @@ def decode_window(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
-def frames_encode_detect_jit(params, frames, tables: RuleTables,
-                             cfg: WhisperConfig,
+def frames_encode_detect_jit(params, frames, cfg: WhisperConfig,
                              compute_dtype=jnp.float32):
     """STFT frames -> mel -> encoder states + detected languages in ONE
     device program. The auto-language serving path (the production

@@ -224,19 +224,17 @@ def cross_attention_kt_xla_grouped(q, packed, t_real):
     """Grouped variant of :func:`cross_attention_kt_xla` for beam search:
     q is (B, G, H, S, Dh) — G beams per element sharing ONE packed K/V
     (B, H, Dh, Tp) — so the dominant cross-KV HBM read happens once per
-    element instead of once per beam. Returns (B, G, H, S, Dh) f32."""
-    kT = packed["kT"]                                      # (B,H,Dh,Tp)
-    v = packed["v"]                                        # (B,H,Tp,Dh)
-    dh = q.shape[-1]
-    scores = jnp.einsum(
-        "bghsd,bhdt->bghst", q.astype(jnp.bfloat16), kT,
-        preferred_element_type=jnp.float32) * (dh ** -0.5)
-    tp = kT.shape[-1]
-    mask = jnp.arange(tp) < t_real
-    scores = jnp.where(mask[None, None, None, None, :], scores, _NEG)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bghst,bhtd->bghsd", probs.astype(jnp.bfloat16), v,
-                      preferred_element_type=jnp.float32)
+    element instead of once per beam. Returns (B, G, H, S, Dh) f32.
+
+    Implemented as the ungrouped op on q folded to (B, H, G*S, Dh):
+    softmax/masking act per (g, s) row with no cross-row interaction, so
+    the fold is exact — one implementation to keep numerically in sync,
+    and the 4-D einsum also lowers on XLA:CPU (the direct 5-D bf16
+    einsum does not)."""
+    b, g, h, s, dh = q.shape
+    q4 = q.transpose(0, 2, 1, 3, 4).reshape(b, h, g * s, dh)
+    out = cross_attention_kt_xla(q4, packed, t_real)
+    return out.reshape(b, h, g, s, dh).transpose(0, 2, 1, 3, 4)
 
 
 def cross_attention_bf16_reference(q, packed, t_real):

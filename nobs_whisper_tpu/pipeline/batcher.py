@@ -233,8 +233,7 @@ class WindowBatcher:
                 # prompt depends on the result)
                 from ..decode.greedy import frames_encode_detect_jit
                 xa, lang_idx, _ = frames_encode_detect_jit(
-                    self.params, stacked, self.tables, self.cfg,
-                    self.compute_dtype)
+                    self.params, stacked, self.cfg, self.compute_dtype)
             else:
                 if all_frames:
                     from ..audio.mel import log_mel_from_frames_jit

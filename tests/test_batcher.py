@@ -185,7 +185,6 @@ def test_pending_batch_finalized_on_close(engine):
 def test_mixed_frames_and_mel_batch(engine):
     """A batch mixing framed and mel requests degrades to the mel path:
     framed rows must decode to the same tokens as their mel twins."""
-    import time
     from nobs_whisper_tpu.audio.mel import (HOP_LENGTH, frame_window_np,
                                             log_mel_longform)
 
