@@ -43,6 +43,74 @@ def test_dtw_prefers_low_cost_band():
         assert t * 10 <= starts[t] < (t + 1) * 10 + 1
 
 
+def _dtw_path_scalar(cost):
+    """The classic O(N*M) scalar dp (the pre-vectorization
+    implementation), kept here as the equivalence oracle."""
+    n, m = cost.shape
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    trace = np.zeros((n + 1, m + 1), np.int8)
+    for i in range(1, n + 1):
+        row_prev = acc[i - 1]
+        row = acc[i]
+        for j in range(1, m + 1):
+            c0 = row_prev[j - 1]
+            c1 = row_prev[j]
+            c2 = row[j - 1]
+            cmin, t = c0, 0
+            if c1 < cmin:
+                cmin, t = c1, 1
+            if c2 < cmin:
+                cmin, t = c2, 2
+            row[j] = cost[i - 1, j - 1] + cmin
+            trace[i, j] = t
+    i, j = n, m
+    ti, fi = [], []
+    while i > 0 or j > 0:
+        ti.append(i - 1)
+        fi.append(j - 1)
+        t = trace[i, j]
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        elif t == 0:
+            i -= 1
+            j -= 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(ti[::-1]), np.array(fi[::-1])
+
+
+def test_dtw_vectorized_matches_scalar_dp():
+    rng = np.random.RandomState(7)
+    for n, m in ((1, 1), (1, 17), (9, 1), (23, 57), (64, 301)):
+        cost = -rng.rand(n, m)
+        ti_v, fi_v = dtw_path(cost)
+        ti_s, fi_s = _dtw_path_scalar(cost)
+        np.testing.assert_array_equal(ti_v, ti_s)
+        np.testing.assert_array_equal(fi_v, fi_s)
+
+
+def test_dtw_vectorized_speedup():
+    """The serving-relevant shape: ~100 tokens x 1500 mel-half frames.
+    The vectorized sweep must beat the interpreted dp by >=10x."""
+    import time
+    rng = np.random.RandomState(8)
+    cost = -rng.rand(100, 1500)
+    t0 = time.perf_counter()
+    path_v = dtw_path(cost)
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    path_s = _dtw_path_scalar(cost)
+    t_scalar = time.perf_counter() - t0
+    np.testing.assert_array_equal(path_v[0], path_s[0])
+    np.testing.assert_array_equal(path_v[1], path_s[1])
+    assert t_scalar / max(t_vec, 1e-9) >= 10, (t_scalar, t_vec)
+
+
 def test_median_filter():
     x = np.array([[1.0, 9.0, 1.0, 1.0, 9.0, 1.0, 1.0]])
     f = median_filter(x, 3)
