@@ -149,7 +149,9 @@ def main():
     # dispatch, exactly the two device programs pipeline/batcher.py runs
     import dataclasses as _dc
 
-    from nobs_whisper_tpu.decode.greedy import decode_window_jit, pad_prompts
+    from nobs_whisper_tpu.decode.greedy import (decode_window_jit,
+                                                kt_xattn_default,
+                                                pad_prompts)
     from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
 
     opts = DecodeOptions()
@@ -173,7 +175,8 @@ def main():
         xa = encode(params, mel, cfg, compute_dtype=dtype)
         toks, n, slp, nsp = decode_window_jit(
             params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
-            dtype, q8_kv=args.q8_kv, sampling=False)
+            dtype, q8_kv=args.q8_kv,
+            xattn_bf16=kt_xattn_default(dtype), sampling=False)
         return slp
 
     def p_real(params, a):
@@ -223,7 +226,7 @@ def main():
             _, _, slp, _ = frames_encode_decode_window_jit(
                 params, fr, pt1, pl1, si1, tables,
                 jnp.zeros((1,), jnp.float32), rng, cfg, 48, dtype,
-                sampling=False)
+                xattn_bf16=kt_xattn_default(dtype), sampling=False)
             return slp
 
         np.asarray(p_lat())

@@ -90,6 +90,7 @@ def cmd_serve(args):
         # serving default = the benchmarked config: int8 decoder weights +
         # dynamic-int8 encoder on the int8 MXU
         engine = engine.quantize()
+    cm = ConfigManager()
     mesh = None
     if args.mesh:
         from .parallel.mesh import make_mesh
@@ -97,18 +98,27 @@ def cmd_serve(args):
         mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
         # the batcher requires max_batch % dp == 0; round the (possibly
         # default) batch down to a dp multiple rather than failing at
-        # startup for dp values like 8 that don't divide the default 28
+        # startup for dp values like 8 that don't divide the default 28.
+        # batch<=1 means sequential mode (no BatchedEngine) — leave it.
         dp_n = int(dp)
-        if args.batch % dp_n:
+        if args.batch > 1 and args.batch % dp_n:
             adj = max((args.batch // dp_n) * dp_n, dp_n)
             print(f"rounding --batch {args.batch} -> {adj} "
                   f"(must be divisible by dp={dp_n})", file=sys.stderr)
             args.batch = adj
     if args.batch > 1:
+        from .decode.rules import DecodeOptions
         from .pipeline.batched_engine import BatchedEngine
-        engine = BatchedEngine(engine, max_batch=args.batch, mesh=mesh)
-    serve(engine, host=args.host, port=args.port,
-          config_manager=ConfigManager())
+        # decode strategy from the persisted config (whisper.rs:88
+        # analog); sessions can still override per-request
+        app = cm.config
+        opts = DecodeOptions(
+            beam_size=app.beam_size if app.beam_size > 1 else None,
+            best_of=max(app.best_of, 1),
+            temperature=float(app.temperature))
+        engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
+                               mesh=mesh)
+    serve(engine, host=args.host, port=args.port, config_manager=cm)
 
 
 def cmd_route(args):

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.config import WhisperConfig
 from ..models.whisper import decoder_forward, init_kv_cache, precompute_cross_kv
-from .greedy import WindowResult, pad_prompts
+from .greedy import WindowResult, kt_xattn_default, pad_prompts
 from .rules import RuleTables, apply_logit_rules
 
 NEG = jnp.float32(-1e30)
@@ -98,7 +98,7 @@ def beam_step(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "beam_size", "sample_len",
-                              "compute_dtype"))
+                              "compute_dtype", "packed_kv"))
 def beam_decode_window_jit(
     params,
     xa: jnp.ndarray,              # (B, T_audio, d)
@@ -110,6 +110,10 @@ def beam_decode_window_jit(
     beam_size: int,
     sample_len: int,
     compute_dtype=jnp.float32,
+    packed_kv: bool = False,      # beam-shared packed (Dh,T) cross-KV;
+                                  # callers derive the effective value
+                                  # with greedy.kt_xattn_default() so env
+                                  # toggles hit the jit cache key
 ):
     b, p_max = prompt_tokens.shape
     k = beam_size
@@ -119,12 +123,8 @@ def beam_decode_window_jit(
     def rep(x):
         return jnp.repeat(x, k, axis=0)
 
-    import os
     cross_kv = precompute_cross_kv(params, xa, cfg)
-    if (compute_dtype == jnp.bfloat16
-            and (jax.default_backend() == "tpu"
-                 or os.environ.get("NWT_FORCE_KT"))
-            and not os.environ.get("NWT_NO_KT_XATTN")):
+    if packed_kv:
         # packed (Dh,T) K layout, SHARED across beams: the decoder's
         # grouped cross-attention reads each element's K/V once per step
         # instead of once per beam (a K-fold cut of the dominant read)
@@ -252,7 +252,7 @@ def beam_decode_window(
      nsp) = beam_decode_window_jit(
         params, xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
         jnp.asarray(sot_idx), tables, cfg, beam_size, sample_len,
-        compute_dtype)
+        compute_dtype, packed_kv=kt_xattn_default(compute_dtype))
 
     fin_tokens = np.asarray(fin_tokens)
     fin_len = np.asarray(fin_len)

@@ -26,6 +26,26 @@ from .rules import (DecodeOptions, RuleTables, apply_logit_rules,
 _NEG = jnp.float32(-1e30)
 
 
+def kt_xattn_default(compute_dtype) -> bool:
+    """Call-time policy for the packed (Dh,T) cross-K decode layout.
+
+    Env knobs are read HERE (on the host, per call) and the result is
+    passed into the jitted programs as the static ``xattn_bf16`` argument
+    — so toggling NWT_NO_KT_XATTN / NWT_FORCE_KT between calls takes
+    effect through the jit cache key instead of silently reusing a stale
+    trace. Default ON for bf16 on TPU (measured: decode 0.461 -> 0.390
+    s/batch at B=24 turbo); NWT_FORCE_KT forces it on any backend (CPU
+    A/B tests), NWT_NO_KT_XATTN opts out.
+    """
+    import os
+    if os.environ.get("NWT_NO_KT_XATTN"):
+        return False
+    if os.environ.get("NWT_FORCE_KT"):
+        return True
+    return (compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu")
+
+
 @dataclasses.dataclass
 class WindowResult:
     """Per-batch-element outcome of one 30 s window decode."""
@@ -80,22 +100,22 @@ def decode_window_jit(
     sample_len: int,
     compute_dtype=jnp.float32,
     q8_kv: bool = False,
-    xattn_bf16: bool = False,    # force the packed (Dh,T) cross-K layout
-                                 # (already the default on bf16 TPU; the
-                                 # Pallas kernel itself is NWT_XATTN_KERNEL)
+    xattn_bf16: bool = False,    # packed (Dh,T) cross-K layout; callers
+                                 # derive the effective value with
+                                 # kt_xattn_default() (the bf16-TPU
+                                 # default) — env knobs are NOT read in
+                                 # here, so the flag is honestly part of
+                                 # the jit cache key
     sampling: bool = True,       # static: False skips per-step RNG work
 ):
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
     no_speech_prob (B,))."""
-    import os
     b, p_max = prompt_tokens.shape
     cross_kv = precompute_cross_kv(params, xa, cfg)
     if q8_kv:
         from ..ops.attention_pallas import quantize_cross_kv
         cross_kv = quantize_cross_kv(cross_kv)
-    elif xattn_bf16 or (compute_dtype == jnp.bfloat16
-                        and jax.default_backend() == "tpu"
-                        and not os.environ.get("NWT_NO_KT_XATTN")):
+    elif xattn_bf16:
         # Packed (Dh, T) K layout, DEFAULT on the bf16 TPU serving path:
         # the per-step scores contraction runs over the sublane Dh axis
         # with no per-step transpose of K. Measured (B=24 turbo, v5e):
@@ -304,8 +324,9 @@ def decode_window_dispatch(
                             (n,)).copy()
 
     import os
-    xattn_bf16 = (opts.xattn_bf16 or
-                  bool(os.environ.get("NWT_XATTN_BF16")))
+    xattn_bf16 = (opts.xattn_bf16
+                  or bool(os.environ.get("NWT_XATTN_BF16"))
+                  or kt_xattn_default(compute_dtype))
     if frames is not None:
         tokens, n_sampled, sum_lp, nsp = frames_encode_decode_window_jit(
             params, frames, jnp.asarray(prompt_tokens),

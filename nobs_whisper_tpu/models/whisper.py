@@ -20,6 +20,16 @@ Design choices for XLA/TPU rather than a translation of the C++ graph:
 
 Weight layout: linear weights are stored (d_in, d_out) so ``x @ w`` feeds
 the MXU directly.
+
+Env knobs (NWT_NO_FLASH, NWT_NO_INT8_MLP, NWT_INT8_QKV, NWT_XATTN_KERNEL,
+NWT_Q8_KV_XLA, NWT_DEEP_DECODER, the *_BM/*_BF/*_BQ/*_BK block sizes,
+NWT_Q8_KERNEL_MIN_BYTES) are A/B experiment toggles read at TRACE time
+inside jitted callers and are NOT part of any jit cache key: set them
+before the first call of the process (bench.py does), or call
+``.clear_cache()`` on the jitted entry point after toggling. The
+production-facing knobs (packed cross-K layout, q8 KV) are instead
+derived at call level and passed as static args — see
+decode/greedy.py::kt_xattn_default.
 """
 
 from __future__ import annotations

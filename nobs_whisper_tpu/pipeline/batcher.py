@@ -58,7 +58,8 @@ class WindowBatcher:
     def __init__(self, params, cfg: WhisperConfig, tokenizer=None,
                  opts: Optional[DecodeOptions] = None, max_batch: int = 8,
                  max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
-                 encode_fn=None, mesh=None):
+                 encode_fn=None, mesh=None,
+                 batch_deadline_s: Optional[float] = None):
         """``mesh``: a (dp, tp) jax.sharding.Mesh. When given, params are
         placed with tensor-parallel shardings and every window batch is
         sharded over dp — the SURVEY §2.3 "window batch over a mesh"
@@ -83,6 +84,21 @@ class WindowBatcher:
         self._custom_encode = encode_fn is not None
         self._encode = encode_fn or (
             lambda m: encode_jit(self.params, m, cfg, compute_dtype))
+        # Watchdog deadline for one in-flight batch. The TPU tunnel on
+        # this platform occasionally wedges a dispatch indefinitely
+        # (process idle, no output — transient, documented in CLAUDE.md);
+        # without a deadline every session whose window sits in that
+        # batch hangs forever. Reference analog: the non-blocking
+        # stuck-thread cleanup + recv_timeout hard cap
+        # (src-tauri/src/state.rs:61-95,622-631). Default is generous
+        # because the FIRST batch legitimately includes a remote XLA
+        # compile (minutes on this box).
+        import os
+        if batch_deadline_s is None:
+            batch_deadline_s = float(
+                os.environ.get("NWT_BATCH_DEADLINE_S", 900.0))
+        self.batch_deadline_s = batch_deadline_s
+        self.watchdog_trips = 0             # observability
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
@@ -158,8 +174,20 @@ class WindowBatcher:
             batch = self._collect()
             if not batch:
                 break
+            # _run_batch calls back the moment batch N+1's device programs
+            # are ENQUEUED and before any host sync it needs (the
+            # auto-language path blocks on lang_idx): batch N's futures
+            # resolve then, instead of waiting out N+1's encode+detect.
+            prev = [pending]
+            pending = None
+
+            def finalize_prev(prev=prev):
+                if prev[0] is not None:
+                    self._finalize(prev[0])
+                    prev[0] = None
+
             try:
-                thunk = self._run_batch(batch)
+                thunk = self._run_batch(batch, on_dispatched=finalize_prev)
                 new_pending = (batch, thunk)
             except Exception as e:  # fail the whole batch, keep serving
                 log.exception("batch decode failed")
@@ -167,24 +195,64 @@ class WindowBatcher:
                     if not r.future.done():
                         r.future.set_exception(e)
                 new_pending = None
-            if pending is not None:
-                self._finalize(pending)
+            finalize_prev()   # no-op if _run_batch already called it
             pending = new_pending
         if pending is not None:
             self._finalize(pending)
 
     def _finalize(self, pending):
+        """Resolve one in-flight batch, under the watchdog deadline.
+
+        The finalize thunk blocks on a device->host transfer; if the
+        dispatch is wedged (see batch_deadline_s above) that block never
+        returns. Running it in a sacrificial thread lets the batcher
+        fail this batch's futures at the deadline and KEEP SERVING —
+        sessions see an error instead of hanging; the stuck daemon
+        thread is abandoned (state.rs:61-95 semantics). If the device is
+        truly wedged, subsequent batches trip the watchdog too and the
+        degradation is visible in /stats (watchdog_trips)."""
         batch, thunk = pending
-        try:
-            thunk()
-        except Exception as e:
-            log.exception("batch finalize failed")
+        done = threading.Event()
+        err: List[BaseException] = []
+
+        def run():
+            try:
+                thunk()
+            except BaseException as e:
+                err.append(e)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="nwt-batch-finalize")
+        t.start()
+        if not done.wait(self.batch_deadline_s):
+            self.watchdog_trips += 1
+            log.error(
+                "batch of %d not finalized after %.0fs — wedged device "
+                "dispatch? failing its futures and continuing",
+                len(batch), self.batch_deadline_s)
+            e = TimeoutError(
+                f"window batch result not ready after "
+                f"{self.batch_deadline_s:.0f}s (wedged device dispatch)")
             for r in batch:
                 if not r.future.done():
                     r.future.set_exception(e)
+            return None
+        if err:
+            log.error("batch finalize failed", exc_info=err[0])
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(err[0])
         return None
 
-    def _run_batch(self, batch: List[_Request]):
+    def _run_batch(self, batch: List[_Request], on_dispatched=None):
+        """Pack and dispatch one batch; returns the finalize thunk.
+
+        ``on_dispatched`` (optional) is invoked once this batch's device
+        programs are enqueued, BEFORE any blocking host sync this method
+        performs — the _loop hook that lets the previous in-flight batch
+        finalize without waiting behind our encode/language-detect."""
         n = len(batch)
         padded_n = _pad_batch_size(n, self.max_batch)
         if self.mesh is not None:
@@ -223,9 +291,13 @@ class WindowBatcher:
 
         langs: List[Optional[str]] = [None] * len(prompts)
         need_lang = any(r.lang_slot is not None for r in batch)
+        # beam-strategy batcher (serve config beam_size > 1; strategy
+        # selection analog whisper.rs:88): decode goes through the beam
+        # path, which needs explicit encoder states
+        use_beam = (self.opts.beam_size or 0) > 1
         from ..decode.greedy import (decode_window_dispatch,
                                      decode_window_finalize)
-        if need_lang or self._custom_encode:
+        if use_beam or need_lang or self._custom_encode:
             if all_frames and not self._custom_encode:
                 # auto-language framed path: mel + encode + language
                 # detection in ONE device program (3 tunnel round trips
@@ -243,6 +315,11 @@ class WindowBatcher:
                     mel = stacked
                 xa = self._encode(mel)
                 lang_idx = None
+            if on_dispatched is not None:
+                # the encode/detect programs are enqueued; let the
+                # previous batch's results go out before we block on
+                # lang_idx below
+                on_dispatched()
             if need_lang:
                 # auto-language rows: ONE extra batched forward detects
                 # languages for the whole batch (whisper.rs:91-95), then
@@ -259,6 +336,9 @@ class WindowBatcher:
                         prompts[i][r.lang_slot] = (self.cfg.lang_base
                                                    + int(lang_idx[i]))
                         langs[i] = LANGUAGES[int(lang_idx[i])]
+            if use_beam:
+                return self._beam_finalizer(batch, xa, prompts, temps,
+                                            langs, n)
             handle = decode_window_dispatch(
                 self.params, xa, prompts, self.cfg, self.tables, self.opts,
                 temperature=np.asarray(temps, np.float32),
@@ -272,11 +352,54 @@ class WindowBatcher:
                 compute_dtype=self.compute_dtype,
                 mel=None if all_frames else stacked,
                 frames=stacked if all_frames else None)
+            if on_dispatched is not None:
+                on_dispatched()
 
         def finalize():
             results = decode_window_finalize(handle)
             for r, res, lang in zip(batch, results[:n], langs[:n]):
                 res.language = lang
-                r.future.set_result(res)
+                # a late completion after the watchdog already failed
+                # this future must not raise InvalidStateError
+                if not r.future.done():
+                    r.future.set_result(res)
+
+        return finalize
+
+    def _beam_finalizer(self, batch, xa, prompts, temps, langs, n):
+        """Beam decode stage (batcher opts beam_size > 1). Rows at
+        temperature 0 run beam search; rows at temperature > 0 — ladder
+        retries — run the sampling path (openai/whisper.cpp fallback
+        semantics: beam at zero temperature, sampling above it). Mixed
+        batches split into two device calls; retries are rare."""
+        from ..decode.beam import beam_decode_window
+        beam_k = self.opts.beam_size
+
+        def finalize():
+            zero = [i for i, t in enumerate(temps) if t == 0]
+            hot = [i for i, t in enumerate(temps) if t != 0]
+            results: List[Optional[WindowResult]] = [None] * len(prompts)
+            if zero:
+                sub = beam_decode_window(
+                    self.params, xa[np.asarray(zero)],
+                    [prompts[i] for i in zero], self.cfg, self.tables,
+                    beam_size=beam_k, sample_len=self.opts.sample_len,
+                    compute_dtype=self.compute_dtype)
+                for i, r in zip(zero, sub):
+                    results[i] = r
+            if hot:
+                sub = decode_window(
+                    self.params, xa[np.asarray(hot)],
+                    [prompts[i] for i in hot], self.cfg, self.tables,
+                    self.opts,
+                    temperature=np.asarray([temps[i] for i in hot],
+                                           np.float32),
+                    compute_dtype=self.compute_dtype)
+                for i, r in zip(hot, sub):
+                    results[i] = r
+            for r, res, lang in zip(batch, results[:n], langs[:n]):
+                res.language = lang
+                if not r.future.done():
+                    r.future.set_result(res)
 
         return finalize

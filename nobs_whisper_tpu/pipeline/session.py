@@ -60,12 +60,32 @@ class SessionConfig:
     vocabulary: Optional[str] = None     # custom-vocab prompt biasing
     sample_rate: int = 48_000            # ingest rate
     max_duration_s: int = 60             # 0 = unlimited (capped at 600)
+    # decode strategy (reference analog: strategy selection at
+    # whisper.rs:88; defaults = greedy parity). beam_size > 1 runs beam
+    # search at temperature 0; best_of > 1 samples candidates on the
+    # fallback rungs; temperature sets the ladder's first rung.
+    beam_size: Optional[int] = None
+    best_of: int = 1
+    temperature: float = 0.0
 
     @property
     def effective_max_s(self) -> int:
         if self.max_duration_s <= 0:
             return MAX_RECORDING_HARD_CAP_S
         return min(self.max_duration_s, MAX_RECORDING_HARD_CAP_S)
+
+    def decode_opts(self):
+        """DecodeOptions for this session, or None for engine defaults
+        (the greedy fast path)."""
+        beam = self.beam_size or 1
+        best = self.best_of or 1
+        if beam <= 1 and best <= 1 and not self.temperature:
+            return None
+        from ..decode.rules import DecodeOptions
+        return DecodeOptions(
+            beam_size=beam if beam > 1 else None,
+            best_of=max(best, 1),
+            temperature=float(self.temperature))
 
 
 class StreamingSession:
@@ -115,7 +135,8 @@ class StreamingSession:
                                     SAMPLE_RATE)
                 r = self.engine.transcribe(
                     audio16k, language=self.config.language,
-                    vocabulary=self.config.vocabulary, context=rolling)
+                    vocabulary=self.config.vocabulary, context=rolling,
+                    opts=self.config.decode_opts())
                 if r.text:
                     with self._results_lock:
                         first = not self._results
@@ -206,7 +227,8 @@ class StreamingSession:
                         r = self.engine.transcribe(
                             piece, language=self.config.language,
                             vocabulary=self.config.vocabulary,
-                            context=rolling)
+                            context=rolling,
+                            opts=self.config.decode_opts())
                     except Exception:
                         log.exception("final chunk failed; skipping")
                         continue

@@ -40,6 +40,13 @@ class AppConfig:
     port: int = 8777
     batch_window: int = 8                  # windows batched across sessions
     compute_dtype: str = "bfloat16"
+    # decode strategy (the reference pins Greedy{best_of:1} at
+    # whisper.rs:88; the engine capability includes beam + the
+    # temperature ladder — exposed here so the serving layer can choose,
+    # and overridable per session via POST /sessions)
+    beam_size: int = 1                     # >1 = beam search at temp 0
+    best_of: int = 1                       # >1 = best-of sampling at t>0
+    temperature: float = 0.0
 
     @classmethod
     def _fields(cls) -> Dict[str, Any]:

@@ -42,14 +42,16 @@ log = logging.getLogger(__name__)
 
 DOWN_COOLDOWN_S = 5.0
 REQUEST_TIMEOUT_S = 600.0   # transcription of a 600 s cap recording
+RECONCILE_INTERVAL_S = 60.0
 
 
 class Backend:
     def __init__(self, base_url: str):
         self.base_url = base_url.rstrip("/")
         self.down_until = 0.0
-        self.sessions = 0          # live sessions routed here
-        self.lock = threading.Lock()
+        self.sessions = 0          # live sessions routed here; guarded by
+                                   # RouterState._lock (a single lock keeps
+                                   # affinity and the counters consistent)
 
     def healthy(self) -> bool:
         return time.monotonic() >= self.down_until
@@ -68,14 +70,17 @@ class RouterState:
         self.affinity: Dict[str, Backend] = {}   # session id -> backend
         self._rr = 0
         self._lock = threading.Lock()
+        self._last_reconcile = time.monotonic()
 
     # ---- selection ----------------------------------------------------
     def healthy_backends(self) -> List[Backend]:
         return [b for b in self.backends if b.healthy()]
 
     def pick_least_loaded(self) -> Optional[Backend]:
-        up = self.healthy_backends()
-        return min(up, key=lambda b: b.sessions) if up else None
+        self.maybe_reconcile()
+        with self._lock:
+            up = self.healthy_backends()
+            return min(up, key=lambda b: b.sessions) if up else None
 
     def pick_round_robin(self) -> Optional[Backend]:
         with self._lock:
@@ -85,6 +90,51 @@ class RouterState:
             b = up[self._rr % len(up)]
             self._rr += 1
             return b
+
+    # ---- session bookkeeping (all under _lock) -------------------------
+    def session_backend(self, sid: str) -> Optional[Backend]:
+        with self._lock:
+            return self.affinity.get(sid)
+
+    def add_session(self, sid: str, backend: Backend) -> None:
+        with self._lock:
+            self.affinity[sid] = backend
+            backend.sessions += 1
+
+    def drop_session(self, sid: str) -> Optional[Backend]:
+        with self._lock:
+            b = self.affinity.pop(sid, None)
+            if b is not None:
+                b.sessions = max(0, b.sessions - 1)
+            return b
+
+    def maybe_reconcile(self, force: bool = False) -> None:
+        """Reap affinity entries whose session no longer exists on its
+        backend. A client that vanishes without DELETE would otherwise
+        leak its load-count slot forever and skew least-loaded placement.
+        Runs inline at most every RECONCILE_INTERVAL_S: each healthy
+        backend's GET /state lists its live session ids (the source of
+        truth), counters are reset to that truth."""
+        now = time.monotonic()
+        with self._lock:
+            if (not force
+                    and now - self._last_reconcile < RECONCILE_INTERVAL_S):
+                return
+            self._last_reconcile = now
+            backends = [b for b in self.backends if b.healthy()]
+        live: Dict[Backend, set] = {}
+        for b in backends:
+            try:
+                _, data = self.request(b, "GET", "/state", timeout=10)
+                live[b] = set(json.loads(data))
+            except Exception:
+                pass   # unreachable: keep its entries (nothing is known)
+        with self._lock:
+            for sid, b in list(self.affinity.items()):
+                if b in live and sid not in live[b]:
+                    del self.affinity[sid]
+            for b, sids in live.items():
+                b.sessions = len(sids)
 
     # ---- plain HTTP to a backend ---------------------------------------
     def request(self, backend: Backend, method: str, path: str,
@@ -141,7 +191,7 @@ def make_handler(state: RouterState):
             self.wfile.write(data)
 
         def _session_backend(self, sid: str) -> Optional[Backend]:
-            b = state.affinity.get(sid)
+            b = state.session_backend(sid)
             if b is None:
                 self._error(f"no session {sid}", 404)
             return b
@@ -254,9 +304,7 @@ def make_handler(state: RouterState):
                 return self._error(f"backend {b.base_url}: {e}")
             if status == 200:
                 sid = json.loads(data)["session"]
-                state.affinity[sid] = b
-                with b.lock:
-                    b.sessions += 1
+                state.add_session(sid, b)
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
@@ -287,12 +335,24 @@ def make_handler(state: RouterState):
         def do_DELETE(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             if len(parts) == 2 and parts[0] == "sessions":
-                b = state.affinity.pop(parts[1], None)
+                b = state.session_backend(parts[1])
                 if b is None:
                     return self._error(f"no session {parts[1]}", 404)
-                with b.lock:
-                    b.sessions = max(0, b.sessions - 1)
-                return self._relay(b, "DELETE")
+                # relay FIRST: if the backend is unreachable the session
+                # survives there, so the mapping must survive too (the
+                # client can retry the DELETE); any HTTP answer — 404
+                # included — means the backend resolved it, drop then.
+                try:
+                    status, data = state.request(b, "DELETE", self.path)
+                except Exception as e:
+                    return self._error(f"backend {b.base_url}: {e}")
+                state.drop_session(parts[1])
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             b = state.pick_round_robin()
             if b is None:
                 return self._error("no healthy backends")

@@ -132,6 +132,8 @@ def make_handler(state: ServerState):
                         "mean_batch": (sum(sizes) / len(sizes)
                                        if sizes else 0.0),
                         "max_batch": max(sizes, default=0),
+                        "watchdog_trips": getattr(batcher,
+                                                  "watchdog_trips", 0),
                     }
                 return self._json(out)
             if len(parts) == 3 and parts[0] == "sessions" \
@@ -220,11 +222,22 @@ def make_handler(state: ServerState):
                 from ..audio.resample import resample
                 audio = np.frombuffer(body, "<f4").astype(np.float32)
                 audio = resample(audio, rate)
+            # decode strategy via query params (?beam_size=5&...)
+            beam = int(q.get("beam_size", 0))
+            best = int(q.get("best_of", 0))
+            temp = float(q.get("temperature", 0.0))
+            opts = None
+            if beam > 1 or best > 1 or temp:
+                from ..decode.rules import DecodeOptions
+                opts = DecodeOptions(
+                    beam_size=beam if beam > 1 else None,
+                    best_of=max(best, 1), temperature=temp)
             result = state.engine.transcribe(
                 audio,
                 language=q.get("language"),
                 vocabulary=q.get("vocabulary"),
-                context=q.get("context"))
+                context=q.get("context"),
+                opts=opts)
             return self._json({
                 "text": result.text,
                 "language": result.language,
@@ -234,11 +247,19 @@ def make_handler(state: ServerState):
         def _create_session(self):
             body = self._body()
             opts = json.loads(body) if body else {}
+            app = state.config_manager.config
+            # decode strategy: per-session override, else the server
+            # config's defaults (strategy selection analog, whisper.rs:88)
+            beam = int(opts.get("beam_size", app.beam_size or 1))
             cfg = SessionConfig(
                 language=opts.get("language"),
                 vocabulary=opts.get("vocabulary"),
                 sample_rate=int(opts.get("sample_rate", 16000)),
-                max_duration_s=int(opts.get("max_duration_s", 60)))
+                max_duration_s=int(opts.get("max_duration_s", 60)),
+                beam_size=beam if beam > 1 else None,
+                best_of=int(opts.get("best_of", app.best_of or 1)),
+                temperature=float(opts.get("temperature",
+                                           app.temperature or 0.0)))
             sid = state.create_session(cfg)
             return self._json({"session": sid})
 

@@ -121,6 +121,68 @@ def test_auto_language_matches_sequential(engines):
     assert b.language == a.language
 
 
+def test_beam_strategy_through_batcher(engines):
+    """A BatchedEngine built with beam opts (the serve-config beam_size
+    analog of whisper.rs:88 strategy selection) routes window decodes
+    through the batcher's beam path and must equal the sequential
+    engine's beam result on the same audio."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.audio.mel import HOP_LENGTH, log_mel_longform
+    from nobs_whisper_tpu.decode.beam import beam_decode_window
+    from nobs_whisper_tpu.decode.hallucination import filter_hallucinations
+    from nobs_whisper_tpu.decode.rules import build_rule_tables
+    from nobs_whisper_tpu.models.whisper import encode
+
+    eng, _ = engines
+    cfg = eng.cfg
+    beam_opts = dataclasses.replace(_NO_FALLBACK, beam_size=3)
+    beamed = BatchedEngine(eng, opts=beam_opts, max_batch=4, max_wait_ms=20)
+    try:
+        audio = speech_like_audio(0.5, seed=17)
+        b = beamed.transcribe(audio, language="en")
+        # the decode really went through the batcher, not a fallback
+        assert len(beamed.batcher.batch_sizes) == 1
+
+        wf = 2 * cfg.n_audio_ctx
+        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
+                               padding=wf * HOP_LENGTH)[:, :wf]
+        xa = encode(eng.params, jnp.asarray(mel[None]), cfg)
+        tables = build_rule_tables(cfg, beam_opts, eng.tokenizer)
+        prompt = eng.tokenizer.sot_sequence(language="en")
+        direct = beam_decode_window(eng.params, xa, [prompt], cfg, tables,
+                                    beam_size=3)[0]
+        expected = filter_hallucinations(
+            eng.tokenizer.decode(direct.tokens).strip())
+        assert b.text == expected
+    finally:
+        beamed.close()
+
+
+def test_session_decode_opts_flow_to_engine(engines):
+    """SessionConfig's decode-strategy fields reach engine.transcribe as
+    DecodeOptions (serving-surface reachability of beam, VERDICT item)."""
+    eng, _ = engines
+    seen = {}
+
+    class SpyEngine:
+        cfg = eng.cfg
+        tokenizer = eng.tokenizer
+        loaded = True
+
+        def transcribe(self, audio, opts=None, **kw):
+            seen["opts"] = opts
+            return eng.transcribe(audio, opts=opts or _NO_FALLBACK, **kw)
+
+    s = StreamingSession(SpyEngine(), SessionConfig(
+        sample_rate=16000, language="en", beam_size=3))
+    s.start()
+    s.push_audio(speech_like_audio(0.4, seed=19))
+    out = s.stop()
+    assert isinstance(out, str)
+    assert seen["opts"] is not None and seen["opts"].beam_size == 3
+
+
 def test_no_speech_gate_matches_sequential(engines):
     """A window flagged as silence emits nothing on BOTH paths (reference
     no_speech_thold behavior, whisper.rs:122), and the silence override

@@ -182,6 +182,51 @@ def test_pending_batch_finalized_on_close(engine):
         assert f.result(timeout=120).tokens is not None
 
 
+def test_watchdog_fails_wedged_batch(engine):
+    """A batch whose device result never arrives (the tunnel's known
+    wedged-dispatch failure mode) must fail its futures at the deadline
+    while the batcher keeps serving — sessions degrade instead of
+    hanging (reference analog: stuck-thread cleanup + recv_timeout cap,
+    src-tauri/src/state.rs:61-95,622-631)."""
+    # the batcher resolves decode_window_finalize from the greedy module
+    # at each _run_batch call — patch it there
+    import nobs_whisper_tpu.decode.greedy as greedy_mod
+
+    cfg = engine.cfg
+    wedge = {"on": True}
+    release = threading.Event()
+    real_finalize = greedy_mod.decode_window_finalize
+
+    def wedged_finalize(handle):
+        if wedge["on"]:
+            wedge["on"] = False
+            release.wait(30)       # simulate the indefinite hang, bounded
+        return real_finalize(handle)
+
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer,
+                            DecodeOptions(), max_batch=2, max_wait_ms=5,
+                            batch_deadline_s=1.5)
+    # warm the jit so the deadline isn't spent compiling
+    rng = np.random.RandomState(4)
+    mel = rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    prompt = engine.tokenizer.sot_sequence(language="en")
+    batcher.submit(mel, prompt).result(timeout=120)
+
+    greedy_mod.decode_window_finalize = wedged_finalize
+    try:
+        f1 = batcher.submit(mel, prompt)
+        with pytest.raises(TimeoutError, match="wedged"):
+            f1.result(timeout=30)
+        assert batcher.watchdog_trips == 1
+        release.set()              # un-wedge the abandoned thread
+        f2 = batcher.submit(mel, prompt)   # service continues
+        assert f2.result(timeout=120).tokens is not None
+    finally:
+        greedy_mod.decode_window_finalize = real_finalize
+        release.set()
+        batcher.close()
+
+
 def test_mixed_frames_and_mel_batch(engine):
     """A batch mixing framed and mel requests degrades to the mel path:
     framed rows must decode to the same tokens as their mel twins."""

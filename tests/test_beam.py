@@ -196,7 +196,6 @@ def test_beam_shared_packed_cross_kv_matches_plain(setup):
     repeated-KV path at the same precision."""
     import os
     import jax
-    from nobs_whisper_tpu.decode.beam import beam_decode_window_jit
     params, cfg, sp = setup
     p16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -206,10 +205,9 @@ def test_beam_shared_packed_cross_kv_matches_plain(setup):
         xa, prompt = _xa_and_prompt(params, cfg, sp, seed, batch=batch)
         xa16 = xa.astype(jnp.bfloat16)
         prompts = [prompt] * batch
-        # the env flags are read at TRACE time: without clearing the jit
-        # cache the second call would silently reuse the first program
-        # and the A/B would compare the plain path against itself
-        beam_decode_window_jit.clear_cache()
+        # the env flags are read at CALL time and become the packed_kv
+        # static arg, so the two calls compile (and cache) as distinct
+        # programs — no clear_cache dance needed
         os.environ["NWT_NO_KT_XATTN"] = "1"     # plain repeated KV
         try:
             plain = beam_decode_window(p16, xa16, prompts, cfg, tables,
@@ -217,7 +215,6 @@ def test_beam_shared_packed_cross_kv_matches_plain(setup):
                                        compute_dtype=jnp.bfloat16)
         finally:
             del os.environ["NWT_NO_KT_XATTN"]
-        beam_decode_window_jit.clear_cache()
         os.environ["NWT_FORCE_KT"] = "1"        # packed + shared (grouped)
         try:
             shared = beam_decode_window(p16, xa16, prompts, cfg, tables,

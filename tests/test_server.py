@@ -181,6 +181,30 @@ def _wait_idle(base, sid, timeout=30):
     raise TimeoutError(f"session {sid} never went idle")
 
 
+def test_beam_reachable_through_serving_surface(server):
+    """Beam decoding is reachable from the serving layer (reference
+    strategy selection analog, whisper.rs:88): one-shot ?beam_size= and
+    per-session beam_size both produce the engine's beam result."""
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    base, httpd = server
+    audio = (np.random.RandomState(7).randn(16000) * 0.2).astype(np.float32)
+    direct = httpd.state.engine.transcribe(
+        audio, language="en", opts=DecodeOptions(beam_size=3))
+
+    one_shot = _post(base, "/transcribe?language=en&beam_size=3",
+                     audio.tobytes())
+    assert one_shot["text"] == direct.text
+
+    sid = _post(base, "/sessions", json.dumps(
+        {"language": "en", "sample_rate": 16000,
+         "beam_size": 3}).encode())["session"]
+    _post(base, f"/sessions/{sid}/start")
+    _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+    out = _post(base, f"/sessions/{sid}/stop")
+    assert out["transcript"] == direct.text
+
+
 def test_unknown_session_404(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
