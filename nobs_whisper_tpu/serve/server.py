@@ -103,6 +103,17 @@ def make_handler(state: ServerState):
         # ---- GET -----------------------------------------------------
         def do_GET(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if not parts or parts == ["index.html"]:
+                # built-in web client (the reference's settings SPA
+                # analog, src/routes/+page.svelte)
+                from .webui import INDEX_HTML
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parts == ["health"]:
                 return self._json({
                     "ok": True,

@@ -1,0 +1,133 @@
+"""Encoder component breakdown on the real chip (large-v3-turbo, int8).
+
+Times the full encode and ablated variants (attention / MLP / qkvo
+projections replaced by identity) at a given batch, all in ONE process.
+Differences give the in-context cost of each component — the honest
+number, since standalone kernels measure differently than inside the
+scan (docs/ROADMAP.md: DMA/compute overlap).
+
+  python scripts/encoder_profile.py [batch]
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 28
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nobs_whisper_tpu.core.config import get_config
+    from nobs_whisper_tpu.models.whisper import (_conv1d, _gelu, _layer_norm,
+                                                 _merge_heads, _split_heads,
+                                                 init_params)
+    from nobs_whisper_tpu.ops.quant import (dense_int8_dynamic, is_quantized,
+                                            quantize_encoder_params)
+
+    cfg = get_config("large-v3-turbo")
+    params = quantize_encoder_params(
+        init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(batch, cfg.n_mels,
+                                       2 * cfg.n_audio_ctx)
+        .astype(np.float32))
+    n_head = cfg.n_audio_head
+
+    def lin(h, w, bias=None):
+        if is_quantized(w):
+            return dense_int8_dynamic(h, w, bias)
+        y = h @ w
+        return y if bias is None else y + bias
+
+    def flash(q, k, v):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention)
+        dh = q.shape[-1]
+        t = q.shape[-2]
+        blk = min(-(-t // 512) * 512, 2048)
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+        return flash_attention(q, k, v, causal=False, block_sizes=bs,
+                               sm_scale=float(dh) ** -0.5)
+
+    @functools.partial(jax.jit, static_argnames=("attn", "mlp", "qkvo",
+                                                 "stem_only"))
+    def enc(params, mel, attn=True, mlp=True, qkvo=True, stem_only=False):
+        enc_p = params["encoder"]
+        x = jnp.swapaxes(mel, -1, -2).astype(jnp.bfloat16)
+        x = _gelu(_conv1d(x, enc_p["conv1_w"], enc_p["conv1_b"], stride=1))
+        x = _gelu(_conv1d(x, enc_p["conv2_w"], enc_p["conv2_b"], stride=2))
+        x = x + enc_p["pos"].astype(jnp.bfloat16)
+        if stem_only:
+            return jnp.sum(x.astype(jnp.float32))
+
+        def block(x, p):
+            if qkvo:
+                h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+                q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
+                k = _split_heads(lin(h, p["k_w"]), n_head)
+                v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
+                a = (_merge_heads(flash(q, k, v).astype(x.dtype))
+                     if attn else _merge_heads(v))
+                x = x + lin(a, p["o_w"], p["o_b"])
+            if mlp:
+                from nobs_whisper_tpu.ops.fused_mlp import encoder_mlp_int8
+                bsz, t, d = x.shape
+                x = encoder_mlp_int8(
+                    x.reshape(bsz * t, d), p["ln2_g"], p["ln2_b"],
+                    p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
+                    block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
+                    block_f=int(os.environ.get("NWT_MLP_BF", 0)) or 1280,
+                ).reshape(bsz, t, d)
+            return x, None
+
+        x, _ = jax.lax.scan(block, x, enc_p["blocks"])
+        x = _layer_norm(x, enc_p["ln_post_g"], enc_p["ln_post_b"])
+        return jnp.sum(x.astype(jnp.float32))
+
+    def timed(name, **kw):
+        fn = lambda: enc(params, mel, **kw)
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        print(f"  [{name}] compile+warm {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            ts.append(time.perf_counter() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{name:24s} {med * 1000:8.1f} ms")
+        return med
+
+    full = timed("full")
+    no_attn = timed("no_attention", attn=False)
+    no_mlp = timed("no_mlp", mlp=False)
+    stem = timed("stem_only", stem_only=True)
+    proj_only = timed("qkvo_only", attn=False, mlp=False)
+
+    print(f"\nbatch={batch} breakdown (in-context deltas):")
+    print(f"  attention : {(full - no_attn) * 1000:8.1f} ms")
+    print(f"  mlp       : {(full - no_mlp) * 1000:8.1f} ms")
+    print(f"  qkvo      : {(proj_only - stem) * 1000:8.1f} ms")
+    print(f"  stem      : {stem * 1000:8.1f} ms")
+    print(f"  full      : {full * 1000:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,49 @@ def _wait_idle(base, sid, timeout=30):
     raise TimeoutError(f"session {sid} never went idle")
 
 
+def test_web_client_served_and_drives_full_cycle(server):
+    """The built-in web client (L7 settings-SPA analog,
+    src/routes/+page.svelte) is served at / and its exact call sequence —
+    create session (SSE attach), toggle to record, push mic PCM, toggle
+    to stop — produces a final transcript event."""
+    base, _ = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        page = r.read().decode()
+    # the page drives these endpoints; pin their presence in the markup
+    for needle in ("/sessions", "/config", "/models", "EventSource",
+                   "getUserMedia", "toggle"):
+        assert needle in page, needle
+
+    # the page's session flow, urllib-level
+    sid = _post(base, "/sessions", json.dumps(
+        {"sample_rate": 16000, "language": "en"}).encode())["session"]
+    events = []
+
+    def listen():
+        req = urllib.request.Request(f"{base}/sessions/{sid}/events")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[6:]))
+                    if events[-1].get("is_final"):
+                        return
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    assert _post(base, f"/sessions/{sid}/toggle")["recording"] is True
+    audio = (np.random.RandomState(9).randn(16000) * 0.2).astype(np.float32)
+    _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+    assert _post(base, f"/sessions/{sid}/toggle")["recording"] is False
+    _wait_idle(base, sid, timeout=120)
+    t.join(timeout=60)
+    assert events and events[-1]["is_final"]
+    assert isinstance(events[-1]["transcript"], str)
+
+
 def test_beam_reachable_through_serving_surface(server):
     """Beam decoding is reachable from the serving layer (reference
     strategy selection analog, whisper.rs:88): one-shot ?beam_size= and
