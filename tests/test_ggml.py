@@ -85,6 +85,65 @@ def test_q5_1_dequant_exact_formula():
     assert np.abs(out - x).max() < (x.max() - x.min()) / 31 + 1e-3
 
 
+def _independent_q5_dequant(raw: bytes, qtype) -> np.ndarray:
+    """Test-local scalar implementation of the public q5_0/q5_1 block
+    format (block = f16 scale [+ f16 min], 32x 5-bit: 4 low bits packed
+    two-per-byte + 1 high bit in a 32-bit word). Written from the format
+    spec, NOT from core/ggml.py — the independent oracle for whole-tensor
+    dequantization (VERDICT r2 item 5)."""
+    bs = 22 if qtype == ggml.GGML_TYPE_Q5_0 else 24
+    out = []
+    for off in range(0, len(raw), bs):
+        blk = raw[off: off + bs]
+        if qtype == ggml.GGML_TYPE_Q5_0:
+            d = float(np.frombuffer(blk[0:2], np.float16)[0])
+            qh = int.from_bytes(blk[2:6], "little")
+            qs = blk[6:22]
+            vals = np.empty(32, np.float32)
+            for i in range(16):
+                lo = (qs[i] & 0xF) | (((qh >> i) & 1) << 4)
+                hi = (qs[i] >> 4) | (((qh >> (i + 16)) & 1) << 4)
+                vals[i] = d * (lo - 16)
+                vals[i + 16] = d * (hi - 16)
+        else:
+            d = float(np.frombuffer(blk[0:2], np.float16)[0])
+            m = float(np.frombuffer(blk[2:4], np.float16)[0])
+            qh = int.from_bytes(blk[4:8], "little")
+            qs = blk[8:24]
+            vals = np.empty(32, np.float32)
+            for i in range(16):
+                lo = (qs[i] & 0xF) | (((qh >> i) & 1) << 4)
+                hi = (qs[i] >> 4) | (((qh >> (i + 16)) & 1) << 4)
+                vals[i] = d * lo + m
+                vals[i + 16] = d * hi + m
+        out.append(vals)
+    return np.concatenate(out)
+
+
+@pytest.mark.parametrize("qtype", [ggml.GGML_TYPE_Q5_0, ggml.GGML_TYPE_Q5_1])
+def test_q5_file_tensor_matches_independent_dequant(tmp_path, qtype):
+    """A q5 tensor written and read through the FULL file path must equal
+    the independent scalar dequant of its raw blocks bit-exactly (covers
+    the vectorized codec AND the file plumbing: alignment, padding,
+    row-major order)."""
+    cfg = tiny_test_config()
+    tensors = random_ggml_tensors(cfg, seed=6)
+    vocab = byte_level_vocab(cfg)
+    mel = np.random.RandomState(0).rand(cfg.n_mels, 201).astype(np.float32)
+    path = str(tmp_path / "model.bin")
+    ggml.write_ggml(path, cfg, mel, vocab, tensors, default_type=qtype)
+    ckpt = ggml.read_ggml(path)
+    checked = 0
+    for name, orig in tensors.items():
+        if orig.ndim == 1 or orig.size % 32:
+            continue               # stored f32 (whisper.cpp leaves 1D alone)
+        raw = ggml._QUANTIZE[qtype](orig.reshape(-1))
+        expect = _independent_q5_dequant(raw, qtype).reshape(orig.shape)
+        np.testing.assert_array_equal(ckpt.tensors[name], expect, err_msg=name)
+        checked += 1
+    assert checked >= 3
+
+
 def test_q8_0_roundtrip_precision():
     rng = np.random.RandomState(5)
     x = rng.randn(320).astype(np.float32)
