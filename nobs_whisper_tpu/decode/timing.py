@@ -252,6 +252,56 @@ def find_word_timings(
     return out
 
 
+_SENTENCE_END_MARKS = ".。!！?？"
+
+
+def refine_word_durations(words: List[WordTiming]) -> None:
+    """openai-whisper's word-anchor duration heuristics (transcribe.py
+    word_timestamps post-pass), in place: DTW occasionally smears a word
+    across a hallucinated pause, so words are clamped to twice the
+    window's median word duration at sentence boundaries, and an
+    anomalously long FIRST word (a leading pause absorbed into it) is
+    truncated from its end."""
+    if not words:
+        return
+    durations = [max(w.end - w.start, 0.0) for w in words]
+    med = float(np.median(durations)) if durations else 0.0
+    max_dur = med * 2 if med > 0 else 0.0
+    if max_dur <= 0:
+        return
+    # clamp words that straddle a sentence boundary
+    for i, w in enumerate(words):
+        if w.end - w.start > max_dur:
+            if w.word.strip() in _SENTENCE_END_MARKS:
+                w.end = w.start + max_dur
+            elif i > 0 and words[i - 1].word.strip() in _SENTENCE_END_MARKS:
+                w.start = w.end - max_dur
+    # a first word much longer than its peers absorbed the leading pause
+    if words[0].end - words[0].start > max_dur:
+        words[0].start = max(words[0].end - max_dur, 0.0)
+
+
+def refine_segments_with_words(segments, words: List[WordTiming],
+                               window_end: float) -> None:
+    """Snap segment-level boundaries to their words' anchors, in place
+    (openai-whisper's segment adjustment when word_timestamps=True):
+    each segment's start becomes its first word's start and its end its
+    last word's end, clamped monotonic and inside the window. Segments
+    without words keep their timestamp-rule bounds."""
+    prev_end = None
+    for seg in segments:
+        ws = seg.words if getattr(seg, "words", None) else None
+        if ws:
+            start = ws[0].start
+            end = max(ws[-1].end, start)
+            if prev_end is not None:
+                start = max(start, prev_end)
+                end = max(end, start)
+            seg.start = start
+            seg.end = min(end, window_end) if window_end > 0 else end
+        prev_end = seg.end
+
+
 def merge_punctuations(words: List[WordTiming],
                        prepended: str = "\"'“¿([{-",
                        appended: str = "\"'.。,，!！?？:：”)]}、") -> None:

@@ -248,7 +248,10 @@ def transcribe_mel(
                 num_frames=segment_size, time_offset=time_offset,
                 alignment_heads=alignment_heads)
             merge_punctuations(window_words)
+            from ..decode.timing import refine_word_durations
+            refine_word_durations(window_words)
 
+        n_before = len(segments)
         for rs in raw_segments:
             text = tokenizer.decode(rs["tokens"]).strip()
             if not text:
@@ -264,6 +267,15 @@ def transcribe_mel(
                 avg_logprob=result.avg_logprob,
                 no_speech_prob=result.no_speech_prob,
                 words=words))
+
+        if window_words is not None:
+            # segment-level refinement: snap this window's segment bounds
+            # to their word anchors (openai word_timestamps adjustment)
+            from ..decode.timing import refine_segments_with_words
+            refine_segments_with_words(
+                segments[n_before:], window_words,
+                window_end=time_offset
+                + segment_size * HOP_LENGTH / SAMPLE_RATE)
 
         # rolling context: text tokens only (whisper.cpp keeps text, not
         # timestamps, in prompt_past)

@@ -52,16 +52,30 @@ def main():
         return y if bias is None else y + bias
 
     def flash(q, k, v):
+        # identical to models/whisper.py::block's flash branch (pad to the
+        # 512-multiple, whole padded sequence per block, segment mask)
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, flash_attention)
+            BlockSizes, SegmentIds, flash_attention)
         dh = q.shape[-1]
-        t = q.shape[-2]
-        blk = min(-(-t // 512) * 512, 2048)
+        bsz, _, t, _ = q.shape
+        tp = -(-t // 512) * 512
+        blk = min(tp, 2048)
         bs = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk,
             block_k_dkv=blk, block_q_dkv=blk,
             block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+        pad = tp - t
+        if pad:
+            padding = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q_, k_, v_ = (jnp.pad(z, padding) for z in (q, k, v))
+            seg = jnp.concatenate(
+                [jnp.ones((bsz, t), jnp.int32),
+                 jnp.zeros((bsz, pad), jnp.int32)], axis=-1)
+            return flash_attention(q_, k_, v_,
+                                   segment_ids=SegmentIds(seg, seg),
+                                   causal=False, block_sizes=bs,
+                                   sm_scale=float(dh) ** -0.5)[..., :t, :]
         return flash_attention(q, k, v, causal=False, block_sizes=bs,
                                sm_scale=float(dh) ** -0.5)
 

@@ -131,6 +131,79 @@ def test_merge_punctuations():
     assert words[0].tokens == [1, 2]
 
 
+def test_refine_word_durations_clamps_outliers():
+    from nobs_whisper_tpu.decode.timing import refine_word_durations
+    # leading pause absorbed into the first word -> truncated from its end
+    words = [
+        WordTiming(" hello", 0.0, 3.0, [1], 1.0),   # outlier (med dur 0.5)
+        WordTiming(" there", 3.0, 3.5, [2], 1.0),
+        WordTiming(".", 3.5, 4.0, [3], 1.0),
+        WordTiming(" next", 4.0, 4.5, [4], 1.0),
+    ]
+    refine_word_durations(words)
+    assert words[0].end == 3.0
+    assert words[0].start == pytest.approx(3.0 - 2 * 0.5)
+    # a sentence-end mark smeared across a pause is clamped at its start
+    words = [
+        WordTiming(" a", 0.0, 0.5, [1], 1.0),
+        WordTiming(" b", 0.5, 1.0, [2], 1.0),
+        WordTiming(".", 1.0, 9.0, [3], 1.0),
+        WordTiming(" c", 9.0, 9.5, [4], 1.0),
+    ]
+    refine_word_durations(words)
+    assert words[2].end == pytest.approx(1.0 + 2 * 0.5)
+    # a word following a sentence end that absorbed the pause: clamped
+    # from its end
+    words = [
+        WordTiming(" a", 0.0, 0.5, [1], 1.0),
+        WordTiming(".", 0.5, 1.0, [2], 1.0),
+        WordTiming(" b", 1.0, 9.0, [3], 1.0),
+        WordTiming(" c", 9.0, 9.5, [4], 1.0),
+    ]
+    refine_word_durations(words)
+    assert words[2].start == pytest.approx(9.0 - 2 * 0.5)
+
+
+def test_refine_segments_with_words_snaps_bounds():
+    import types
+    from nobs_whisper_tpu.decode.timing import refine_segments_with_words
+
+    def seg(start, end, words=None):
+        return types.SimpleNamespace(start=start, end=end, words=words)
+
+    s1 = seg(0.0, 5.0, [WordTiming(" a", 0.8, 1.2, [1], 1.0),
+                        WordTiming(" b", 1.2, 2.1, [2], 1.0)])
+    s2 = seg(5.0, 10.0, [WordTiming(" c", 1.9, 6.0, [3], 1.0)])
+    s3 = seg(10.0, 12.0, None)        # no words: bounds untouched
+    refine_segments_with_words([s1, s2, s3], [], window_end=30.0)
+    assert s1.start == 0.8 and s1.end == 2.1
+    # monotonic: s2's word starts before s1's refined end is clamped
+    assert s2.start == pytest.approx(2.1) and s2.end == 6.0
+    assert s3.start == 10.0 and s3.end == 12.0
+
+
+def test_longform_word_timestamps_refined(tiny_engine):
+    """End-to-end: word_timestamps=True through the longform loop yields
+    word-anchored, monotonic segment bounds inside the window."""
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    eng = tiny_engine
+    audio = np.asarray(
+        __import__("nobs_whisper_tpu.utils.testing",
+                   fromlist=["speech_like_audio"]).speech_like_audio(
+                       0.6, seed=21))
+    r = eng.transcribe(audio, language="en",
+                       opts=DecodeOptions(word_timestamps=True))
+    for s in r.segments:
+        assert s.start <= s.end
+        if s.words:
+            assert s.start == pytest.approx(s.words[0].start, abs=1e-6)
+            assert s.end == pytest.approx(max(s.words[-1].end,
+                                              s.words[0].start), abs=1e-6)
+    for a, b in zip(r.segments, r.segments[1:]):
+        assert b.start >= a.start - 1e-6
+
+
 @pytest.fixture(scope="module")
 def tiny_engine():
     import jax
