@@ -1,0 +1,116 @@
+"""Software-pipelined encoder self-attention kernel (non-causal, dh=64).
+
+Why the library flash kernel leaves time on the table here: with the
+measured-optimal whole-sequence blocks (docs/ROADMAP.md round-2 log), each
+(batch, head) grid instance is ONE serial chain scores(MXU) -> softmax
+(VPU) -> probs@V(MXU) — the VPU softmax (~half the per-instance time at
+T=1536, dh=64) never overlaps MXU work. Chunking the LIBRARY kernel
+doesn't help because its online-softmax pays accumulator renormalization
+per chunk (measured +3..14%).
+
+This kernel keeps K and V whole-sequence resident in VMEM (197 KB each at
+T=1536 — trivially fits), processes Q in blocks, and interleaves the
+straight-line block computations so block j+1's QK^T has no data
+dependency on block j's softmax — Mosaic's VLIW scheduler can issue the
+MXU and VPU streams in parallel. No online softmax: each q block sees the
+FULL key row, so the softmax is exact in one pass (max-subtract, exp,
+sum), and the normalization happens AFTER probs@V on the (bq, dh) output
+tile instead of the (bq, T) probs tile — one large VPU pass saved.
+
+Key padding (T 1500 -> 1536) is masked with an in-kernel iota compare —
+no segment-id operands. Reference capability: whisper.cpp's encoder
+self-attention inside state.full (src-tauri/src/whisper.rs:128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q, scale):
+    k = k_ref[0]                                   # (T, dh) bf16
+    v = v_ref[0]
+    t = k.shape[0]
+    n_blk = t // block_q
+    dims = (((1,), (1,)), ((), ()))                # contract dh with dh
+
+    neg = jnp.float32(-1e30)
+    if n_real < t:
+        key_pad = jax.lax.broadcasted_iota(
+            jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
+    else:
+        key_pad = None
+
+    def scores(j):
+        qj = q_ref[0, j * block_q:(j + 1) * block_q, :]      # (bq, dh)
+        s = jax.lax.dot_general(
+            (qj.astype(jnp.float32) * scale).astype(jnp.bfloat16), k,
+            dims, preferred_element_type=jnp.float32)        # (bq, T)
+        if key_pad is not None:
+            s = jnp.where(key_pad, neg, s)
+        return s
+
+    def soft_pv(j, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)                         # unnormalized, in [0,1]
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(jnp.bfloat16), v,
+                    preferred_element_type=jnp.float32)      # (bq, dh)
+        o_ref[0, j * block_q:(j + 1) * block_q, :] = \
+            (o / l).astype(o_ref.dtype)
+
+    # software pipeline: issue block j+1's QK^T before block j's
+    # softmax+PV so the independent MXU/VPU chains can overlap
+    s_cur = scores(0)
+    for j in range(n_blk):
+        s_next = scores(j + 1) if j + 1 < n_blk else None
+        soft_pv(j, s_cur)
+        s_cur = s_next
+
+
+def encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      n_real: int, sm_scale: float,
+                      block_q: int = 512,
+                      interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: (B, H, T, dh) bf16 with T padded to a multiple of
+    ``block_q``; keys/queries at positions >= ``n_real`` are padding
+    (keys masked in-kernel; padded query rows produce garbage the caller
+    slices off). Returns (B, H, T, dh) in q.dtype."""
+    b, h, t, dh = q.shape
+    assert t % block_q == 0, (t, block_q)
+    bh = b * h
+    qf = q.reshape(bh, t, dh)
+    kf = k.reshape(bh, t, dh)
+    vf = v.reshape(bh, t, dh)
+
+    spec = pl.BlockSpec((1, t, dh), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, n_real=n_real, block_q=block_q,
+                          scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+        grid=(bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, dh)
+
+
+def encoder_attention_reference(q, k, v, n_real, sm_scale):
+    """XLA reference with the same masking contract (padded keys ignored,
+    padded query rows unspecified-but-finite)."""
+    s = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32) * sm_scale,
+                   k.astype(jnp.float32))
+    t = q.shape[2]
+    if n_real < t:
+        mask = jnp.arange(t) < n_real
+        s = jnp.where(mask[None, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", p.astype(v.dtype), v).astype(
+        q.dtype)

@@ -1,0 +1,60 @@
+"""Software-pipelined encoder attention kernel: interpret-mode parity
+with the XLA reference, padding mask correctness, block-size handling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.ops.encoder_attention import (
+    encoder_attention, encoder_attention_reference)
+
+
+def _qkv(b, h, t, dh, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(
+        rng.randn(b, h, t, dh).astype(np.float32) * 0.5, jnp.bfloat16)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("n_real", [256, 250, 119])
+def test_matches_reference_with_padding(n_real):
+    b, h, t, dh = 2, 3, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=1)
+    sm = float(dh) ** -0.5
+    got = encoder_attention(q, k, v, n_real, sm, block_q=128,
+                            interpret=True)
+    ref = encoder_attention_reference(q, k, v, n_real, sm)
+    # only real query rows are specified
+    np.testing.assert_allclose(
+        np.asarray(got[..., :n_real, :], np.float32),
+        np.asarray(ref[..., :n_real, :], np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_single_block():
+    b, h, t, dh = 1, 2, 128, 64
+    q, k, v = _qkv(b, h, t, dh, seed=2)
+    sm = float(dh) ** -0.5
+    got = encoder_attention(q, k, v, t, sm, block_q=128, interpret=True)
+    ref = encoder_attention_reference(q, k, v, t, sm)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_f32_inputs_bf16_matmul_tolerance():
+    """The kernel's matmul inputs are bf16 by design (the encoder's
+    serving dtype); with f32 inputs the error must stay at bf16
+    rounding level — the softmax itself (exact one-pass, post-PV
+    normalization) adds nothing beyond it."""
+    b, h, t, dh = 1, 2, 256, 64
+    rng = np.random.RandomState(3)
+    mk = lambda: jnp.asarray(rng.randn(b, h, t, dh).astype(np.float32) * 0.5)
+    q, k, v = mk(), mk(), mk()
+    sm = float(dh) ** -0.5
+    got = encoder_attention(q, k, v, 200, sm, block_q=128, interpret=True)
+    ref = encoder_attention_reference(q, k, v, 200, sm)
+    np.testing.assert_allclose(np.asarray(got[..., :200, :]),
+                               np.asarray(ref[..., :200, :]),
+                               atol=1e-3)
