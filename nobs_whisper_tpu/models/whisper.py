@@ -21,7 +21,8 @@ Design choices for XLA/TPU rather than a translation of the C++ graph:
 Weight layout: linear weights are stored (d_in, d_out) so ``x @ w`` feeds
 the MXU directly.
 
-Env knobs (NWT_NO_FLASH, NWT_NO_INT8_MLP, NWT_INT8_QKV, NWT_XATTN_KERNEL,
+Env knobs (NWT_NO_FLASH, NWT_LIB_FLASH, NWT_ATTN_BQ,
+NWT_NO_INT8_MLP, NWT_INT8_QKV, NWT_XATTN_KERNEL,
 NWT_Q8_KV_XLA, NWT_DEEP_DECODER, the *_BM/*_BF/*_BQ/*_BK block sizes,
 NWT_Q8_KERNEL_MIN_BYTES) are A/B experiment toggles read at TRACE time
 inside jitted callers and are NOT part of any jit cache key: set them
@@ -157,16 +158,21 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     x = x + enc["pos"].astype(compute_dtype)
 
     n_head = cfg.n_audio_head
-    # Pallas flash attention with TUNED block sizes (whole padded
-    # sequence per block) is the measured win here: full encode 227 ->
-    # 152 device-ms on v5e (XLA's unfused softmax materializes ~1.4 GB of
-    # f32 scores per layer). NB the library DEFAULT block sizes lose to
-    # XLA (0.26 -> 0.52 s) — the tuning is the point. NWT_NO_FLASH=1
-    # falls back to XLA attention.
+    # Pallas attention is the measured win here (XLA's unfused softmax
+    # materializes ~1.4 GB of f32 scores per layer). Two kernels:
+    # - default: the software-pipelined whole-KV kernel
+    #   (ops/encoder_attention.py) — measured 543 -> 526 ms full encode
+    #   at B=28 vs the tuned library flash (the library kernel's
+    #   whole-sequence blocks serialize softmax against the matmuls);
+    #   NWT_LIB_FLASH=1 selects the library kernel instead.
+    # - library flash with TUNED blocks (whole padded sequence; the
+    #   library DEFAULT blocks lose to XLA 2x — the tuning is the point).
+    # NWT_NO_FLASH=1 falls back to XLA attention entirely.
     import os
     use_flash = (jax.default_backend() == "tpu"
                  and compute_dtype == jnp.bfloat16
                  and not os.environ.get("NWT_NO_FLASH"))
+    use_lib_flash = bool(os.environ.get("NWT_LIB_FLASH"))
     # fused int8 MLP kernel (default-on for quantized encoders on TPU):
     # both matmuls on the int8 MXU, LN/gelu/requant in VMEM, fc1 output
     # never in HBM. Measured (B=16, turbo, v5e): encode 381.6 -> 319.2 ms
@@ -215,7 +221,25 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
             k = _split_heads(lin(h, p["k_w"]), n_head)
             v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
-        if use_flash:
+        if use_flash and not use_lib_flash:
+            from ..ops.encoder_attention import encoder_attention
+            dh = q.shape[-1]
+            bsz, _, t, _ = q.shape
+            # bq sweep at B=28 (scripts/attn_kernel_check.py): 256 ->
+            # 524.7 ms full encode, 512 -> 526.3, 1536 (no pipeline) ->
+            # 533.5; library flash 543.0
+            bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
+            tp = -(-t // bq) * bq
+            pad = tp - t
+            if pad:
+                padding = ((0, 0), (0, 0), (0, pad), (0, 0))
+                q_, k_, v_ = (jnp.pad(z, padding) for z in (q, k, v))
+            else:
+                q_, k_, v_ = q, k, v
+            a = encoder_attention(q_, k_, v_, t, float(dh) ** -0.5,
+                                  block_q=bq)[..., :t, :]
+            a = _merge_heads(a.astype(x.dtype))
+        elif use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, SegmentIds, flash_attention)
             dh = q.shape[-1]
