@@ -203,6 +203,21 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     use_int8_qkv = (jax.default_backend() == "tpu"
                     and jax.device_count() == 1
                     and bool(os.environ.get("NWT_INT8_QKV")))
+    # flat-layout head-pair attention (ops/encoder_attention.py::
+    # encoder_attention_btd): q/k/v stay in the projections' native
+    # (B, T, d) layout, the residual stream is padded ONCE to the
+    # kernel's T multiple before the layer scan, and the per-layer head
+    # split/merge transposes + per-tensor pads disappear entirely.
+    # NWT_ATTN_BHTD=1 falls back to the per-head (B, H, T, dh) kernel.
+    use_btd = (use_flash and not use_lib_flash and not use_int8_qkv
+               and n_head % 2 == 0
+               and not os.environ.get("NWT_ATTN_BHTD"))
+    attn_bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
+    t_real = x.shape[1]
+    if use_btd:
+        tp_btd = -(-t_real // attn_bq) * attn_bq
+        if tp_btd != t_real:
+            x = jnp.pad(x, ((0, 0), (0, tp_btd - t_real), (0, 0)))
 
     def block(x, p):
         from ..ops.quant import dense_int8_dynamic, is_quantized
@@ -215,7 +230,21 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             y = h @ w
             return y if bias is None else y + bias
 
-        if use_int8_qkv and is_quantized(p["q_w"]):
+        if use_btd:
+            # flat path: projections feed the head-pair kernel in their
+            # native (B, T, d) layout — no split/merge, no per-layer pad
+            # (x was padded once to the kernel's T multiple above)
+            hn = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+            qf = lin(hn, p["q_w"], p["q_b"])
+            kf = lin(hn, p["k_w"])
+            vf = lin(hn, p["v_w"], p["v_b"])
+            from ..ops.encoder_attention import encoder_attention_btd
+            dh = qf.shape[-1] // n_head
+            a = encoder_attention_btd(qf, kf, vf, t_real,
+                                      float(dh) ** -0.5, n_head,
+                                      block_q=attn_bq)
+            q = k = v = None
+        elif use_int8_qkv and is_quantized(p["q_w"]):
             from ..ops.fused_qkv import encoder_qkv_int8
             bsz, t, d = x.shape
             bm = int(os.environ.get("NWT_QKV_BM", 0)) or 256
@@ -231,7 +260,9 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
             k = _split_heads(lin(h, p["k_w"]), n_head)
             v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
-        if use_flash and not use_lib_flash:
+        if use_btd:
+            pass
+        elif use_flash and not use_lib_flash:
             from ..ops.encoder_attention import encoder_attention
             dh = q.shape[-1]
             bsz, _, t, _ = q.shape
@@ -307,6 +338,8 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         return x, None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])
+    if use_btd and x.shape[1] != t_real:
+        x = x[:, :t_real]
     x = _layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
     return x
 

@@ -102,6 +102,111 @@ def encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, t, dh)
 
 
+def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
+                     scale, dh):
+    """Head-PAIR instance on flat (T, 2*dh) lane blocks.
+
+    The other head's lanes are zeroed out of each Q tile before its
+    QK^T, so the full-width 128-lane contraction reproduces the
+    per-head dh=64 dot exactly (the extra lanes multiply by zero) — and
+    costs the same MXU time, since a K=64 contraction occupies the full
+    128-deep systolic array anyway. Each head's probs then multiply the
+    FULL (T, 2*dh) V: head h's PV output is correct in its own lanes
+    and garbage in the other head's, and a lane select assembles the
+    pair's flat output tile. No transposes exist anywhere in this
+    dataflow.
+    """
+    k2 = k_ref[0]                                  # (T, 2*dh) bf16
+    v2 = v_ref[0]
+    t = k2.shape[0]
+    n_blk = t // block_q
+    dims = (((1,), (1,)), ((), ()))                # contract lanes
+
+    lane_lo = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 2 * dh), 1) < dh            # (1, 128) lanes mask
+    zero = jnp.zeros((), jnp.bfloat16)
+
+    neg = jnp.float32(-1e30)
+    if n_real < t:
+        key_pad = jax.lax.broadcasted_iota(
+            jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
+    else:
+        key_pad = None
+
+    # Masks live on the (bq, 128) Q tiles and (bq, 128) PV outputs, NOT
+    # on K/V: four masked whole-sequence K/V copies blew the 16 MB
+    # scoped-VMEM limit at B=28. K and V are read unmasked; zeroing the
+    # other head's Q lanes makes each 128-lane contraction exactly the
+    # per-head dh-lane dot, and each head's PV result is simply wrong in
+    # the other head's lanes, where it is discarded by the lane select.
+    def scores(j):
+        qj = q_ref[0, j * block_q:(j + 1) * block_q, :]      # (bq, 128)
+        qj = (qj.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2, dims,
+                                 preferred_element_type=jnp.float32)
+        s1 = jax.lax.dot_general(jnp.where(lane_lo, zero, qj), k2, dims,
+                                 preferred_element_type=jnp.float32)
+        if key_pad is not None:
+            s0 = jnp.where(key_pad, neg, s0)
+            s1 = jnp.where(key_pad, neg, s1)
+        return s0, s1
+
+    def soft_pv(j, s01):
+        o01 = []
+        for s in s01:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(jnp.bfloat16), v2,
+                        preferred_element_type=jnp.float32)  # (bq, 128)
+            o01.append(o / l)
+        out = jnp.where(lane_lo, o01[0], o01[1])
+        o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
+            o_ref.dtype)
+
+    s_cur = scores(0)
+    for j in range(n_blk):
+        s_next = scores(j + 1) if j + 1 < n_blk else None
+        soft_pv(j, s_cur)
+        s_cur = s_next
+
+
+def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          n_real: int, sm_scale: float, n_head: int,
+                          block_q: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Flat-layout twin of :func:`encoder_attention`: q/k/v/out stay in
+    the projections' native (B, T, d) layout (d = n_head * dh, head h on
+    lanes [h*dh, (h+1)*dh)), so the caller needs NO head split/merge
+    transposes and no per-tensor pads — pad the residual stream once
+    before the layer scan instead. Each grid instance covers a 128-lane
+    head PAIR (the minimal tile-aligned lane block at dh=64); see
+    :func:`_attn_kernel_btd` for the masked-dot formulation. Requires
+    even ``n_head`` (every Whisper config) and T % block_q == 0."""
+    b, t, d = q.shape
+    dh = d // n_head
+    assert n_head % 2 == 0 and t % block_q == 0, (n_head, t, block_q)
+    n_pair = n_head // 2
+
+    spec = pl.BlockSpec((1, t, 2 * dh), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_btd, n_real=n_real,
+                          block_q=block_q, scale=sm_scale, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        grid=(b, n_pair),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        # the pair instance (2x operand blocks + 2 pipelined score sets)
+        # needs ~18 MB at bq=256 — above Mosaic's 16 MB default scoped
+        # limit, comfortably under the 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
 def encoder_attention_reference(q, k, v, n_real, sm_scale):
     """XLA reference with the same masking contract (padded keys ignored,
     padded query rows unspecified-but-finite)."""

@@ -7,7 +7,7 @@ import pytest
 import jax.numpy as jnp
 
 from nobs_whisper_tpu.ops.encoder_attention import (
-    encoder_attention, encoder_attention_reference)
+    encoder_attention, encoder_attention_btd, encoder_attention_reference)
 
 
 def _qkv(b, h, t, dh, seed=0):
@@ -38,6 +38,42 @@ def test_single_block():
     sm = float(dh) ** -0.5
     got = encoder_attention(q, k, v, t, sm, block_q=128, interpret=True)
     ref = encoder_attention_reference(q, k, v, t, sm)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("n_real", [256, 250, 119])
+def test_btd_matches_reference_with_padding(n_real):
+    """Flat-layout head-pair kernel == per-head reference on the same
+    (B, H, T, dh) problem, via the free (B, T, d) reshape round trip."""
+    b, h, t, dh = 2, 4, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=4)
+    sm = float(dh) ** -0.5
+
+    def flat(z):   # (B, H, T, dh) -> (B, T, H*dh)
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), n_real, sm,
+                                h, block_q=128, interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, n_real, sm))
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_btd_many_pairs_single_block():
+    b, h, t, dh = 1, 6, 128, 64
+    q, k, v = _qkv(b, h, t, dh, seed=5)
+    sm = float(dh) ** -0.5
+
+    def flat(z):
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), t, sm, h,
+                                block_q=128, interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, t, sm))
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
