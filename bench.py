@@ -40,7 +40,7 @@ DECODE_TOKENS_PER_WINDOW = 160
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="large-v3-turbo")
-    p.add_argument("--batch", type=int, default=28)
+    p.add_argument("--batch", type=int, default=40)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--decode-tokens", type=int,
                    default=DECODE_TOKENS_PER_WINDOW)

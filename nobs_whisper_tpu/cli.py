@@ -98,7 +98,7 @@ def cmd_serve(args):
         mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
         # the batcher requires max_batch % dp == 0; round the (possibly
         # default) batch down to a dp multiple rather than failing at
-        # startup for dp values like 8 that don't divide the default 28.
+        # startup for dp values like 8 that don't divide the default 40.
         # batch<=1 means sequential mode (no BatchedEngine) — leave it.
         dp_n = int(dp)
         if args.batch > 1 and args.batch % dp_n:
@@ -196,10 +196,10 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8777)
     s.add_argument("--model", default=None)
     s.add_argument("--dtype", default="bfloat16")
-    s.add_argument("--batch", type=int, default=28,
+    s.add_argument("--batch", type=int, default=40,
                    help="max cross-session window batch (1 = sequential). "
-                        "28 = measured throughput knee on v5e (870x RTF, "
-                        "0.97 s/batch); light load still dispatches small "
+                        "40 = measured throughput knee on v5e (1127x RTF, "
+                        "1.06 s/batch); light load still dispatches small "
                         "batches after the 5 ms collection window")
     s.add_argument("--quant", choices=["int8", "none"], default="int8",
                    help="int8 serving path (default; 'none' = raw dtype)")
