@@ -59,33 +59,39 @@ def main():
                         jnp.bfloat16)
         w8j = jnp.asarray(w8)
         s8j = jnp.asarray(scale, jnp.bfloat16)
-        try:
-            w4j = jnp.asarray(w4, jnp.int4)
-        except TypeError:
-            print(f"{name}: jnp.int4 unavailable")
-            continue
         s4j = jnp.asarray(scale4, jnp.bfloat16)
+        iters = 50
 
-        @jax.jit
-        def m8(x, w, s):
-            return jnp.sum((x @ w.astype(jnp.bfloat16)) * s,
-                           dtype=jnp.float32)
+        # the ~27.5 ms tunnel dispatch pedestal swamps a single ~0.1 ms
+        # gemv read, so loop the read on-device; the acc feedback into x
+        # forces a serial dependency (no CSE/hoist of the matmul)
+        def loop(x, w, s):
+            def body(i, acc):
+                xi = (x + acc * jnp.bfloat16(1e-30)).astype(jnp.bfloat16)
+                y = (xi @ w.astype(jnp.bfloat16)) * s
+                return acc + jnp.sum(y, dtype=jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-        @jax.jit
-        def m4(x, w, s):
-            return jnp.sum((x @ w.astype(jnp.bfloat16)) * s,
-                           dtype=jnp.float32)
+        m8 = jax.jit(loop)
+        m4 = jax.jit(loop)
 
-        t8 = timed(m8, x, w8j, s8j)
-        try:
-            t4 = timed(m4, x, w4j, s4j)
-        except Exception as e:  # noqa: BLE001 - probe records any failure
-            print(f"{name}: int4 matmul failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}")
-            continue
+        t8 = timed(m8, x, w8j, s8j) / iters
         mb = d_in * d_out / 1e6
-        print(f"{name} ({mb:.0f} MB int8): int8 {t8 * 1e3:.3f} ms  "
-              f"int4 {t4 * 1e3:.3f} ms  ratio {t4 / t8:.2f}")
+        print(f"{name} ({mb:.0f} MB int8): int8 {t8 * 1e3:.3f} ms/read "
+              f"= {mb / 1e3 / t8:.0f} GB/s achieved")
+
+        t4 = None
+        try:
+            # the tunneled backend can't device_put S4 host arrays —
+            # convert on device instead
+            w4j = jax.jit(lambda z: z.astype(jnp.int4))(jnp.asarray(w4))
+            t4 = timed(m4, x, w4j, s4j) / iters
+        except Exception as e:  # noqa: BLE001 - probe records any failure
+            print(f"{name}: int4 path failed: {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+        if t4 is not None:
+            print(f"{name}: int4 {t4 * 1e3:.3f} ms/read  "
+                  f"ratio {t4 / t8:.2f}")
 
 
 if __name__ == "__main__":
