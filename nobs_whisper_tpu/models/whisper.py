@@ -213,6 +213,9 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                and n_head % 2 == 0
                and not os.environ.get("NWT_ATTN_BHTD"))
     attn_bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
+    # experiment knob (trace-time, like the others): int8 QK^T inside the
+    # flat attention kernel — 2x MXU rate on scores, ~0.5% score noise
+    attn_i8 = bool(os.environ.get("NWT_ATTN_I8"))
     t_real = x.shape[1]
     if use_btd:
         tp_btd = -(-t_real // attn_bq) * attn_bq
@@ -242,7 +245,8 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             dh = qf.shape[-1] // n_head
             a = encoder_attention_btd(qf, kf, vf, t_real,
                                       float(dh) ** -0.5, n_head,
-                                      block_q=attn_bq)
+                                      block_q=attn_bq,
+                                      int8_scores=attn_i8)
             q = k = v = None
         elif use_int8_qkv and is_quantized(p["q_w"]):
             from ..ops.fused_qkv import encoder_qkv_int8
@@ -323,13 +327,24 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         else:
             x = x + lin(a, p["o_w"], p["o_b"])
         if use_int8_mlp and is_quantized(p["fc1_w"]):
-            from ..ops.fused_mlp import encoder_mlp_int8
+            from ..ops.fused_mlp import (encoder_mlp_int8,
+                                         encoder_mlp_int8_resident)
             bsz, t, d = x.shape
-            x = encoder_mlp_int8(
+            # resident-weight variant is the default: whole w1/w2 stay
+            # in VMEM across the m-tile grid (fetched once), deleting
+            # the chunked kernel's ~13 MB weight re-read per m-tile
+            # (~3 GB/layer at B=40). Measured: encode 466 -> 445 ms at
+            # B=40, headline 1127 -> 1149x. NWT_MLP_CHUNKED=1 opts back
+            # into the streaming-chunk kernel (trace-time knob).
+            chunked = bool(os.environ.get("NWT_MLP_CHUNKED"))
+            mlp_fn = (encoder_mlp_int8 if chunked
+                      else encoder_mlp_int8_resident)
+            x = mlp_fn(
                 x.reshape(bsz * t, d), p["ln2_g"], p["ln2_b"],
                 p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
                 block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
-                block_f=int(os.environ.get("NWT_MLP_BF", 0)) or 1280,
+                block_f=(int(os.environ.get("NWT_MLP_BF", 0))
+                         or (1280 if chunked else 2560)),
             ).reshape(bsz, t, d)
         else:
             h = _layer_norm(x, p["ln2_g"], p["ln2_b"])

@@ -103,7 +103,7 @@ def encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
-                     scale, dh):
+                     scale, dh, int8_scores=False):
     """Head-PAIR instance on flat (T, 2*dh) lane blocks.
 
     The other head's lanes are zeroed out of each Q tile before its
@@ -139,17 +139,54 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
     # other head's Q lanes makes each 128-lane contraction exactly the
     # per-head dh-lane dot, and each head's PV result is simply wrong in
     # the other head's lanes, where it is discarded by the lane select.
-    def scores(j):
-        qj = q_ref[0, j * block_q:(j + 1) * block_q, :]      # (bq, 128)
-        qj = (qj.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-        s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2, dims,
-                                 preferred_element_type=jnp.float32)
-        s1 = jax.lax.dot_general(jnp.where(lane_lo, zero, qj), k2, dims,
-                                 preferred_element_type=jnp.float32)
-        if key_pad is not None:
-            s0 = jnp.where(key_pad, neg, s0)
-            s1 = jnp.where(key_pad, neg, s1)
-        return s0, s1
+    if int8_scores:
+        # int8 QK^T: 2x MXU rate on the scores half of the kernel's
+        # matmul work. K quantized ONCE per (b, pair) instance with a
+        # per-head SCALAR scale (so the dequant folds into the per-row
+        # q scale — one (bq, 1) sublane multiply, no (1, T) row to
+        # transpose into lane orientation); q quantized per row after
+        # the other head's lanes are zeroed. Opt-in: adds ~0.5% score
+        # noise on top of bf16.
+        kf = k2.astype(jnp.float32)
+        sk0 = jnp.maximum(jnp.max(jnp.abs(jnp.where(lane_lo, kf, 0.0))),
+                          1e-6) / 127.0
+        sk1 = jnp.maximum(jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, kf))),
+                          1e-6) / 127.0
+        kq = jnp.clip(jnp.round(kf * jnp.where(lane_lo, 1.0 / sk0,
+                                               1.0 / sk1)),
+                      -127, 127).astype(jnp.int8)
+
+        def scores(j):
+            qj = q_ref[0, j * block_q:(j + 1) * block_q, :].astype(
+                jnp.float32)                             # (bq, 128)
+            out = []
+            for lo, sk in ((True, sk0), (False, sk1)):
+                qh = jnp.where(lane_lo, qj, 0.0) if lo else \
+                    jnp.where(lane_lo, 0.0, qj)
+                sq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1,
+                                         keepdims=True), 1e-6) / 127.0
+                qq = jnp.clip(jnp.round(qh / sq), -127, 127).astype(
+                    jnp.int8)
+                s = jax.lax.dot_general(
+                    qq, kq, dims, preferred_element_type=jnp.int32)
+                s = s.astype(jnp.float32) * (sq * (sk * scale))
+                out.append(jnp.where(key_pad, neg, s)
+                           if key_pad is not None else s)
+            return tuple(out)
+    else:
+        def scores(j):
+            qj = q_ref[0, j * block_q:(j + 1) * block_q, :]  # (bq, 128)
+            qj = (qj.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2,
+                                     dims,
+                                     preferred_element_type=jnp.float32)
+            s1 = jax.lax.dot_general(jnp.where(lane_lo, zero, qj), k2,
+                                     dims,
+                                     preferred_element_type=jnp.float32)
+            if key_pad is not None:
+                s0 = jnp.where(key_pad, neg, s0)
+                s1 = jnp.where(key_pad, neg, s1)
+            return s0, s1
 
     def soft_pv(j, s01):
         o01 = []
@@ -173,7 +210,7 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
 
 def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           n_real: int, sm_scale: float, n_head: int,
-                          block_q: int = 256,
+                          block_q: int = 256, int8_scores: bool = False,
                           interpret: bool = False) -> jnp.ndarray:
     """Flat-layout twin of :func:`encoder_attention`: q/k/v/out stay in
     the projections' native (B, T, d) layout (d = n_head * dh, head h on
@@ -192,7 +229,8 @@ def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel_btd, n_real=n_real,
-                          block_q=block_q, scale=sm_scale, dh=dh),
+                          block_q=block_q, scale=sm_scale, dh=dh,
+                          int8_scores=int8_scores),
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         grid=(b, n_pair),
         in_specs=[spec, spec, spec],

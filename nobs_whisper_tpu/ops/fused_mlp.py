@@ -208,6 +208,122 @@ def encoder_mlp_int8(x: jnp.ndarray, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
     return out[:m]
 
 
+def _enc_mlp_res_kernel(n_chunks, block_f,
+                        x_ref, g_ref, b_ref,
+                        w1q_ref, w1s_ref, b1_ref,
+                        w2q_ref, w2s_ref, b2_ref,
+                        out_ref):
+    """Resident-weight variant: grid (m_tiles,) only, the WHOLE w1/w2
+    live in VMEM (their index maps are constant, so the Pallas pipeline
+    fetches them once and skips the copy on every later grid step), and
+    the FFN sweep is an in-kernel loop over chunks of the resident
+    weights. Numerics are identical to :func:`_enc_mlp_kernel` (dynamic
+    per-row x quant, per-(row, chunk) fc2-input quant, tanh gelu).
+
+    Why: at m = B*1536 with B=40 the chunked kernel's inner-j weight
+    streams re-read all ~13 MB of int8 weights per m-tile (~3 GB/layer)
+    — simultaneously at the HBM floor and the int8-MXU compute floor.
+    Resident weights cut per-layer HBM traffic to x in + out + 13 MB.
+    The chunk loop is software-pipelined like the attention kernel:
+    chunk j+1's int8 fc1 matmul is issued before chunk j's gelu/requant
+    VPU phase so Mosaic can overlap the MXU and VPU streams.
+    """
+    x = x_ref[...].astype(jnp.float32)                   # (bm, d)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * g_ref[...].astype(jnp.float32)
+         + b_ref[...].astype(jnp.float32))
+    sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                     1e-6) / 127.0
+    xq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+
+    acc = x + b2_ref[...].astype(jnp.float32)            # (bm, d)
+
+    def fc1_chunk(j):
+        h1 = jnp.dot(xq, w1q_ref[:, j * block_f:(j + 1) * block_f],
+                     preferred_element_type=jnp.int32)   # int8 MXU
+        a = (h1.astype(jnp.float32) * sx *
+             w1s_ref[:, j * block_f:(j + 1) * block_f].astype(jnp.float32)
+             + b1_ref[:, j * block_f:(j + 1) * block_f].astype(
+                 jnp.float32))
+        c = 0.7978845608028654  # sqrt(2/pi); Mosaic has no erf
+        return 0.5 * a * (1.0 + jnp.tanh(c * (a + 0.044715 * a * a * a)))
+
+    w2s = w2s_ref[...].astype(jnp.float32)               # (1, d)
+
+    def fc2_chunk(j, a):
+        sa = jnp.maximum(jnp.max(jnp.abs(a), axis=-1, keepdims=True),
+                         1e-6) / 127.0
+        aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+        p = jnp.dot(aq, w2q_ref[j * block_f:(j + 1) * block_f, :],
+                    preferred_element_type=jnp.int32)    # int8 MXU
+        return p.astype(jnp.float32) * sa * w2s
+
+    a_cur = fc1_chunk(0)
+    for j in range(n_chunks):
+        a_next = fc1_chunk(j + 1) if j + 1 < n_chunks else None
+        acc += fc2_chunk(j, a_cur)
+        a_cur = a_next
+
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def encoder_mlp_int8_resident(x: jnp.ndarray, ln_g, ln_b, fc1, fc1_b,
+                              fc2, fc2_b, block_m: int = 256,
+                              block_f: int = 640,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Resident-weight twin of :func:`encoder_mlp_int8` (same signature,
+    same numerics contract). Needs ~2x the weight bytes of VMEM
+    headroom (w1+w2 int8 double-buffered) — fine for every Whisper
+    encoder (large-v3: 13 MB), gated by the raised vmem limit."""
+    import functools
+
+    m, d = x.shape
+    ffn = fc1["q"].shape[-1]
+    block_f = min(block_f, ffn)
+    while ffn % block_f or block_f % 128:
+        block_f -= 128
+        if block_f <= 0:
+            block_f = ffn
+            break
+    n_chunks = ffn // block_f
+    block_m = min(block_m, m)
+    m_pad = -(-m // block_m) * block_m
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (m_pad // block_m,)
+
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_enc_mlp_res_kernel, n_chunks, block_f),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # x (per tile)
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ffn), const,
+                         memory_space=pltpu.VMEM),       # w1 RESIDENT
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ffn, d), const,
+                         memory_space=pltpu.VMEM),       # w2 RESIDENT
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_g.reshape(1, d), ln_b.reshape(1, d),
+      fc1["q"], fc1["s"].reshape(1, ffn), fc1_b.reshape(1, ffn),
+      fc2["q"], fc2["s"].reshape(1, d), fc2_b.reshape(1, d))
+    return out[:m]
+
+
 def encoder_mlp_reference(x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b):
     """XLA dynamic-int8 reference (the shipping encoder path numerics,
     models/whisper.py::block) for parity-testing the fused kernel."""

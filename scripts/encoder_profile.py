@@ -31,7 +31,6 @@ def main():
 
     from nobs_whisper_tpu.core.config import get_config
     from nobs_whisper_tpu.models.whisper import (_conv1d, _gelu, _layer_norm,
-                                                 _merge_heads, _split_heads,
                                                  init_params)
     from nobs_whisper_tpu.ops.quant import (dense_int8_dynamic, is_quantized,
                                             quantize_encoder_params)
@@ -51,37 +50,17 @@ def main():
         y = h @ w
         return y if bias is None else y + bias
 
-    def flash(q, k, v):
-        # identical to models/whisper.py::block's flash branch (pad to the
-        # 512-multiple, whole padded sequence per block, segment mask)
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, SegmentIds, flash_attention)
-        dh = q.shape[-1]
-        bsz, _, t, _ = q.shape
-        tp = -(-t // 512) * 512
-        blk = min(tp, 2048)
-        bs = BlockSizes(
-            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-            block_q_major_dkv=blk, block_k_major_dkv=blk,
-            block_k_dkv=blk, block_q_dkv=blk,
-            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
-        pad = tp - t
-        if pad:
-            padding = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q_, k_, v_ = (jnp.pad(z, padding) for z in (q, k, v))
-            seg = jnp.concatenate(
-                [jnp.ones((bsz, t), jnp.int32),
-                 jnp.zeros((bsz, pad), jnp.int32)], axis=-1)
-            return flash_attention(q_, k_, v_,
-                                   segment_ids=SegmentIds(seg, seg),
-                                   causal=False, block_sizes=bs,
-                                   sm_scale=float(dh) ** -0.5)[..., :t, :]
-        return flash_attention(q, k, v, causal=False, block_sizes=bs,
-                               sm_scale=float(dh) ** -0.5)
+    from nobs_whisper_tpu.ops.encoder_attention import encoder_attention_btd
+
+    attn_bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
 
     @functools.partial(jax.jit, static_argnames=("attn", "mlp", "qkvo",
                                                  "stem_only"))
     def enc(params, mel, attn=True, mlp=True, qkvo=True, stem_only=False):
+        # replicates the PRODUCTION path (models/whisper.py::encode with
+        # use_btd): flat-layout head-pair attention kernel, residual
+        # stream padded once to the kernel T multiple, fused int8 MLP.
+        # attn=False substitutes a = v (identity attention, flat layout).
         enc_p = params["encoder"]
         x = jnp.swapaxes(mel, -1, -2).astype(jnp.bfloat16)
         x = _gelu(_conv1d(x, enc_p["conv1_w"], enc_p["conv1_b"], stride=1))
@@ -89,16 +68,23 @@ def main():
         x = x + enc_p["pos"].astype(jnp.bfloat16)
         if stem_only:
             return jnp.sum(x.astype(jnp.float32))
+        t_real = x.shape[1]
+        tp_btd = -(-t_real // attn_bq) * attn_bq
+        if tp_btd != t_real:
+            x = jnp.pad(x, ((0, 0), (0, tp_btd - t_real), (0, 0)))
+        dh = x.shape[-1] // n_head
 
         def block(x, p):
             if qkvo:
-                h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
-                q = _split_heads(lin(h, p["q_w"], p["q_b"]), n_head)
-                k = _split_heads(lin(h, p["k_w"]), n_head)
-                v = _split_heads(lin(h, p["v_w"], p["v_b"]), n_head)
-                a = (_merge_heads(flash(q, k, v).astype(x.dtype))
-                     if attn else _merge_heads(v))
-                x = x + lin(a, p["o_w"], p["o_b"])
+                hn = _layer_norm(x, p["ln1_g"], p["ln1_b"])
+                qf = lin(hn, p["q_w"], p["q_b"])
+                kf = lin(hn, p["k_w"])
+                vf = lin(hn, p["v_w"], p["v_b"])
+                a = (encoder_attention_btd(qf, kf, vf, t_real,
+                                           float(dh) ** -0.5, n_head,
+                                           block_q=attn_bq)
+                     if attn else vf)
+                x = x + lin(a.astype(x.dtype), p["o_w"], p["o_b"])
             if mlp:
                 from nobs_whisper_tpu.ops.fused_mlp import encoder_mlp_int8
                 bsz, t, d = x.shape

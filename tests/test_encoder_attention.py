@@ -94,3 +94,24 @@ def test_f32_inputs_bf16_matmul_tolerance():
     np.testing.assert_allclose(np.asarray(got[..., :200, :]),
                                np.asarray(ref[..., :200, :]),
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("n_real", [256, 250])
+def test_btd_int8_scores_close_to_reference(n_real):
+    """int8 QK^T variant: same contract, slightly looser tolerance
+    (per-row q x per-head-scalar k int8 adds ~0.5% score noise)."""
+    b, h, t, dh = 2, 4, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=7)
+    sm = float(dh) ** -0.5
+
+    def flat(z):
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), n_real, sm,
+                                h, block_q=128, int8_scores=True,
+                                interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, n_real, sm))
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=5e-2, atol=5e-2)

@@ -76,3 +76,37 @@ def test_encoder_mlp_int8_matches_reference():
     assert got.shape == ref.shape
     err = np.abs(got - ref).max()
     assert err < 0.05, err
+
+
+def test_encoder_mlp_int8_resident_matches_chunked():
+    """Resident-weight variant must be numerically IDENTICAL to the
+    chunked kernel (same per-(row,chunk) scales, same tanh gelu) and
+    close to the XLA reference."""
+    from nobs_whisper_tpu.ops.fused_mlp import (encoder_mlp_int8,
+                                                encoder_mlp_int8_resident,
+                                                encoder_mlp_reference)
+
+    rng = np.random.RandomState(2)
+    m, d, f = 300, 256, 512          # m not a multiple of block_m: pads
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    ln_g = jnp.asarray(1.0 + 0.1 * rng.randn(d).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    fc1 = quantize_int8(jnp.asarray(
+        rng.randn(d, f).astype(np.float32) * (d ** -0.5)))
+    fc1_b = jnp.asarray(0.1 * rng.randn(f).astype(np.float32))
+    fc2 = quantize_int8(jnp.asarray(
+        rng.randn(f, d).astype(np.float32) * (f ** -0.5)))
+    fc2_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+
+    chunked = np.asarray(encoder_mlp_int8(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+        block_m=128, block_f=128, interpret=True), np.float32)
+    resident = np.asarray(encoder_mlp_int8_resident(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+        block_m=128, block_f=128, interpret=True), np.float32)
+    np.testing.assert_allclose(resident, chunked, rtol=0, atol=1e-5)
+
+    ref = np.asarray(encoder_mlp_reference(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b), np.float32)
+    assert np.abs(resident - ref).max() < 0.05
