@@ -81,6 +81,21 @@ def cmd_transcribe(args):
         print(result.text)
 
 
+def _default_batch(model: Optional[str]) -> int:
+    """Measured per-model v5e throughput knees (docs/ROADMAP.md round-3
+    batch sweeps; ~99% of the best measured RTF at the smallest batch).
+    Distil/quantized variants share their parent architecture's knee
+    (their decoders are lighter, so the knee can only be higher —
+    conservative). Unknown ids fall back to the turbo knee."""
+    name = (model or "").lower()
+    for key, knee in (("tiny", 128), ("base", 64), ("small", 48),
+                      ("medium", 32), ("turbo", 40),
+                      ("distil-large", 40), ("large", 24)):
+        if key in name:
+            return knee
+    return 40
+
+
 def cmd_serve(args):
     from .serve.config import ConfigManager
     from .serve.server import serve
@@ -91,6 +106,8 @@ def cmd_serve(args):
         # dynamic-int8 encoder on the int8 MXU
         engine = engine.quantize()
     cm = ConfigManager()
+    if args.batch == 0:
+        args.batch = _default_batch(args.model or cm.config.selected_model)
     mesh = None
     if args.mesh:
         from .parallel.mesh import make_mesh
@@ -196,11 +213,12 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8777)
     s.add_argument("--model", default=None)
     s.add_argument("--dtype", default="bfloat16")
-    s.add_argument("--batch", type=int, default=40,
-                   help="max cross-session window batch (1 = sequential). "
-                        "40 = measured throughput knee on v5e (1127x RTF, "
-                        "1.06 s/batch); light load still dispatches small "
-                        "batches after the 5 ms collection window")
+    s.add_argument("--batch", type=int, default=0,
+                   help="max cross-session window batch (1 = sequential; "
+                        "0 = auto: the model's measured v5e throughput "
+                        "knee, e.g. 40 for large-v3-turbo at 1149x RTF). "
+                        "Light load still dispatches small batches after "
+                        "the 5 ms collection window")
     s.add_argument("--quant", choices=["int8", "none"], default="int8",
                    help="int8 serving path (default; 'none' = raw dtype)")
     s.add_argument("--mesh", default=None, metavar="DPxTP",

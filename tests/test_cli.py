@@ -149,3 +149,19 @@ def test_translate_task(tmp_path):
     audio = speech_like_audio(0.4, seed=6)
     res = eng.transcribe(audio, language="en", task="translate")
     assert isinstance(res.text, str)
+
+
+def test_default_batch_per_model():
+    """Auto --batch picks the measured per-model knee (docs/ROADMAP.md
+    round-3 sweeps); distil/quantized ids share the parent knee."""
+    from nobs_whisper_tpu.cli import _default_batch
+    assert _default_batch("large-v3-turbo") == 40
+    assert _default_batch("large-v3") == 24
+    assert _default_batch("large-v3-q5_0") == 24
+    assert _default_batch("distil-large-v3") == 40
+    assert _default_batch("small") == 48
+    assert _default_batch("distil-small.en") == 48
+    assert _default_batch("medium-q5_0") == 32
+    assert _default_batch("tiny.en") == 128
+    assert _default_batch(None) == 40
+    assert _default_batch("/models/ggml-small.bin") == 48
