@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from typing import Optional
 
@@ -83,11 +84,16 @@ def cmd_transcribe(args):
 
 def _default_batch(model: Optional[str]) -> int:
     """Measured per-model v5e throughput knees (docs/ROADMAP.md round-3
-    batch sweeps; ~99% of the best measured RTF at the smallest batch).
-    Distil/quantized variants share their parent architecture's knee
-    (their decoders are lighter, so the knee can only be higher —
-    conservative). Unknown ids fall back to the turbo knee."""
-    name = (model or "").lower()
+    batch sweeps; ~99% of the best measured RTF at the smallest batch —
+    except ``base``, which is an unmeasured interpolation between the
+    tiny and small sweeps). Distil/quantized variants share their
+    parent architecture's knee (their decoders are lighter, so the knee
+    can only be higher — conservative). Unknown ids fall back to the
+    turbo knee. Only the BASENAME is matched, never directory
+    components: ``/data/smallville/ggml-large-v3.bin`` must resolve as
+    large-v3 (knee 24, the HBM ceiling), not 'small' (knee 48 would
+    hard-OOM a 16 GB chip)."""
+    name = os.path.basename((model or "").lower())
     for key, knee in (("tiny", 128), ("base", 64), ("small", 48),
                       ("medium", 32), ("turbo", 40),
                       ("distil-large", 40), ("large", 24)):

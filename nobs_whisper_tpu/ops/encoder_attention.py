@@ -148,10 +148,22 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
         # the other head's lanes are zeroed. Opt-in: adds ~0.5% score
         # noise on top of bf16.
         kf = k2.astype(jnp.float32)
-        sk0 = jnp.maximum(jnp.max(jnp.abs(jnp.where(lane_lo, kf, 0.0))),
-                          1e-6) / 127.0
-        sk1 = jnp.maximum(jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, kf))),
-                          1e-6) / 127.0
+        # padded key rows (>= n_real) carry uncontrolled residual-stream
+        # garbage after layer 1; they are masked out of the SCORES below,
+        # but they must also stay out of the quant statistics or an
+        # outlier pad row inflates the scale and coarsens every real key
+        if n_real < t:
+            row_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (t, 1), 0) < n_real          # (T, 1) sublanes
+            kf_stat = jnp.where(row_ok, kf, 0.0)
+        else:
+            kf_stat = kf
+        sk0 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, kf_stat, 0.0))),
+            1e-6) / 127.0
+        sk1 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, kf_stat))),
+            1e-6) / 127.0
         kq = jnp.clip(jnp.round(kf * jnp.where(lane_lo, 1.0 / sk0,
                                                1.0 / sk1)),
                       -127, 127).astype(jnp.int8)

@@ -41,15 +41,25 @@ def main():
         for s in range(b)]))
 
     # int8_scores is threaded through encode via the NWT_ATTN_I8 env
-    # knob at trace time; static_argnames keys the two traces apart
+    # knob, read at TRACE time — so the env is set on the host BEFORE
+    # each trace (mutating it inside the traced function would couple
+    # correctness to retrace order and leak the knob into the process),
+    # and static_argnames keys the two traces apart
     @functools.partial(jax.jit, static_argnames=("i8",))
     def enc(params, a, i8):
-        os.environ["NWT_ATTN_I8"] = "1" if i8 else ""
         mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
         return encode(params, mel, cfg, compute_dtype=jnp.bfloat16)
 
-    ref = np.asarray(enc(params, audio, False), np.float32)
-    got = np.asarray(enc(params, audio, True), np.float32)
+    prior = os.environ.pop("NWT_ATTN_I8", None)
+    try:
+        ref = np.asarray(enc(params, audio, False), np.float32)
+        os.environ["NWT_ATTN_I8"] = "1"
+        got = np.asarray(enc(params, audio, True), np.float32)
+    finally:
+        if prior is None:
+            os.environ.pop("NWT_ATTN_I8", None)
+        else:
+            os.environ["NWT_ATTN_I8"] = prior
     scale = np.abs(ref).max()
     abs_err = np.abs(got - ref)
     print(f"encoder output: |ref|_max {scale:.3f}")

@@ -86,13 +86,21 @@ def main():
                      if attn else vf)
                 x = x + lin(a.astype(x.dtype), p["o_w"], p["o_b"])
             if mlp:
-                from nobs_whisper_tpu.ops.fused_mlp import encoder_mlp_int8
+                # mirror the production default (models/whisper.py):
+                # resident-weight kernel, bf=2560; NWT_MLP_CHUNKED opts
+                # back into the streaming-chunk kernel
+                from nobs_whisper_tpu.ops.fused_mlp import (
+                    encoder_mlp_int8, encoder_mlp_int8_resident)
+                chunked = bool(os.environ.get("NWT_MLP_CHUNKED"))
+                mlp_fn = (encoder_mlp_int8 if chunked
+                          else encoder_mlp_int8_resident)
                 bsz, t, d = x.shape
-                x = encoder_mlp_int8(
+                x = mlp_fn(
                     x.reshape(bsz * t, d), p["ln2_g"], p["ln2_b"],
                     p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
                     block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
-                    block_f=int(os.environ.get("NWT_MLP_BF", 0)) or 1280,
+                    block_f=(int(os.environ.get("NWT_MLP_BF", 0))
+                             or (1280 if chunked else 2560)),
                 ).reshape(bsz, t, d)
             return x, None
 

@@ -33,7 +33,7 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def timed(fn, *a, reps=30):
+    def timed(fn, *a, reps=10):
         t0 = time.perf_counter()
         np.asarray(fn(*a))
         print(f"  compile+warm {time.perf_counter() - t0:.1f}s",
@@ -60,22 +60,31 @@ def main():
         w8j = jnp.asarray(w8)
         s8j = jnp.asarray(scale, jnp.bfloat16)
         s4j = jnp.asarray(scale4, jnp.bfloat16)
-        iters = 50
 
         # the ~27.5 ms tunnel dispatch pedestal swamps a single ~0.1 ms
         # gemv read, so loop the read on-device; the acc feedback into x
-        # forces a serial dependency (no CSE/hoist of the matmul)
-        def loop(x, w, s):
-            def body(i, acc):
-                xi = (x + acc * jnp.bfloat16(1e-30)).astype(jnp.bfloat16)
-                y = (xi @ w.astype(jnp.bfloat16)) * s
-                return acc + jnp.sum(y, dtype=jnp.float32)
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        # forces a serial dependency (no CSE/hoist of the matmul).
+        # Per-read time = (t(iters_hi) - t(iters_lo)) / (hi - lo): the
+        # DIFFERENCE cancels the per-dispatch pedestal, which a single
+        # /iters divide does NOT (27.5 ms / 50 = 0.55 ms/iter would
+        # masquerade as the read cost — an earlier version of this probe
+        # made exactly that mistake).
+        def make_loop(iters):
+            def loop(x, w, s):
+                def body(i, acc):
+                    xi = (x + acc * jnp.bfloat16(1e-30)).astype(
+                        jnp.bfloat16)
+                    y = (xi @ w.astype(jnp.bfloat16)) * s
+                    return acc + jnp.sum(y, dtype=jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return jax.jit(loop)
 
-        m8 = jax.jit(loop)
-        m4 = jax.jit(loop)
-
-        t8 = timed(m8, x, w8j, s8j) / iters
+        # hi kept modest: at 250 iters the remote compiler ground for
+        # >25 min on the first program (likely loop unrolling); 50->100
+        # still cancels the pedestal in the difference
+        lo, hi = 50, 100
+        t8 = (timed(make_loop(hi), x, w8j, s8j)
+              - timed(make_loop(lo), x, w8j, s8j)) / (hi - lo)
         mb = d_in * d_out / 1e6
         print(f"{name} ({mb:.0f} MB int8): int8 {t8 * 1e3:.3f} ms/read "
               f"= {mb / 1e3 / t8:.0f} GB/s achieved")
@@ -85,7 +94,8 @@ def main():
             # the tunneled backend can't device_put S4 host arrays —
             # convert on device instead
             w4j = jax.jit(lambda z: z.astype(jnp.int4))(jnp.asarray(w4))
-            t4 = timed(m4, x, w4j, s4j) / iters
+            t4 = (timed(make_loop(hi), x, w4j, s4j)
+                  - timed(make_loop(lo), x, w4j, s4j)) / (hi - lo)
         except Exception as e:  # noqa: BLE001 - probe records any failure
             print(f"{name}: int4 path failed: {type(e).__name__}: "
                   f"{str(e)[:160]}")

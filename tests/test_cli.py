@@ -165,3 +165,6 @@ def test_default_batch_per_model():
     assert _default_batch("tiny.en") == 128
     assert _default_batch(None) == 40
     assert _default_batch("/models/ggml-small.bin") == 48
+    # only the basename is matched — a directory component must never
+    # pick the knee (48 would hard-OOM a 16 GB chip running large-v3)
+    assert _default_batch("/data/smallville/ggml-large-v3.bin") == 24
