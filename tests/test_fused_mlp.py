@@ -110,3 +110,31 @@ def test_encoder_mlp_int8_resident_matches_chunked():
     ref = np.asarray(encoder_mlp_reference(
         x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b), np.float32)
     assert np.abs(resident - ref).max() < 0.05
+
+
+def test_encoder_mlp_resident_block_f_snap():
+    """block_f larger than ffn (the tiny-config case under the
+    production bf=2560 default) must snap to ffn and still match."""
+    from nobs_whisper_tpu.ops.fused_mlp import (encoder_mlp_int8_resident,
+                                                encoder_mlp_reference)
+
+    rng = np.random.RandomState(3)
+    m, d, f = 160, 128, 384
+    x = jnp.asarray(rng.randn(m, d).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    ln_g = jnp.asarray(np.ones(d, np.float32))
+    ln_b = jnp.asarray(np.zeros(d, np.float32))
+    fc1 = quantize_int8(jnp.asarray(
+        rng.randn(d, f).astype(np.float32) * (d ** -0.5)))
+    fc1_b = jnp.asarray(0.1 * rng.randn(f).astype(np.float32))
+    fc2 = quantize_int8(jnp.asarray(
+        rng.randn(f, d).astype(np.float32) * (f ** -0.5)))
+    fc2_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+
+    got = np.asarray(encoder_mlp_int8_resident(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b,
+        block_m=128, block_f=2560, interpret=True), np.float32)
+    ref = np.asarray(encoder_mlp_reference(
+        x, ln_g, ln_b, fc1, fc1_b, fc2, fc2_b), np.float32)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 0.05
