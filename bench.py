@@ -257,5 +257,43 @@ def main():
     }))
 
 
+def _main_with_wedge_retry():
+    """The tunneled TPU occasionally wedges a dispatch indefinitely
+    (process idle, no output — CLAUDE.md platform notes; the known
+    recovery is kill-by-PID + retry in a FRESH process, since the stale
+    client keeps the backend). Running the measurement in a deadlined
+    child and retrying once makes the driver's end-of-round bench
+    artifact survive a single wedge instead of hanging forever.
+
+    NWT_BENCH_DEADLINE_S tunes the per-attempt cap (default 540 s —
+    well above the ~25 s warm-cache compile+run, below any sane outer
+    timeout). NWT_BENCH_NO_RETRY=1 (set for the child; settable by
+    hand) runs the measurement inline with no wrapper.
+    """
+    import subprocess
+    deadline = int(os.environ.get("NWT_BENCH_DEADLINE_S", "540"))
+    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1"}
+    for attempt in (1, 2):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)]
+                + sys.argv[1:],
+                env=env, timeout=deadline).returncode
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt} exceeded {deadline}s "
+                  f"(wedged tunnel dispatch?) — "
+                  f"{'retrying in a fresh process' if attempt == 1 else 'giving up'}",
+                  file=sys.stderr)
+            continue
+        if rc == 0 or attempt == 2:
+            sys.exit(rc)
+        print(f"# bench attempt {attempt} exited rc={rc} — retrying",
+              file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("NWT_BENCH_NO_RETRY"):
+        main()
+    else:
+        _main_with_wedge_retry()
