@@ -83,11 +83,7 @@ def pad_prompts(prompts: Sequence[Sequence[int]],
     return out, (p_max - lens).astype(np.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "xattn_bf16", "sampling"))
-def decode_window_jit(
+def decode_window_impl(
     params,
     xa: jnp.ndarray,             # (B, T_audio, d) encoder states
     prompt_tokens: jnp.ndarray,  # (B, P) int32, LEFT-padded
@@ -248,11 +244,14 @@ def decode_window_jit(
     return tokens, n_sampled, state["sum_logprob"], no_speech_prob
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "xattn_bf16", "sampling"))
-def encode_decode_window_jit(
+_WINDOW_STATICS = ("cfg", "sample_len", "compute_dtype", "q8_kv",
+                   "xattn_bf16", "sampling")
+
+decode_window_jit = functools.partial(
+    jax.jit, static_argnames=_WINDOW_STATICS)(decode_window_impl)
+
+
+def encode_decode_window_impl(
     params, mel, prompt_tokens, pad_lens, sot_idx, tables, temperature,
     rng, cfg, sample_len, compute_dtype=jnp.float32, q8_kv=False,
     xattn_bf16=False, sampling=True,
@@ -265,16 +264,16 @@ def encode_decode_window_jit(
     into one program removes it."""
     from ..models.whisper import encode
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
-    return decode_window_jit(params, xa, prompt_tokens, pad_lens, sot_idx,
-                             tables, temperature, rng, cfg, sample_len,
-                             compute_dtype, q8_kv, xattn_bf16, sampling)
+    return decode_window_impl(params, xa, prompt_tokens, pad_lens, sot_idx,
+                              tables, temperature, rng, cfg, sample_len,
+                              compute_dtype, q8_kv, xattn_bf16, sampling)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "xattn_bf16", "sampling"))
-def frames_encode_decode_window_jit(
+encode_decode_window_jit = functools.partial(
+    jax.jit, static_argnames=_WINDOW_STATICS)(encode_decode_window_impl)
+
+
+def frames_encode_decode_window_impl(
     params, frames, prompt_tokens, pad_lens, sot_idx, tables, temperature,
     rng, cfg, sample_len, compute_dtype=jnp.float32, q8_kv=False,
     xattn_bf16=False, sampling=True,
@@ -288,9 +287,13 @@ def frames_encode_decode_window_jit(
     from ..models.whisper import encode
     mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
-    return decode_window_jit(params, xa, prompt_tokens, pad_lens, sot_idx,
-                             tables, temperature, rng, cfg, sample_len,
-                             compute_dtype, q8_kv, xattn_bf16, sampling)
+    return decode_window_impl(params, xa, prompt_tokens, pad_lens, sot_idx,
+                              tables, temperature, rng, cfg, sample_len,
+                              compute_dtype, q8_kv, xattn_bf16, sampling)
+
+
+frames_encode_decode_window_jit = functools.partial(
+    jax.jit, static_argnames=_WINDOW_STATICS)(frames_encode_decode_window_impl)
 
 
 def decode_window_dispatch(
@@ -305,13 +308,19 @@ def decode_window_dispatch(
     compute_dtype=jnp.float32,
     mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
     frames: Optional[jnp.ndarray] = None,  # fuse mel+encode (framed audio)
+    mesh=None,                   # dp-only mesh -> shard_map serving path
 ):
     """Pad prompts and LAUNCH the jitted window decode; returns an opaque
     handle of in-flight device arrays for :func:`decode_window_finalize`.
 
     JAX dispatch is asynchronous: this returns as soon as the program is
     enqueued, so a caller (pipeline/batcher.py) can overlap host work for
-    the NEXT batch with the device executing this one."""
+    the NEXT batch with the device executing this one.
+
+    With a dp-only ``mesh`` (parallel/spmd.py::spmd_serving_enabled) the
+    program is shard_mapped over the batch axis: every chip runs the full
+    single-chip program — Pallas kernels included — on its batch shard
+    (the batch must be divisible by dp; the batcher pads it)."""
     n = len(prompts)
     prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
     p_max = prompt_tokens.shape[1]
@@ -327,7 +336,21 @@ def decode_window_dispatch(
     xattn_bf16 = (opts.xattn_bf16
                   or bool(os.environ.get("NWT_XATTN_BF16"))
                   or kt_xattn_default(compute_dtype))
-    if frames is not None:
+    from ..parallel.spmd import spmd_serving_enabled
+    if spmd_serving_enabled(mesh):
+        from ..parallel.spmd import (default_kernel_mode,
+                                     window_decode_spmd_jit)
+        kind, data = (("frames", frames) if frames is not None
+                      else ("mel", mel) if mel is not None
+                      else ("xa", xa))
+        tokens, n_sampled, sum_lp, nsp = window_decode_spmd_jit(
+            params, data, jnp.asarray(prompt_tokens),
+            jnp.asarray(pad_lens), jnp.asarray(sot_idx), tables,
+            jnp.asarray(temps), rng, mesh, cfg, sample_len, compute_dtype,
+            q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
+            sampling=bool(np.any(temps > 0)), kind=kind,
+            kernels=default_kernel_mode())
+    elif frames is not None:
         tokens, n_sampled, sum_lp, nsp = frames_encode_decode_window_jit(
             params, frames, jnp.asarray(prompt_tokens),
             jnp.asarray(pad_lens), jnp.asarray(sot_idx), tables,
@@ -395,9 +418,8 @@ def decode_window(
         compute_dtype, mel))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
-def frames_encode_detect_jit(params, frames, cfg: WhisperConfig,
-                             compute_dtype=jnp.float32):
+def frames_encode_detect_impl(params, frames, cfg: WhisperConfig,
+                              compute_dtype=jnp.float32):
     """STFT frames -> mel -> encoder states + detected languages in ONE
     device program. The auto-language serving path (the production
     default) previously dispatched mel, encode, and language detection
@@ -410,6 +432,11 @@ def frames_encode_detect_jit(params, frames, cfg: WhisperConfig,
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
     lang_idx, lang_probs = _detect_language(params, xa, cfg, compute_dtype)
     return xa, lang_idx, lang_probs
+
+
+frames_encode_detect_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype"))(
+        frames_encode_detect_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

@@ -58,6 +58,40 @@ def _precision_scope(compute_dtype):
 
 
 # ---------------------------------------------------------------------------
+# SPMD kernel override (parallel/spmd.py)
+# ---------------------------------------------------------------------------
+
+_KERNEL_OVERRIDE: list = []     # trace-time stack, not thread state: it is
+                                # only ever pushed while a shard_map body is
+                                # being traced (parallel/spmd.py)
+
+
+def spmd_kernel_mode() -> Optional[str]:
+    """Current kernel-override mode.
+
+    ``None``        — default gating (single-chip Pallas kernels only when
+                      the process owns exactly one TPU device; under a
+                      GSPMD mesh a pallas_call has no partition rule, so
+                      the gates fall back to XLA paths that shard cleanly).
+    ``"tpu"``       — tracing inside a shard_map shard: each shard IS one
+                      chip, so the single-chip kernels are re-enabled.
+    ``"interpret"`` — force the Pallas kernels in interpret mode on any
+                      backend (the CPU virtual-mesh test path).
+    """
+    return _KERNEL_OVERRIDE[-1] if _KERNEL_OVERRIDE else None
+
+
+@contextlib.contextmanager
+def kernel_override(mode: Optional[str]):
+    """Scope a kernel-override mode around tracing (see spmd_kernel_mode)."""
+    _KERNEL_OVERRIDE.append(mode)
+    try:
+        yield
+    finally:
+        _KERNEL_OVERRIDE.pop()
+
+
+# ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
 
@@ -179,20 +213,28 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     #   library DEFAULT blocks lose to XLA 2x — the tuning is the point).
     # NWT_NO_FLASH=1 falls back to XLA attention entirely.
     import os
-    use_flash = (jax.default_backend() == "tpu"
-                 and compute_dtype == jnp.bfloat16
+    # shard_map override: inside a shard each device runs the full
+    # single-chip program, so the kernels the GSPMD gates disable come
+    # back on; "interpret" additionally forces them on CPU (tests).
+    ko = spmd_kernel_mode()
+    interp = ko == "interpret"
+    use_flash = (((jax.default_backend() == "tpu"
+                   and compute_dtype == jnp.bfloat16) or interp)
                  and not os.environ.get("NWT_NO_FLASH"))
-    use_lib_flash = bool(os.environ.get("NWT_LIB_FLASH"))
+    use_lib_flash = bool(os.environ.get("NWT_LIB_FLASH")) and not interp
     # fused int8 MLP kernel (default-on for quantized encoders on TPU):
     # both matmuls on the int8 MXU, LN/gelu/requant in VMEM, fc1 output
     # never in HBM. Measured (B=16, turbo, v5e): encode 381.6 -> 319.2 ms
     # at bm=256/bf=1280; accuracy vs the XLA int8 path is at int8-noise
     # level (rel max err 1.4%, scripts/mlp_kernel_check.py).
     # (single-device only: a pallas_call under GSPMD has no partition
-    # rule, so a mesh would all-gather its operands — multi-chip keeps
-    # the XLA int8 path, which shards cleanly.)
-    use_int8_mlp = (jax.default_backend() == "tpu"
-                    and jax.device_count() == 1
+    # rule, so a mesh would all-gather its operands — multi-chip via
+    # GSPMD keeps the XLA int8 path, which shards cleanly. The
+    # shard_map serving path (parallel/spmd.py) re-enables the kernel
+    # per shard via kernel_override("tpu").)
+    use_int8_mlp = (((jax.default_backend() == "tpu"
+                      and (jax.device_count() == 1 or ko == "tpu"))
+                     or interp)
                     and not os.environ.get("NWT_NO_INT8_MLP"))
     # experiment flag (trace-time): fused int8 QKV + residual-o kernels.
     # MEASURED SLOWER (B=16 turbo encode 318.3 -> 370.3 ms): unlike the
@@ -246,7 +288,8 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             a = encoder_attention_btd(qf, kf, vf, t_real,
                                       float(dh) ** -0.5, n_head,
                                       block_q=attn_bq,
-                                      int8_scores=attn_i8)
+                                      int8_scores=attn_i8,
+                                      interpret=interp)
             q = k = v = None
         elif use_int8_qkv and is_quantized(p["q_w"]):
             from ..ops.fused_qkv import encoder_qkv_int8
@@ -282,7 +325,7 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             else:
                 q_, k_, v_ = q, k, v
             a = encoder_attention(q_, k_, v_, t, float(dh) ** -0.5,
-                                  block_q=bq)[..., :t, :]
+                                  block_q=bq, interpret=interp)[..., :t, :]
             a = _merge_heads(a.astype(x.dtype))
         elif use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -345,6 +388,7 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                 block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
                 block_f=(int(os.environ.get("NWT_MLP_BF", 0))
                          or (1280 if chunked else 2560)),
+                interpret=interp,
             ).reshape(bsz, t, d)
         else:
             h = _layer_norm(x, p["ln2_g"], p["ln2_b"])

@@ -303,9 +303,18 @@ class WindowBatcher:
                 # detection in ONE device program (3 tunnel round trips
                 # collapse to 1; the lang_idx sync is inherent — the
                 # prompt depends on the result)
-                from ..decode.greedy import frames_encode_detect_jit
-                xa, lang_idx, _ = frames_encode_detect_jit(
-                    self.params, stacked, self.cfg, self.compute_dtype)
+                from ..parallel.spmd import spmd_serving_enabled
+                if spmd_serving_enabled(self.mesh):
+                    from ..parallel.spmd import (
+                        default_kernel_mode, frames_encode_detect_spmd_jit)
+                    xa, lang_idx, _ = frames_encode_detect_spmd_jit(
+                        self.params, stacked, self.mesh, self.cfg,
+                        self.compute_dtype,
+                        kernels=default_kernel_mode())
+                else:
+                    from ..decode.greedy import frames_encode_detect_jit
+                    xa, lang_idx, _ = frames_encode_detect_jit(
+                        self.params, stacked, self.cfg, self.compute_dtype)
             else:
                 if all_frames:
                     from ..audio.mel import log_mel_from_frames_jit
@@ -342,7 +351,7 @@ class WindowBatcher:
             handle = decode_window_dispatch(
                 self.params, xa, prompts, self.cfg, self.tables, self.opts,
                 temperature=np.asarray(temps, np.float32),
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, mesh=self.mesh)
         else:
             # fixed-language fast path: (frames ->) mel -> encode ->
             # decode as ONE device program per batch
@@ -351,7 +360,7 @@ class WindowBatcher:
                 self.opts, temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype,
                 mel=None if all_frames else stacked,
-                frames=stacked if all_frames else None)
+                frames=stacked if all_frames else None, mesh=self.mesh)
             if on_dispatched is not None:
                 on_dispatched()
 
