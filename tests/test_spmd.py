@@ -198,6 +198,44 @@ def test_spmd_kernels_fire_inside_shards(monkeypatch):
     assert err.max() < 5e-2
 
 
+def test_spmd_beam_batcher_matches_plain():
+    """Beam-strategy batcher (opts.beam_size > 1) under a dp-only mesh:
+    the encode/detect stage runs the shard_map program, producing a
+    dp-SHARDED xa that _beam_finalizer fancy-indexes and feeds to the
+    (GSPMD) beam decode — the resharding boundary this exercises is
+    exactly the serving config beam_size>1 + mesh combination."""
+    from nobs_whisper_tpu.audio.mel import frame_window_np
+    from nobs_whisper_tpu.pipeline.batcher import WindowBatcher
+    from nobs_whisper_tpu.utils.testing import speech_like_audio
+
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opts = DecodeOptions(logprob_threshold=-1e9, entropy_threshold=0.0,
+                         no_speech_threshold=1.1,
+                         compression_ratio_threshold=1e9, beam_size=2)
+    n_frames = 2 * cfg.n_audio_ctx
+    frames = [frame_window_np(speech_like_audio(0.3, seed=50 + i),
+                              n_frames=n_frames) for i in range(4)]
+    prompt = [cfg.sot, cfg.lang_base, cfg.transcribe]
+
+    plain = WindowBatcher(params, cfg, opts=opts, max_batch=4,
+                          max_wait_ms=50)
+    futs = [plain.submit(None, prompt, lang_slot=1, frames=f)
+            for f in frames]
+    exp = [f.result(timeout=120) for f in futs]
+    plain.close()
+
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = WindowBatcher(params, cfg, opts=opts, max_batch=8,
+                            max_wait_ms=50, mesh=mesh)
+    futs = [sharded.submit(None, prompt, lang_slot=1, frames=f)
+            for f in frames]
+    got = [f.result(timeout=120) for f in futs]
+    sharded.close()
+    assert [g.tokens for g in got] == [e.tokens for e in exp]
+    assert [g.language for g in got] == [e.language for e in exp]
+
+
 def test_spmd_sampling_decorrelated_across_shards():
     """temperature>0 under spmd: shards fold the dp axis index into the
     rng, so rows in different shards must not draw identical sample
