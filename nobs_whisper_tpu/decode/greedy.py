@@ -439,6 +439,22 @@ frames_encode_detect_jit = functools.partial(
         frames_encode_detect_impl)
 
 
+def frames_encode_detect_dispatch(params, frames, cfg: WhisperConfig,
+                                  compute_dtype=jnp.float32, mesh=None):
+    """Mesh-aware entry for the frames -> mel -> encode -> detect stage:
+    dp-only meshes take the shard_map program (parallel/spmd.py), same as
+    decode_window_dispatch does for the decode stage — callers pass
+    mesh= and never branch on the spmd gate themselves."""
+    from ..parallel.spmd import spmd_serving_enabled
+    if spmd_serving_enabled(mesh):
+        from ..parallel.spmd import (default_kernel_mode,
+                                     frames_encode_detect_spmd_jit)
+        return frames_encode_detect_spmd_jit(
+            params, frames, mesh, cfg, compute_dtype,
+            kernels=default_kernel_mode())
+    return frames_encode_detect_jit(params, frames, cfg, compute_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def detect_language_jit(params, xa, tables: RuleTables, cfg: WhisperConfig,
                         compute_dtype=jnp.float32):

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -61,13 +62,17 @@ def _precision_scope(compute_dtype):
 # SPMD kernel override (parallel/spmd.py)
 # ---------------------------------------------------------------------------
 
-_KERNEL_OVERRIDE: list = []     # trace-time stack, not thread state: it is
-                                # only ever pushed while a shard_map body is
-                                # being traced (parallel/spmd.py)
+_KERNEL_OVERRIDE = threading.local()   # per-thread trace-time stack: the
+                                       # override must not leak into a
+                                       # concurrent trace on another thread
+                                       # (e.g. a GSPMD batcher tracing while
+                                       # a shard_map body compiles — the
+                                       # poisoned trace would be cached
+                                       # without the override in its key)
 
 
 def spmd_kernel_mode() -> Optional[str]:
-    """Current kernel-override mode.
+    """Current kernel-override mode (this thread's trace scope).
 
     ``None``        — default gating (single-chip Pallas kernels only when
                       the process owns exactly one TPU device; under a
@@ -78,17 +83,21 @@ def spmd_kernel_mode() -> Optional[str]:
     ``"interpret"`` — force the Pallas kernels in interpret mode on any
                       backend (the CPU virtual-mesh test path).
     """
-    return _KERNEL_OVERRIDE[-1] if _KERNEL_OVERRIDE else None
+    stack = getattr(_KERNEL_OVERRIDE, "stack", None)
+    return stack[-1] if stack else None
 
 
 @contextlib.contextmanager
 def kernel_override(mode: Optional[str]):
     """Scope a kernel-override mode around tracing (see spmd_kernel_mode)."""
-    _KERNEL_OVERRIDE.append(mode)
+    stack = getattr(_KERNEL_OVERRIDE, "stack", None)
+    if stack is None:
+        stack = _KERNEL_OVERRIDE.stack = []
+    stack.append(mode)
     try:
         yield
     finally:
-        _KERNEL_OVERRIDE.pop()
+        stack.pop()
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +228,8 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     ko = spmd_kernel_mode()
     interp = ko == "interpret"
     use_flash = (((jax.default_backend() == "tpu"
-                   and compute_dtype == jnp.bfloat16) or interp)
+                   and compute_dtype == jnp.bfloat16
+                   and (jax.device_count() == 1 or ko == "tpu")) or interp)
                  and not os.environ.get("NWT_NO_FLASH"))
     use_lib_flash = bool(os.environ.get("NWT_LIB_FLASH")) and not interp
     # fused int8 MLP kernel (default-on for quantized encoders on TPU):
@@ -243,7 +253,7 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # work — XLA's split kernels pipeline the projections better. Kept
     # opt-in for re-measurement on other topologies.
     use_int8_qkv = (jax.default_backend() == "tpu"
-                    and jax.device_count() == 1
+                    and (jax.device_count() == 1 or ko == "tpu")
                     and bool(os.environ.get("NWT_INT8_QKV")))
     # flat-layout head-pair attention (ops/encoder_attention.py::
     # encoder_attention_btd): q/k/v stay in the projections' native

@@ -303,18 +303,10 @@ class WindowBatcher:
                 # detection in ONE device program (3 tunnel round trips
                 # collapse to 1; the lang_idx sync is inherent — the
                 # prompt depends on the result)
-                from ..parallel.spmd import spmd_serving_enabled
-                if spmd_serving_enabled(self.mesh):
-                    from ..parallel.spmd import (
-                        default_kernel_mode, frames_encode_detect_spmd_jit)
-                    xa, lang_idx, _ = frames_encode_detect_spmd_jit(
-                        self.params, stacked, self.mesh, self.cfg,
-                        self.compute_dtype,
-                        kernels=default_kernel_mode())
-                else:
-                    from ..decode.greedy import frames_encode_detect_jit
-                    xa, lang_idx, _ = frames_encode_detect_jit(
-                        self.params, stacked, self.cfg, self.compute_dtype)
+                from ..decode.greedy import frames_encode_detect_dispatch
+                xa, lang_idx, _ = frames_encode_detect_dispatch(
+                    self.params, stacked, self.cfg, self.compute_dtype,
+                    mesh=self.mesh)
             else:
                 if all_frames:
                     from ..audio.mel import log_mel_from_frames_jit

@@ -198,6 +198,35 @@ def test_spmd_kernels_fire_inside_shards(monkeypatch):
     assert err.max() < 5e-2
 
 
+def test_kernel_override_is_thread_local():
+    """The override must not leak into a concurrent trace on another
+    thread (a GSPMD batcher tracing while a shard_map body holds the
+    override would bake the wrong kernel gating into its cached jit)."""
+    import threading
+    from nobs_whisper_tpu.models.whisper import (kernel_override,
+                                                 spmd_kernel_mode)
+
+    seen = {}
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with kernel_override("tpu"):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert entered.wait(timeout=30)
+        seen["other_thread"] = spmd_kernel_mode()
+    finally:
+        release.set()
+        t.join()
+    assert seen["other_thread"] is None
+    assert spmd_kernel_mode() is None
+
+
 def test_spmd_beam_batcher_matches_plain():
     """Beam-strategy batcher (opts.beam_size > 1) under a dp-only mesh:
     the encode/detect stage runs the shard_map program, producing a
