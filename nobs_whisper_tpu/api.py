@@ -211,7 +211,7 @@ class WhisperEngine:
         language: Optional[str] = None,
         vocabulary: Optional[str] = None,
         context: Optional[str] = None,
-        task: str = "transcribe",
+        task: Optional[str] = None,
         opts: Optional[DecodeOptions] = None,
     ) -> TranscribeResult:
         """Transcribe (or translate to English) 16 kHz f32 PCM.
@@ -220,11 +220,15 @@ class WhisperEngine:
         Mirrors WhisperEngine::transcribe (whisper.rs:66-148): greedy by
         default, vocabulary+context as initial prompt, anti-hallucination
         thresholds, final phrase filter.
+
+        ``task=None`` defers to ``opts.task`` — callers that carry the
+        task inside DecodeOptions (sessions, the batched-engine fallback)
+        must not have it silently reset to "transcribe" by this kwarg.
         """
         self._require_model()
         base = opts or DecodeOptions()
         opts = dataclasses.replace(
-            base, task=task,
+            base, task=task if task is not None else base.task,
             language=language if language not in (None, "auto") else None)
 
         audio = np.asarray(audio, dtype=np.float32)

@@ -138,7 +138,8 @@ def cmd_serve(args):
         opts = DecodeOptions(
             beam_size=app.beam_size if app.beam_size > 1 else None,
             best_of=max(app.best_of, 1),
-            temperature=float(app.temperature))
+            temperature=float(app.temperature),
+            task=str(getattr(app, "task", None) or "transcribe"))
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
                                mesh=mesh)
     serve(engine, host=args.host, port=args.port, config_manager=cm)

@@ -89,7 +89,8 @@ class BatchedEngine:
             prompt.extend(initial[-(cfg.n_text_ctx // 2 - 1):])
         sot_pos = len(prompt)
         prompt.extend(self.engine.tokenizer.sot_sequence(
-            language=(lang or "en") if cfg.multilingual else None))
+            language=(lang or "en") if cfg.multilingual else None,
+            task=self.opts.task))
         # auto mode: the batcher detects the language with one extra
         # batched forward and patches the token after <|sot|>
         # (whisper.rs:91-95)

@@ -67,6 +67,11 @@ class SessionConfig:
     beam_size: Optional[int] = None
     best_of: int = 1
     temperature: float = 0.0
+    # transcribe | translate — the engine's task capability
+    # (whisper.cpp's translate flag; the reference leaves it off at
+    # whisper.rs:116 but the config surface is where engine capability
+    # is selected, so the session exposes it like beam_size above)
+    task: str = "transcribe"
 
     @property
     def effective_max_s(self) -> int:
@@ -79,13 +84,15 @@ class SessionConfig:
         (the greedy fast path)."""
         beam = self.beam_size or 1
         best = self.best_of or 1
-        if beam <= 1 and best <= 1 and not self.temperature:
+        if beam <= 1 and best <= 1 and not self.temperature \
+                and self.task == "transcribe":
             return None
         from ..decode.rules import DecodeOptions
         return DecodeOptions(
             beam_size=beam if beam > 1 else None,
             best_of=max(best, 1),
-            temperature=float(self.temperature))
+            temperature=float(self.temperature),
+            task=self.task)
 
 
 class StreamingSession:

@@ -47,6 +47,7 @@ class AppConfig:
     beam_size: int = 1                     # >1 = beam search at temp 0
     best_of: int = 1                       # >1 = best-of sampling at t>0
     temperature: float = 0.0
+    task: str = "transcribe"               # transcribe | translate
 
     @classmethod
     def _fields(cls) -> Dict[str, Any]:

@@ -233,16 +233,23 @@ def make_handler(state: ServerState):
                 from ..audio.resample import resample
                 audio = np.frombuffer(body, "<f4").astype(np.float32)
                 audio = resample(audio, rate)
-            # decode strategy via query params (?beam_size=5&...)
+            # decode strategy via query params (?beam_size=5&...), plus
+            # task=translate and word_timestamps=1 — the engine options
+            # the CLI exposes (cli.py transcribe flags) are reachable
+            # one-shot over HTTP too
             beam = int(q.get("beam_size", 0))
             best = int(q.get("best_of", 0))
             temp = float(q.get("temperature", 0.0))
+            task = q.get("task", "transcribe")
+            words = q.get("word_timestamps", "") in ("1", "true", "yes")
             opts = None
-            if beam > 1 or best > 1 or temp:
+            if beam > 1 or best > 1 or temp or words \
+                    or task != "transcribe":
                 from ..decode.rules import DecodeOptions
                 opts = DecodeOptions(
                     beam_size=beam if beam > 1 else None,
-                    best_of=max(best, 1), temperature=temp)
+                    best_of=max(best, 1), temperature=temp,
+                    task=task, word_timestamps=words)
             result = state.engine.transcribe(
                 audio,
                 language=q.get("language"),
@@ -270,7 +277,8 @@ def make_handler(state: ServerState):
                 beam_size=beam if beam > 1 else None,
                 best_of=int(opts.get("best_of", app.best_of or 1)),
                 temperature=float(opts.get("temperature",
-                                           app.temperature or 0.0)))
+                                           app.temperature or 0.0)),
+                task=str(opts.get("task", app.task or "transcribe")))
             sid = state.create_session(cfg)
             return self._json({"session": sid})
 

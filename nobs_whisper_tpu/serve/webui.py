@@ -106,6 +106,11 @@ INDEX_HTML = """<!doctype html>
                           style="width:70px"></label>
       <label>Beam <input id="cfg-beam" type="number" min="1" max="8"
                          style="width:56px"></label>
+      <label>Task
+        <select id="cfg-task">
+          <option value="transcribe">Transcribe</option>
+          <option value="translate">Translate</option>
+        </select></label>
     </div>
     <p class="muted" style="margin:10px 0 4px">Custom vocabulary
       (biases recognition toward these terms)</p>
@@ -142,6 +147,7 @@ async function loadConfig() {
   $("cfg-ptt").value = String(!!cfg.push_to_talk);
   $("cfg-maxdur").value = cfg.max_recording_duration;
   $("cfg-beam").value = cfg.beam_size || 1;
+  $("cfg-task").value = cfg.task || "transcribe";
   $("cfg-vocab").value = cfg.custom_vocabulary || "";
 }
 async function saveConfig(patch) {
@@ -156,6 +162,7 @@ $("cfg-ptt").onchange = (e) =>
 $("cfg-maxdur").onchange = (e) =>
   saveConfig({max_recording_duration: +e.target.value});
 $("cfg-beam").onchange = (e) => saveConfig({beam_size: +e.target.value});
+$("cfg-task").onchange = (e) => saveConfig({task: e.target.value});
 $("cfg-vocab").onchange = (e) =>
   saveConfig({custom_vocabulary: e.target.value});
 

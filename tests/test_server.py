@@ -248,6 +248,55 @@ def test_beam_reachable_through_serving_surface(server):
     assert out["transcript"] == direct.text
 
 
+def test_translate_and_word_timestamps_reachable(server):
+    """task=translate and word_timestamps are reachable from the serving
+    layer, not just the CLI (same parity principle as the beam test:
+    engine capability must be selectable through the config/API surface,
+    whisper.rs:88,116)."""
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    base, httpd = server
+    audio = (np.random.RandomState(11).randn(16000) * 0.2).astype(np.float32)
+    direct = httpd.state.engine.transcribe(
+        audio, language="en",
+        opts=DecodeOptions(task="translate", word_timestamps=True))
+
+    one_shot = _post(
+        base, "/transcribe?language=en&task=translate&word_timestamps=1",
+        audio.tobytes())
+    assert one_shot["text"] == direct.text
+    # word timings survive the JSON surface
+    if direct.segments and direct.segments[0].words:
+        words = one_shot["segments"][0]["words"]
+        assert words and {"word", "start", "end"} <= set(words[0])
+
+    # per-session translate routes through SessionConfig.decode_opts
+    sid = _post(base, "/sessions", json.dumps(
+        {"language": "en", "sample_rate": 16000,
+         "task": "translate"}).encode())["session"]
+    _post(base, f"/sessions/{sid}/start")
+    _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+    out = _post(base, f"/sessions/{sid}/stop")
+    direct_no_words = httpd.state.engine.transcribe(
+        audio, language="en", opts=DecodeOptions(task="translate"))
+    assert out["transcript"] == direct_no_words.text
+
+
+def test_opts_task_not_clobbered_by_default_kwarg(server):
+    """engine.transcribe(opts=DecodeOptions(task='translate')) must honor
+    the task carried in opts when the task kwarg is omitted (sessions and
+    the batched-engine fallback pass the task only through opts)."""
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    _, httpd = server
+    audio = (np.random.RandomState(13).randn(16000) * 0.2).astype(np.float32)
+    via_kwarg = httpd.state.engine.transcribe(
+        audio, language="en", task="translate")
+    via_opts = httpd.state.engine.transcribe(
+        audio, language="en", opts=DecodeOptions(task="translate"))
+    assert via_opts.text == via_kwarg.text
+
+
 def test_unknown_session_404(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
