@@ -256,6 +256,28 @@ def make_handler(state: ServerState):
                 vocabulary=q.get("vocabulary"),
                 context=q.get("context"),
                 opts=opts)
+            fmt = q.get("format", "json")
+            if fmt != "json":
+                # subtitle/plain output straight from the serving layer
+                # (?format=srt|vtt|txt|tsv), same writers as the CLI's
+                # --output-format
+                import io
+                from ..utils.writers import WRITERS
+                if fmt not in WRITERS:
+                    return self._error(
+                        f"unknown format {fmt!r}; have {sorted(WRITERS)}")
+                buf = io.StringIO()
+                WRITERS[fmt](result, buf)
+                body = buf.getvalue().encode("utf-8")
+                self.send_response(200)
+                ctype = {"srt": "application/x-subrip",
+                         "vtt": "text/vtt"}.get(fmt, "text/plain")
+                self.send_header("Content-Type",
+                                 f"{ctype}; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             return self._json({
                 "text": result.text,
                 "language": result.language,

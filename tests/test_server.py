@@ -282,6 +282,32 @@ def test_translate_and_word_timestamps_reachable(server):
     assert out["transcript"] == direct_no_words.text
 
 
+def test_transcribe_output_formats(server):
+    """?format=srt|vtt|txt|tsv returns the CLI writers' output through
+    the serving surface; unknown formats 400."""
+    base, _ = server
+    audio = (np.random.RandomState(17).randn(16000) * 0.2).astype(np.float32)
+
+    def raw(fmt):
+        req = urllib.request.Request(
+            base + f"/transcribe?language=en&format={fmt}",
+            data=audio.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read().decode(), r.headers.get("Content-Type", "")
+
+    srt, ctype = raw("srt")
+    assert "-->" in srt and "x-subrip" in ctype
+    vtt, ctype = raw("vtt")
+    assert vtt.startswith("WEBVTT") and "text/vtt" in ctype
+    txt, _ = raw("txt")
+    assert isinstance(txt, str)
+    tsv, _ = raw("tsv")
+    assert tsv.splitlines()[0] == "start\tend\ttext"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        raw("nope")
+    assert e.value.code == 400
+
+
 def test_opts_task_not_clobbered_by_default_kwarg(server):
     """engine.transcribe(opts=DecodeOptions(task='translate')) must honor
     the task carried in opts when the task kwarg is omitted (sessions and
