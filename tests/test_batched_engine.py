@@ -159,6 +159,46 @@ def test_beam_strategy_through_batcher(engines):
         beamed.close()
 
 
+def test_translate_task_through_batcher_fast_path(engines):
+    """A BatchedEngine built with task=translate (the serve-config task
+    analog) keeps the batched fast path AND bakes the translate token
+    into the sot prompt — equal to a direct decode with a translate
+    prompt, different from the transcribe-task batched result."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.audio.mel import HOP_LENGTH, log_mel_longform
+    from nobs_whisper_tpu.decode.greedy import decode_window
+    from nobs_whisper_tpu.decode.hallucination import filter_hallucinations
+    from nobs_whisper_tpu.decode.rules import build_rule_tables
+    from nobs_whisper_tpu.models.whisper import encode
+
+    eng, _ = engines
+    cfg = eng.cfg
+    tr_opts = dataclasses.replace(_NO_FALLBACK, task="translate")
+    translating = BatchedEngine(eng, opts=tr_opts, max_batch=4,
+                                max_wait_ms=20)
+    try:
+        audio = speech_like_audio(0.5, seed=23)
+        b = translating.transcribe(audio, language="en")
+        # really went through the batcher (fast path), not the fallback
+        assert len(translating.batcher.batch_sizes) == 1
+
+        wf = 2 * cfg.n_audio_ctx
+        mel = log_mel_longform(audio, n_mels=cfg.n_mels,
+                               padding=wf * HOP_LENGTH)[:, :wf]
+        xa = encode(eng.params, jnp.asarray(mel[None]), cfg)
+        tables = build_rule_tables(cfg, tr_opts, eng.tokenizer)
+        prompt = eng.tokenizer.sot_sequence(language="en",
+                                            task="translate")
+        direct = decode_window(eng.params, xa, [prompt], cfg, tables,
+                               tr_opts)[0]
+        expected = filter_hallucinations(
+            eng.tokenizer.decode(direct.tokens).strip())
+        assert b.text == expected
+    finally:
+        translating.close()
+
+
 def test_session_decode_opts_flow_to_engine(engines):
     """SessionConfig's decode-strategy fields reach engine.transcribe as
     DecodeOptions (serving-surface reachability of beam, VERDICT item)."""
