@@ -43,6 +43,20 @@ def test_ggml_params_roundtrip(tmp_path):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_transcribe_128_mel_config(tmp_path):
+    """End-to-end through a 128-mel-bin config (the large-v3 family's
+    geometry, model.rs:104-113,176-188): the mel frontend, conv stem
+    input channels, and window decode all key off cfg.n_mels."""
+    path = str(tmp_path / "ggml-128mel-random.bin")
+    cfg = write_tiny_checkpoint(path, cfg=tiny_test_config(n_mels=128))
+    assert cfg.n_mels == 128
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    assert eng.cfg.n_mels == 128
+    r = eng.transcribe(speech_like_audio(0.6, seed=5), language="en")
+    assert isinstance(r.text, str)
+    assert r.language == "en"
+
+
 def test_engine_requires_model():
     eng = WhisperEngine()
     assert not eng.loaded
