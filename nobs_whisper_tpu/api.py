@@ -224,12 +224,20 @@ class WhisperEngine:
         ``task=None`` defers to ``opts.task`` — callers that carry the
         task inside DecodeOptions (sessions, the batched-engine fallback)
         must not have it silently reset to "transcribe" by this kwarg.
+        ``language`` likewise: omitted (None) defers to ``opts.language``;
+        an explicit ``"auto"`` forces auto-detection.
         """
         self._require_model()
         base = opts or DecodeOptions()
+        if language == "auto":
+            lang = None
+        elif language is None:
+            lang = base.language
+        else:
+            lang = language
         opts = dataclasses.replace(
             base, task=task if task is not None else base.task,
-            language=language if language not in (None, "auto") else None)
+            language=lang)
 
         audio = np.asarray(audio, dtype=np.float32)
         with stage_timer("mel"):

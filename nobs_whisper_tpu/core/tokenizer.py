@@ -170,6 +170,9 @@ class WhisperTokenizer:
         timestamps: bool = True,
     ) -> List[int]:
         """[sot, lang, task(, notimestamps)] — the decoder's forced prefix."""
+        if task not in ("transcribe", "translate"):
+            raise ValueError(
+                f"unknown task {task!r}; have transcribe, translate")
         seq = [self.sot]
         if self.config.multilingual:
             seq.append(self.language_token(language or "en"))

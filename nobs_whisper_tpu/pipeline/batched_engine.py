@@ -64,6 +64,11 @@ class BatchedEngine:
         audio = np.asarray(audio, dtype=np.float32)
         window_frames = 2 * cfg.n_audio_ctx
         content_frames = audio.shape[0] // HOP_LENGTH
+        # callers passing opts=None mean "the server's configured
+        # strategy" — the fallback must inherit self.opts, or a
+        # translate/beam-configured server would silently decode
+        # long-form audio with greedy-transcribe defaults
+        eff = opts if opts is not None else self.opts
         if content_frames > window_frames \
                 or (opts is not None and opts != self.opts) \
                 or (self.opts.best_of or 1) > 1:
@@ -71,7 +76,7 @@ class BatchedEngine:
             # the batch axis): sequential path
             return self.engine.transcribe(audio, language=language,
                                           vocabulary=vocabulary,
-                                          context=context, opts=opts)
+                                          context=context, opts=eff)
 
         # serving fast path: frame the chunk on the host (a strided
         # memcpy) and let the batcher's ONE device program do

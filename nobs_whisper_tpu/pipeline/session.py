@@ -67,11 +67,14 @@ class SessionConfig:
     beam_size: Optional[int] = None
     best_of: int = 1
     temperature: float = 0.0
-    # transcribe | translate — the engine's task capability
+    # transcribe | translate | None — the engine's task capability
     # (whisper.cpp's translate flag; the reference leaves it off at
     # whisper.rs:116 but the config surface is where engine capability
-    # is selected, so the session exposes it like beam_size above)
-    task: str = "transcribe"
+    # is selected, so the session exposes it like beam_size above).
+    # None = inherit the engine's configured default; an EXPLICIT
+    # "transcribe" forces DecodeOptions so it overrides a
+    # translate-configured BatchedEngine instead of inheriting it.
+    task: Optional[str] = None
 
     @property
     def effective_max_s(self) -> int:
@@ -85,14 +88,14 @@ class SessionConfig:
         beam = self.beam_size or 1
         best = self.best_of or 1
         if beam <= 1 and best <= 1 and not self.temperature \
-                and self.task == "transcribe":
+                and self.task is None:
             return None
         from ..decode.rules import DecodeOptions
         return DecodeOptions(
             beam_size=beam if beam > 1 else None,
             best_of=max(best, 1),
             temperature=float(self.temperature),
-            task=self.task)
+            task=self.task or "transcribe")
 
 
 class StreamingSession:

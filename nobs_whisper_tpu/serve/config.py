@@ -114,6 +114,9 @@ class ConfigManager:
         self._engine_provider = engine_provider  # callable(model_id) -> None
 
     def set_config(self, new: AppConfig) -> None:
+        if new.task not in ("transcribe", "translate"):
+            raise ValueError(
+                f"unknown task {new.task!r}; have transcribe, translate")
         old = self.config
         save_config(new)
         self.config = new

@@ -198,6 +198,10 @@ def make_handler(state: ServerState):
                         target=model_registry.download_model,
                         args=(parts[1],), daemon=True).start()
                     return self._json({"started": parts[1]})
+            except ValueError as e:
+                # bad input (e.g. an unknown task in /config) is the
+                # client's fault, not a server failure
+                return self._error(str(e), 400)
             except Exception as e:
                 log.exception("request failed")
                 return self._error(str(e), 500)
@@ -236,36 +240,46 @@ def make_handler(state: ServerState):
             # decode strategy via query params (?beam_size=5&...), plus
             # task=translate and word_timestamps=1 — the engine options
             # the CLI exposes (cli.py transcribe flags) are reachable
-            # one-shot over HTTP too
-            beam = int(q.get("beam_size", 0))
-            best = int(q.get("best_of", 0))
-            temp = float(q.get("temperature", 0.0))
-            task = q.get("task", "transcribe")
+            # one-shot over HTTP too. Defaults come from the persisted
+            # AppConfig (like sessions), query params override, and an
+            # explicit DecodeOptions is ALWAYS passed: opts=None would
+            # let a BatchedEngine fall back to its baked-at-startup
+            # strategy, making ?task=transcribe unable to override a
+            # translate-configured server.
+            app = state.config_manager.config
+            beam = int(q.get("beam_size", app.beam_size or 1))
+            best = int(q.get("best_of", app.best_of or 1))
+            temp = float(q.get("temperature", app.temperature or 0.0))
+            task = q.get("task", getattr(app, "task", None)
+                         or "transcribe")
+            if task not in ("transcribe", "translate"):
+                return self._error(
+                    f"unknown task {task!r}; have transcribe, translate")
+            fmt = q.get("format", "json")
+            if fmt != "json":
+                # reject unknown formats BEFORE burning a decode
+                from ..utils.writers import WRITERS
+                if fmt not in WRITERS:
+                    return self._error(
+                        f"unknown format {fmt!r}; have {sorted(WRITERS)}")
             words = q.get("word_timestamps", "") in ("1", "true", "yes")
-            opts = None
-            if beam > 1 or best > 1 or temp or words \
-                    or task != "transcribe":
-                from ..decode.rules import DecodeOptions
-                opts = DecodeOptions(
-                    beam_size=beam if beam > 1 else None,
-                    best_of=max(best, 1), temperature=temp,
-                    task=task, word_timestamps=words)
+            from ..decode.rules import DecodeOptions
+            opts = DecodeOptions(
+                beam_size=beam if beam > 1 else None,
+                best_of=max(best, 1), temperature=temp,
+                task=task, word_timestamps=words)
             result = state.engine.transcribe(
                 audio,
                 language=q.get("language"),
                 vocabulary=q.get("vocabulary"),
                 context=q.get("context"),
                 opts=opts)
-            fmt = q.get("format", "json")
             if fmt != "json":
                 # subtitle/plain output straight from the serving layer
-                # (?format=srt|vtt|txt|tsv), same writers as the CLI's
-                # --output-format
+                # (?format=srt|vtt|txt|tsv, validated above), same
+                # writers as the CLI's --output-format
                 import io
                 from ..utils.writers import WRITERS
-                if fmt not in WRITERS:
-                    return self._error(
-                        f"unknown format {fmt!r}; have {sorted(WRITERS)}")
                 buf = io.StringIO()
                 WRITERS[fmt](result, buf)
                 body = buf.getvalue().encode("utf-8")
@@ -291,6 +305,18 @@ def make_handler(state: ServerState):
             # decode strategy: per-session override, else the server
             # config's defaults (strategy selection analog, whisper.rs:88)
             beam = int(opts.get("beam_size", app.beam_size or 1))
+            # task resolution: explicit per-session value wins (including
+            # an explicit "transcribe", which must override a
+            # translate-configured engine); otherwise a non-default app
+            # task becomes an explicit session task; otherwise None =
+            # inherit the engine's configured strategy
+            task = opts.get("task")
+            if task is None and getattr(app, "task", None) == "translate":
+                task = "translate"
+            if task is not None and task not in ("transcribe",
+                                                 "translate"):
+                return self._error(
+                    f"unknown task {task!r}; have transcribe, translate")
             cfg = SessionConfig(
                 language=opts.get("language"),
                 vocabulary=opts.get("vocabulary"),
@@ -300,7 +326,7 @@ def make_handler(state: ServerState):
                 best_of=int(opts.get("best_of", app.best_of or 1)),
                 temperature=float(opts.get("temperature",
                                            app.temperature or 0.0)),
-                task=str(opts.get("task", app.task or "transcribe")))
+                task=task)
             sid = state.create_session(cfg)
             return self._json({"session": sid})
 

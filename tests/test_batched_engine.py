@@ -178,10 +178,23 @@ def test_translate_task_through_batcher_fast_path(engines):
     translating = BatchedEngine(eng, opts=tr_opts, max_batch=4,
                                 max_wait_ms=20)
     try:
+        submitted = []
+        orig_submit = translating.batcher.submit
+
+        def spy(mel, prompt, **kw):
+            submitted.append(list(prompt))
+            return orig_submit(mel, prompt, **kw)
+
+        translating.batcher.submit = spy
         audio = speech_like_audio(0.5, seed=23)
         b = translating.transcribe(audio, language="en")
-        # really went through the batcher (fast path), not the fallback
+        # really went through the batcher (fast path), not the fallback,
+        # and the submitted prompt carries the translate token (the tiny
+        # random model's output is prompt-invariant, so the text
+        # comparison below alone would not prove this)
         assert len(translating.batcher.batch_sizes) == 1
+        assert submitted and eng.tokenizer.translate in submitted[0]
+        assert eng.tokenizer.transcribe not in submitted[0]
 
         wf = 2 * cfg.n_audio_ctx
         mel = log_mel_longform(audio, n_mels=cfg.n_mels,
@@ -195,6 +208,41 @@ def test_translate_task_through_batcher_fast_path(engines):
         expected = filter_hallucinations(
             eng.tokenizer.decode(direct.tokens).strip())
         assert b.text == expected
+    finally:
+        translating.close()
+
+
+def test_fallback_paths_inherit_configured_opts(engines):
+    """The long-form fallback must decode with the engine's configured
+    strategy when the caller passes opts=None — a translate-configured
+    BatchedEngine may not silently transcribe audio merely because it
+    spans multiple windows."""
+    import dataclasses
+
+    eng, _ = engines
+    tr_opts = dataclasses.replace(_NO_FALLBACK, task="translate")
+    translating = BatchedEngine(eng, opts=tr_opts, max_batch=4,
+                                max_wait_ms=20)
+    try:
+        seen = []
+        orig = eng.transcribe
+
+        def spy(a, **kw):
+            seen.append(kw.get("opts"))
+            return orig(a, **kw)
+
+        eng.transcribe = spy
+        try:
+            long_audio = speech_like_audio(31.0, seed=29)
+            b = translating.transcribe(long_audio, language="en")
+        finally:
+            eng.transcribe = orig
+        # no batch ran: this really took the sequential fallback, and
+        # the fallback decoded with the configured translate opts
+        assert len(translating.batcher.batch_sizes) == 0
+        assert seen and seen[-1] is not None and seen[-1].task == "translate"
+        direct = eng.transcribe(long_audio, language="en", opts=tr_opts)
+        assert b.text == direct.text
     finally:
         translating.close()
 

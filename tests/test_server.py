@@ -282,6 +282,79 @@ def test_translate_and_word_timestamps_reachable(server):
     assert out["transcript"] == direct_no_words.text
 
 
+def test_task_override_and_validation(server):
+    """A configured task=translate applies to one-shots by default, an
+    explicit ?task=transcribe overrides it back, and unknown tasks are
+    rejected with 400 at every surface (one-shot, session, config).
+
+    The tiny random model's output is prompt-invariant, so text equality
+    would be vacuous — assert on the DecodeOptions the engine actually
+    receives instead."""
+    base, httpd = server
+    audio = (np.random.RandomState(19).randn(16000) * 0.2).astype(np.float32)
+    cfg = _get(base, "/config")
+    eng = httpd.state.engine
+    orig = eng.transcribe
+    seen = []
+
+    def spy(a, **kw):
+        seen.append(kw.get("opts"))
+        return orig(a, **kw)
+
+    eng.transcribe = spy
+    try:
+        cfg["task"] = "translate"
+        _post(base, "/config", json.dumps(cfg).encode())
+
+        _post(base, "/transcribe?language=en", audio.tobytes())
+        assert seen[-1] is not None and seen[-1].task == "translate"
+        _post(base, "/transcribe?language=en&task=transcribe",
+              audio.tobytes())
+        assert seen[-1] is not None and seen[-1].task == "transcribe"
+
+        # a default session inherits the configured translate task
+        sid = _post(base, "/sessions", json.dumps(
+            {"language": "en", "sample_rate": 16000}).encode())["session"]
+        _post(base, f"/sessions/{sid}/start")
+        _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+        _post(base, f"/sessions/{sid}/stop")
+        assert seen[-1] is not None and seen[-1].task == "translate"
+
+        # unknown task -> 400 everywhere, before any decode runs
+        n_calls = len(seen)
+        for path, body in (
+                ("/transcribe?task=subtitle", audio.tobytes()),
+                ("/sessions", json.dumps({"task": "Transcribe"}).encode())):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(base, path, body)
+            assert e.value.code == 400
+        assert len(seen) == n_calls  # rejected without decoding
+        bad = dict(cfg, task="nope")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/config", json.dumps(bad).encode())
+        assert e.value.code == 400
+    finally:
+        eng.transcribe = orig
+        cfg["task"] = "transcribe"
+        _post(base, "/config", json.dumps(cfg).encode())
+
+
+def test_opts_language_not_clobbered_by_default_kwarg(server):
+    """Like task, a language pinned inside DecodeOptions survives an
+    omitted language kwarg; an explicit "auto" still forces detection."""
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+
+    _, httpd = server
+    audio = (np.random.RandomState(23).randn(16000) * 0.2).astype(np.float32)
+    via_kwarg = httpd.state.engine.transcribe(audio, language="en")
+    via_opts = httpd.state.engine.transcribe(
+        audio, opts=DecodeOptions(language="en"))
+    assert via_opts.language == via_kwarg.language == "en"
+    auto = httpd.state.engine.transcribe(
+        audio, language="auto", opts=DecodeOptions(language="en"))
+    assert auto.language  # detection ran (language chosen by the model)
+
+
 def test_transcribe_output_formats(server):
     """?format=srt|vtt|txt|tsv returns the CLI writers' output through
     the serving surface; unknown formats 400."""
