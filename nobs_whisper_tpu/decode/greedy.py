@@ -439,6 +439,36 @@ frames_encode_detect_jit = functools.partial(
         frames_encode_detect_impl)
 
 
+def frames_encode_impl(params, frames, cfg: WhisperConfig,
+                       compute_dtype=jnp.float32):
+    """STFT frames -> mel -> encoder states in ONE device program,
+    WITHOUT language detection: the beam batcher's fixed-language stage
+    needs explicit encoder states but has no auto-language rows, so the
+    detect forward would be pure waste (review finding round 3)."""
+    from ..audio.mel import log_mel_from_frames
+    from ..models.whisper import encode
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    return encode(params, mel, cfg, compute_dtype=compute_dtype)
+
+
+frames_encode_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype"))(frames_encode_impl)
+
+
+def frames_encode_dispatch(params, frames, cfg: WhisperConfig,
+                           compute_dtype=jnp.float32, mesh=None):
+    """Mesh-aware entry for the frames -> mel -> encode stage (no
+    detect); dp-only meshes take the shard_map program."""
+    from ..parallel.spmd import spmd_serving_enabled
+    if spmd_serving_enabled(mesh):
+        from ..parallel.spmd import (default_kernel_mode,
+                                     frames_encode_spmd_jit)
+        return frames_encode_spmd_jit(
+            params, frames, mesh, cfg, compute_dtype,
+            kernels=default_kernel_mode())
+    return frames_encode_jit(params, frames, cfg, compute_dtype)
+
+
 def frames_encode_detect_dispatch(params, frames, cfg: WhisperConfig,
                                   compute_dtype=jnp.float32, mesh=None):
     """Mesh-aware entry for the frames -> mel -> encode -> detect stage:

@@ -138,3 +138,28 @@ def frames_encode_detect_spmd_jit(params, frames, mesh: Mesh, cfg,
         out_specs=(dp, dp, dp),
         check_vma=False,
     )(params, frames)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "compute_dtype", "kernels"))
+def frames_encode_spmd_jit(params, frames, mesh: Mesh, cfg,
+                           compute_dtype=jnp.float32,
+                           kernels: Optional[str] = None):
+    """dp-sharded twin of decode/greedy.py::frames_encode_jit: frames →
+    mel → encoder states per shard, no language detect (the beam
+    batcher's fixed-language stage)."""
+    from ..decode import greedy as g
+    from ..models.whisper import kernel_override
+
+    def body(params, frames):
+        with kernel_override(kernels):
+            return g.frames_encode_impl(params, frames, cfg, compute_dtype)
+
+    dp = P("dp")
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_replicated(params), dp),
+        out_specs=dp,
+        check_vma=False,
+    )(params, frames)

@@ -299,14 +299,24 @@ class WindowBatcher:
                                      decode_window_finalize)
         if use_beam or need_lang or self._custom_encode:
             if all_frames and not self._custom_encode:
-                # auto-language framed path: mel + encode + language
-                # detection in ONE device program (3 tunnel round trips
-                # collapse to 1; the lang_idx sync is inherent — the
-                # prompt depends on the result)
-                from ..decode.greedy import frames_encode_detect_dispatch
-                xa, lang_idx, _ = frames_encode_detect_dispatch(
-                    self.params, stacked, self.cfg, self.compute_dtype,
-                    mesh=self.mesh)
+                if need_lang:
+                    # auto-language framed path: mel + encode + language
+                    # detection in ONE device program (3 tunnel round
+                    # trips collapse to 1; the lang_idx sync is inherent
+                    # — the prompt depends on the result)
+                    from ..decode.greedy import \
+                        frames_encode_detect_dispatch
+                    xa, lang_idx, _ = frames_encode_detect_dispatch(
+                        self.params, stacked, self.cfg,
+                        self.compute_dtype, mesh=self.mesh)
+                else:
+                    # fixed-language beam batch: encoder states only —
+                    # skip the wasted language-detect decoder forward
+                    from ..decode.greedy import frames_encode_dispatch
+                    xa = frames_encode_dispatch(
+                        self.params, stacked, self.cfg,
+                        self.compute_dtype, mesh=self.mesh)
+                    lang_idx = None
             else:
                 if all_frames:
                     from ..audio.mel import log_mel_from_frames_jit
@@ -376,24 +386,39 @@ class WindowBatcher:
         from ..decode.beam import beam_decode_window
         beam_k = self.opts.beam_size
 
+        def pad_idx(idx):
+            # a temperature-ladder retry splits the batch into arbitrary
+            # zero/hot subset sizes; left unpadded, every novel size
+            # compiles a fresh program over the minutes-slow remote
+            # compiler. Replicate a real row up to the same bounded
+            # {1,2,4,8,...} schedule the batcher itself uses.
+            m = _pad_batch_size(len(idx), self.max_batch)
+            if self.mesh is not None:
+                dp = self.mesh.shape["dp"]
+                m = max(m, dp)
+                m += (-m) % dp
+            return idx + [idx[0]] * (m - len(idx))
+
         def finalize():
             zero = [i for i, t in enumerate(temps) if t == 0]
             hot = [i for i, t in enumerate(temps) if t != 0]
             results: List[Optional[WindowResult]] = [None] * len(prompts)
             if zero:
+                full = pad_idx(zero)
                 sub = beam_decode_window(
-                    self.params, xa[np.asarray(zero)],
-                    [prompts[i] for i in zero], self.cfg, self.tables,
+                    self.params, xa[np.asarray(full)],
+                    [prompts[i] for i in full], self.cfg, self.tables,
                     beam_size=beam_k, sample_len=self.opts.sample_len,
                     compute_dtype=self.compute_dtype)
                 for i, r in zip(zero, sub):
                     results[i] = r
             if hot:
+                full = pad_idx(hot)
                 sub = decode_window(
-                    self.params, xa[np.asarray(hot)],
-                    [prompts[i] for i in hot], self.cfg, self.tables,
+                    self.params, xa[np.asarray(full)],
+                    [prompts[i] for i in full], self.cfg, self.tables,
                     self.opts,
-                    temperature=np.asarray([temps[i] for i in hot],
+                    temperature=np.asarray([temps[i] for i in full],
                                            np.float32),
                     compute_dtype=self.compute_dtype)
                 for i, r in zip(hot, sub):

@@ -63,10 +63,14 @@ class SessionConfig:
     # decode strategy (reference analog: strategy selection at
     # whisper.rs:88; defaults = greedy parity). beam_size > 1 runs beam
     # search at temperature 0; best_of > 1 samples candidates on the
-    # fallback rungs; temperature sets the ladder's first rung.
+    # fallback rungs; temperature sets the ladder's first rung. Every
+    # field is tri-state: None = inherit the engine's configured
+    # strategy; an EXPLICIT value — including beam_size=1 / best_of=1 /
+    # temperature=0 — forces DecodeOptions, so a session can opt OUT of
+    # a beam/temperature-configured engine back to greedy.
     beam_size: Optional[int] = None
-    best_of: int = 1
-    temperature: float = 0.0
+    best_of: Optional[int] = None
+    temperature: Optional[float] = None
     # transcribe | translate | None — the engine's task capability
     # (whisper.cpp's translate flag; the reference leaves it off at
     # whisper.rs:116 but the config surface is where engine capability
@@ -85,16 +89,15 @@ class SessionConfig:
     def decode_opts(self):
         """DecodeOptions for this session, or None for engine defaults
         (the greedy fast path)."""
-        beam = self.beam_size or 1
-        best = self.best_of or 1
-        if beam <= 1 and best <= 1 and not self.temperature \
-                and self.task is None:
+        if (self.beam_size is None and self.best_of is None
+                and self.temperature is None and self.task is None):
             return None
         from ..decode.rules import DecodeOptions
+        beam = self.beam_size or 1
         return DecodeOptions(
             beam_size=beam if beam > 1 else None,
-            best_of=max(best, 1),
-            temperature=float(self.temperature),
+            best_of=max(self.best_of or 1, 1),
+            temperature=float(self.temperature or 0.0),
             task=self.task or "transcribe")
 
 

@@ -71,6 +71,7 @@ class RouterState:
         self._rr = 0
         self._lock = threading.Lock()
         self._last_reconcile = time.monotonic()
+        self._reconciling = False
 
     # ---- selection ----------------------------------------------------
     def healthy_backends(self) -> List[Backend]:
@@ -112,29 +113,55 @@ class RouterState:
         """Reap affinity entries whose session no longer exists on its
         backend. A client that vanishes without DELETE would otherwise
         leak its load-count slot forever and skew least-loaded placement.
-        Runs inline at most every RECONCILE_INTERVAL_S: each healthy
-        backend's GET /state lists its live session ids (the source of
-        truth), counters are reset to that truth."""
+
+        Triggered at most every RECONCILE_INTERVAL_S and runs the HTTP
+        sweep in a daemon thread so the request path (pick_least_loaded)
+        never blocks on up to 10 s/backend of /state probes.
+        ``force=True`` runs synchronously (tests/shutdown)."""
         now = time.monotonic()
         with self._lock:
             if (not force
-                    and now - self._last_reconcile < RECONCILE_INTERVAL_S):
+                    and (now - self._last_reconcile < RECONCILE_INTERVAL_S
+                         or self._reconciling)):
                 return
             self._last_reconcile = now
-            backends = [b for b in self.backends if b.healthy()]
-        live: Dict[Backend, set] = {}
-        for b in backends:
-            try:
-                _, data = self.request(b, "GET", "/state", timeout=10)
-                live[b] = set(json.loads(data))
-            except Exception:
-                pass   # unreachable: keep its entries (nothing is known)
-        with self._lock:
-            for sid, b in list(self.affinity.items()):
-                if b in live and sid not in live[b]:
-                    del self.affinity[sid]
-            for b, sids in live.items():
-                b.sessions = len(sids)
+            self._reconciling = True
+        if force:
+            self._reconcile_sweep()
+        else:
+            threading.Thread(target=self._reconcile_sweep,
+                             daemon=True).start()
+
+    def _reconcile_sweep(self) -> None:
+        try:
+            with self._lock:
+                backends = [b for b in self.backends if b.healthy()]
+                # sessions created while the sweep's /state probes are in
+                # flight are NOT in the probe results; only entries that
+                # predate the sweep may be reaped, or a freshly-placed
+                # session would be orphaned at the router
+                pre = set(self.affinity)
+            live: Dict[Backend, set] = {}
+            for b in backends:
+                try:
+                    _, data = self.request(b, "GET", "/state", timeout=10)
+                    live[b] = set(json.loads(data))
+                except Exception:
+                    pass   # unreachable: keep its entries (nothing known)
+            with self._lock:
+                for sid, b in list(self.affinity.items()):
+                    if sid in pre and b in live and sid not in live[b]:
+                        del self.affinity[sid]
+                for b, sids in live.items():
+                    # truth from the backend, plus sessions routed there
+                    # after the snapshot (invisible to the probe)
+                    placed_after = sum(
+                        1 for sid, bb in self.affinity.items()
+                        if bb is b and sid not in pre)
+                    b.sessions = len(sids) + placed_after
+        finally:
+            with self._lock:
+                self._reconciling = False
 
     # ---- plain HTTP to a backend ---------------------------------------
     def request(self, backend: Backend, method: str, path: str,
@@ -142,14 +169,27 @@ class RouterState:
                 timeout: float = REQUEST_TIMEOUT_S):
         """Returns (status, body bytes). Marks the backend down on
         connection-level failure and re-raises."""
+        status, data, _ = self.request_full(backend, method, path, body,
+                                            timeout)
+        return status, data
+
+    def request_full(self, backend: Backend, method: str, path: str,
+                     body: Optional[bytes] = None,
+                     timeout: float = REQUEST_TIMEOUT_S):
+        """Like request() but also returns the response Content-Type, so
+        relays can forward non-JSON bodies (the web client's HTML, vtt/srt
+        transcripts) untouched."""
         req = urllib.request.Request(
             backend.base_url + path, data=body, method=method)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return resp.status, resp.read()
+                return (resp.status, resp.read(),
+                        resp.headers.get("Content-Type",
+                                         "application/json"))
         except urllib.error.HTTPError as e:
             # an HTTP-level error is a healthy backend answering
-            return e.code, e.read()
+            return e.code, e.read(), e.headers.get("Content-Type",
+                                                   "application/json")
         except (urllib.error.URLError, OSError, TimeoutError):
             backend.mark_down()
             raise
@@ -180,12 +220,12 @@ def make_handler(state: RouterState):
         def _relay(self, backend: Backend, method: str,
                    body: Optional[bytes] = None):
             try:
-                status, data = state.request(backend, method, self.path,
-                                             body)
+                status, data, ctype = state.request_full(
+                    backend, method, self.path, body)
             except Exception as e:
                 return self._error(f"backend {backend.base_url}: {e}")
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -321,12 +361,14 @@ def make_handler(state: RouterState):
                     return self._error("no healthy backends")
                 tried.add(b.base_url)
                 try:
-                    status, data = state.request(b, "POST", self.path,
-                                                 body)
+                    status, data, ctype = state.request_full(
+                        b, "POST", self.path, body)
                 except Exception:
                     continue   # marked down; try the next one
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                # forward the backend's content type: ?format=srt|vtt
+                # responses are not JSON
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)

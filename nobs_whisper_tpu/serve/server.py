@@ -303,16 +303,26 @@ def make_handler(state: ServerState):
             opts = json.loads(body) if body else {}
             app = state.config_manager.config
             # decode strategy: per-session override, else the server
-            # config's defaults (strategy selection analog, whisper.rs:88)
-            beam = int(opts.get("beam_size", app.beam_size or 1))
-            # task resolution: explicit per-session value wins (including
-            # an explicit "transcribe", which must override a
-            # translate-configured engine); otherwise a non-default app
-            # task becomes an explicit session task; otherwise None =
-            # inherit the engine's configured strategy
-            task = opts.get("task")
-            if task is None and getattr(app, "task", None) == "translate":
-                task = "translate"
+            # config's defaults (strategy selection analog, whisper.rs:88).
+            # Each strategy field resolves the same way: an explicit
+            # per-session value wins — INCLUDING explicit neutral values
+            # (beam_size=1, task="transcribe"), which must override a
+            # beam/translate-configured engine back to greedy/transcribe;
+            # otherwise a non-default app value becomes the session's
+            # explicit value; otherwise None = inherit the engine's
+            # configured strategy.
+            def strategy(key, app_value, neutral):
+                v = opts.get(key)
+                if v is None and app_value is not None \
+                        and app_value != neutral:
+                    v = app_value
+                return v
+
+            beam = strategy("beam_size", app.beam_size, 1)
+            best = strategy("best_of", app.best_of, 1)
+            temp = strategy("temperature", app.temperature, 0.0)
+            task = strategy("task", getattr(app, "task", None),
+                            "transcribe")
             if task is not None and task not in ("transcribe",
                                                  "translate"):
                 return self._error(
@@ -322,10 +332,9 @@ def make_handler(state: ServerState):
                 vocabulary=opts.get("vocabulary"),
                 sample_rate=int(opts.get("sample_rate", 16000)),
                 max_duration_s=int(opts.get("max_duration_s", 60)),
-                beam_size=beam if beam > 1 else None,
-                best_of=int(opts.get("best_of", app.best_of or 1)),
-                temperature=float(opts.get("temperature",
-                                           app.temperature or 0.0)),
+                beam_size=int(beam) if beam is not None else None,
+                best_of=int(best) if best is not None else None,
+                temperature=float(temp) if temp is not None else None,
                 task=task)
             sid = state.create_session(cfg)
             return self._json({"session": sid})

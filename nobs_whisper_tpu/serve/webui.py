@@ -225,7 +225,13 @@ function pollProgress(id) {         // 500 ms, +page.svelte:106-119 analog
   const bar = () => $(`prog-${id}`);
   const tick = async () => {
     if (!downloading.has(id)) return;
-    const p = await j(`/models/${id}/progress`);
+    let p;
+    try {
+      p = await j(`/models/${id}/progress`);
+    } catch (e) {                   // transient fetch failure: keep
+      setTimeout(tick, 1000);       // polling, never strand the button
+      return;
+    }
     if (bar()) {
       bar().hidden = false;
       bar().value = p.progress == null ? 100 : p.progress;

@@ -257,3 +257,85 @@ def test_mixed_frames_and_mel_batch(engine):
                                                      abs=2e-3)
     finally:
         batcher.close()
+
+
+def test_beam_finalizer_pads_subsets(engine, monkeypatch):
+    """A temperature-ladder retry splits a beam batch into zero/hot
+    subsets; both sub-dispatches must be padded to the bounded
+    {1,2,4,8,...} schedule (review finding: unpadded subsets compile a
+    fresh program per novel size over the minutes-slow remote
+    compiler)."""
+    import nobs_whisper_tpu.decode.beam as beam_mod
+    import nobs_whisper_tpu.pipeline.batcher as batcher_mod
+
+    cfg = engine.cfg
+    opts = DecodeOptions(beam_size=2)
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer, opts,
+                            max_batch=8, max_wait_ms=40)
+    beam_sizes, greedy_sizes = [], []
+    orig_beam = beam_mod.beam_decode_window
+    orig_greedy = batcher_mod.decode_window
+
+    def spy_beam(params, xa, prompts, *a, **kw):
+        beam_sizes.append(len(prompts))
+        return orig_beam(params, xa, prompts, *a, **kw)
+
+    def spy_greedy(params, xa, prompts, *a, **kw):
+        greedy_sizes.append(len(prompts))
+        return orig_greedy(params, xa, prompts, *a, **kw)
+
+    monkeypatch.setattr(beam_mod, "beam_decode_window", spy_beam)
+    monkeypatch.setattr(batcher_mod, "decode_window", spy_greedy)
+    try:
+        rng = np.random.RandomState(3)
+        mels = [rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+                for _ in range(5)]
+        prompt = engine.tokenizer.sot_sequence(language="en")
+        # 3 zero-temp rows + 2 hot rows in one batch: subsets 3 and 2
+        futures = [batcher.submit(m, prompt,
+                                  temperature=0.0 if i < 3 else 0.4)
+                   for i, m in enumerate(mels)]
+        for f in futures:
+            f.result(timeout=180)
+    finally:
+        batcher.close()
+    assert beam_sizes and all(s in (1, 2, 4, 8) for s in beam_sizes), \
+        beam_sizes
+    assert greedy_sizes and all(s in (1, 2, 4, 8) for s in greedy_sizes), \
+        greedy_sizes
+
+
+def test_fixed_language_beam_batch_skips_detect(engine, monkeypatch):
+    """A beam batch whose rows all pin a language must not run the
+    language-detect decoder forward (review finding: use_beam routed
+    every framed batch through frames_encode_detect)."""
+    from nobs_whisper_tpu.audio.mel import frame_window_np
+    import nobs_whisper_tpu.decode.greedy as g
+
+    cfg = engine.cfg
+    opts = DecodeOptions(beam_size=2)
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer, opts,
+                            max_batch=4, max_wait_ms=20)
+    called = {"detect": 0, "encode_only": 0}
+    orig_detect = g.frames_encode_detect_dispatch
+    orig_enc = g.frames_encode_dispatch
+
+    def spy_detect(*a, **kw):
+        called["detect"] += 1
+        return orig_detect(*a, **kw)
+
+    def spy_enc(*a, **kw):
+        called["encode_only"] += 1
+        return orig_enc(*a, **kw)
+
+    monkeypatch.setattr(g, "frames_encode_detect_dispatch", spy_detect)
+    monkeypatch.setattr(g, "frames_encode_dispatch", spy_enc)
+    try:
+        rng = np.random.RandomState(5)
+        audio = (rng.randn(16000) * 0.2).astype(np.float32)
+        frames = frame_window_np(audio, n_frames=2 * cfg.n_audio_ctx)
+        prompt = engine.tokenizer.sot_sequence(language="en")
+        batcher.submit(None, prompt, frames=frames).result(timeout=120)
+    finally:
+        batcher.close()
+    assert called["encode_only"] == 1 and called["detect"] == 0, called

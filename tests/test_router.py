@@ -128,3 +128,58 @@ def test_failover_and_recovery(cluster):
     h = _get(base, "/health")
     assert "error" in h["backends"][backends[0]]
     assert h["backends"][backends[1]]["ok"]
+
+
+def test_relay_preserves_content_type(cluster):
+    """The router must forward the backend's Content-Type: the web
+    client at GET / is text/html, and subtitle output from
+    /transcribe?format=srt is application/x-subrip (review finding: the
+    relay hard-coded application/json)."""
+    base, _, _, _ = cluster
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert "text/html" in r.headers.get("Content-Type", "")
+        assert b"<html" in r.read()[:200].lower()
+    audio = (np.random.RandomState(31).randn(16000) * 0.2).astype(
+        np.float32)
+    req = urllib.request.Request(
+        base + "/transcribe?language=en&format=srt",
+        data=audio.tobytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert "x-subrip" in r.headers.get("Content-Type", "")
+
+
+def test_reconcile_keeps_sessions_created_during_sweep(cluster):
+    """Sessions placed while the reconcile's /state probes are in flight
+    must survive the sweep (review finding: the sweep reaped any
+    affinity entry missing from its pre-create snapshot)."""
+    base, router, _, _ = cluster
+    state = router.state
+
+    # place a session, then simulate the race: run a sweep whose /state
+    # probes happened BEFORE the session existed by injecting the
+    # pre-snapshot ordering — create the session between the snapshot
+    # and the reap by hooking request()
+    sid = _post(base, "/sessions", json.dumps(
+        {"language": "en", "sample_rate": 16000}).encode())["session"]
+    orig_request = state.request
+    created = {}
+
+    def racing_request(backend, method, path, body=None, timeout=None):
+        status, data = orig_request(backend, method, path, body)
+        if method == "GET" and path == "/state" and not created:
+            # a new session lands mid-sweep, after this backend's probe
+            created["sid"] = _post(base, "/sessions", json.dumps(
+                {"language": "en", "sample_rate": 16000}).encode())[
+                    "session"]
+        return status, data
+
+    state.request = racing_request
+    try:
+        state.maybe_reconcile(force=True)
+    finally:
+        state.request = orig_request
+    # both sessions still routable through the router
+    for s in (sid, created["sid"]):
+        out = _post(base, f"/sessions/{s}/start")
+        assert "started" in out
+        _post(base, f"/sessions/{s}/cancel")

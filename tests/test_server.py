@@ -339,6 +339,44 @@ def test_task_override_and_validation(server):
         _post(base, "/config", json.dumps(cfg).encode())
 
 
+def test_session_beam_opt_out(server):
+    """An explicit beam_size=1 in a session must force greedy even when
+    the server config defaults to beam (review finding: explicit 1 was
+    collapsed to 'inherit'); omitting beam_size inherits the config."""
+    base, httpd = server
+    audio = (np.random.RandomState(29).randn(16000) * 0.2).astype(np.float32)
+    cfg = _get(base, "/config")
+    eng = httpd.state.engine
+    orig = eng.transcribe
+    seen = []
+
+    def spy(a, **kw):
+        seen.append(kw.get("opts"))
+        return orig(a, **kw)
+
+    eng.transcribe = spy
+    try:
+        cfg["beam_size"] = 3
+        _post(base, "/config", json.dumps(cfg).encode())
+
+        def run_session(body):
+            sid = _post(base, "/sessions", json.dumps(body).encode())[
+                "session"]
+            _post(base, f"/sessions/{sid}/start")
+            _post(base, f"/sessions/{sid}/audio", audio.tobytes())
+            _post(base, f"/sessions/{sid}/stop")
+
+        run_session({"language": "en", "sample_rate": 16000})
+        assert seen[-1] is not None and seen[-1].beam_size == 3
+        run_session({"language": "en", "sample_rate": 16000,
+                     "beam_size": 1})
+        assert seen[-1] is not None and seen[-1].beam_size is None
+    finally:
+        eng.transcribe = orig
+        cfg["beam_size"] = 1
+        _post(base, "/config", json.dumps(cfg).encode())
+
+
 def test_opts_language_not_clobbered_by_default_kwarg(server):
     """Like task, a language pinned inside DecodeOptions survives an
     omitted language kwarg; an explicit "auto" still forces detection."""
