@@ -142,6 +142,17 @@ def cmd_serve(args):
             task=str(getattr(app, "task", None) or "transcribe"))
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
                                mesh=mesh)
+        if args.warmup:
+            import time as _time
+            t0 = _time.perf_counter()
+            print("warming serving programs (every padded batch size)…",
+                  file=sys.stderr)
+            sizes = engine.warmup()
+            print(f"warmup done: sizes {sizes} in "
+                  f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    elif args.warmup:
+        print("--warmup applies to batched serving (--batch > 1); "
+              "ignoring", file=sys.stderr)
     serve(engine, host=args.host, port=args.port, config_manager=cm)
 
 
@@ -231,6 +242,12 @@ def main(argv=None):
     s.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="shard serving over a device mesh, e.g. 4x2 "
                         "(window batch over dp, heads/FFN over tp)")
+    s.add_argument("--warmup", action="store_true",
+                   help="pre-compile the serving programs for every "
+                        "padded batch size before accepting traffic "
+                        "(first-ever run: minutes of remote compile up "
+                        "front; warm persistent cache: seconds — no "
+                        "live request then ever pays a compile)")
     s.set_defaults(fn=cmd_serve)
 
     r = sub.add_parser("route", help="multi-host fan-out front-end over "

@@ -56,6 +56,11 @@ class BatchedEngine:
     def close(self):
         self.batcher.close()
 
+    def warmup(self, **kw):
+        """Pre-compile the serving programs for every padded batch size
+        (see WindowBatcher.warmup)."""
+        return self.batcher.warmup(**kw)
+
     def transcribe(self, audio: np.ndarray, language: Optional[str] = None,
                    vocabulary: Optional[str] = None,
                    context: Optional[str] = None,

@@ -76,6 +76,7 @@ class WindowBatcher:
                     f"({mesh.shape['dp']})")
         self.params = params
         self.cfg = cfg
+        self.tokenizer = tokenizer
         self.opts = opts or DecodeOptions()
         self.tables: RuleTables = build_rule_tables(cfg, self.opts, tokenizer)
         self.max_batch = max_batch
@@ -125,6 +126,69 @@ class WindowBatcher:
             frames=(None if frames is None
                     else np.asarray(frames, np.float32))))
         return fut
+
+    def warmup(self, auto_language: bool = True,
+               timeout_s: float = 3600.0) -> List[int]:
+        """Pre-compile the serving programs for every padded batch size
+        the batcher can dispatch ({1,2,4,...,max_batch}, dp-rounded
+        under a mesh) by pushing synthetic silent windows through the
+        PRODUCTION submit path. Without this, the first live request of
+        each size pays the remote compile (minutes fresh on this box's
+        tunnel; seconds when the persistent jax cache is warm) inside
+        its own latency budget. ``auto_language`` additionally warms the
+        frames->encode->detect program (the production default path).
+        Returns the list of warmed batch sizes."""
+        if self.tokenizer is None:
+            raise ValueError("warmup needs the batcher's tokenizer")
+        cfg = self.cfg
+        from ..audio.mel import frame_window_np
+        wf = 2 * cfg.n_audio_ctx
+        frames = frame_window_np(
+            np.zeros(wf * 160, np.float32), n_frames=wf)
+        sizes, k = [], 1
+        while k < self.max_batch:
+            sizes.append(k)
+            k *= 2
+        sizes.append(self.max_batch)
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            sizes = sorted({max(s, dp) + (-max(s, dp)) % dp
+                            for s in sizes})
+        sizes = sorted(set(sizes))
+        lang = "en" if cfg.multilingual else None
+        variants = [(self.tokenizer.sot_sequence(language=lang,
+                                                 task=self.opts.task),
+                     None)]
+        if auto_language and cfg.multilingual:
+            p = self.tokenizer.sot_sequence(language="en",
+                                            task=self.opts.task)
+            variants.append((p, 1))       # lang token sits after <|sot|>
+
+        def padded(n):
+            m = _pad_batch_size(n, self.max_batch)
+            if self.mesh is not None:
+                dp = self.mesh.shape["dp"]
+                m = max(m, dp)
+                m += (-m) % dp
+            return m
+
+        # the collector can wake mid-submission and split a group into
+        # two smaller (still on-schedule) batches — track the padded
+        # sizes actually dispatched and retry missing ones once
+        for attempt in range(2):
+            todo = sizes if attempt == 0 else [
+                s for s in sizes
+                if s not in {padded(n) for n in self.batch_sizes}]
+            if not todo:
+                break
+            for n in todo:
+                for prompt, lang_slot in variants:
+                    futs = [self.submit(None, prompt, lang_slot=lang_slot,
+                                        frames=frames) for _ in range(n)]
+                    for f in futs:
+                        f.result(timeout=timeout_s)
+        log.info("batcher warmup compiled sizes %s", sizes)
+        return sizes
 
     def close(self):
         self._running = False

@@ -339,3 +339,27 @@ def test_fixed_language_beam_batch_skips_detect(engine, monkeypatch):
     finally:
         batcher.close()
     assert called["encode_only"] == 1 and called["detect"] == 0, called
+
+
+def test_warmup_compiles_schedule_sizes(engine):
+    """warmup() dispatches synthetic windows at every padded batch size
+    through the production path, so no live request pays a first-size
+    compile; only on-schedule sizes are ever dispatched."""
+    cfg = engine.cfg
+    opts = DecodeOptions()
+    batcher = WindowBatcher(engine.params, cfg, engine.tokenizer, opts,
+                            max_batch=4, max_wait_ms=20)
+    try:
+        sizes = batcher.warmup(timeout_s=300)
+        assert sizes == [1, 2, 4]
+        padded = {_pad_batch_size(n, 4) for n in batcher.batch_sizes}
+        assert padded <= {1, 2, 4}
+        assert set(sizes) <= padded          # every size really dispatched
+        # the batcher still serves real traffic afterwards
+        rng = np.random.RandomState(9)
+        mel = rng.randn(cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+        prompt = engine.tokenizer.sot_sequence(language="en")
+        res = batcher.submit(mel, prompt).result(timeout=120)
+        assert isinstance(res.tokens, list)
+    finally:
+        batcher.close()
