@@ -471,6 +471,8 @@ def decoder_forward(
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
     cfg: WhisperConfig,
     compute_dtype: jnp.dtype = jnp.float32,
+    pos_base: Optional[jnp.ndarray] = None,    # (B,) int32
+    slot_mask: Optional[jnp.ndarray] = None,   # (B, T_cache) bool
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One decoder pass over S tokens (S=1 for the sampling hot loop,
     S=prompt length for prefill). Returns fp32 logits (B, S, V) and the
@@ -482,10 +484,21 @@ def decoder_forward(
     not a scatter), position embeddings are indexed by the element's own
     sequence position (cache index - pad), and self-attention masks out
     the pad region.
+
+    Speculative decoding (decode/speculative.py) keeps the uniform-slice
+    cache writes but leaves REJECTED draft slots as garbage in place of
+    rewinding (a rewind would need per-row write positions — the scatter
+    this layout exists to avoid). Two optional hooks support that:
+    ``pos_base`` overrides the position-embedding base per row (cache
+    index minus pad no longer equals sequence position once garbage
+    slots create holes), and ``slot_mask`` additionally masks cache
+    slots per row (False = a rejected slot nothing may attend to). Both
+    default to None = exactly the non-speculative behavior.
     """
     with _precision_scope(compute_dtype):
         return _decoder_forward(params, tokens, cache_start, pad_lens,
-                                kv_cache, cross_kv, cfg, compute_dtype)
+                                kv_cache, cross_kv, cfg, compute_dtype,
+                                pos_base, slot_mask)
 
 
 def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
@@ -522,7 +535,8 @@ def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
 
 
 def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
-                     cross_kv, cfg, compute_dtype):
+                     cross_kv, cfg, compute_dtype,
+                     pos_base=None, slot_mask=None):
     dec = params["decoder"]
     n_head = cfg.n_text_head
     b, s = tokens.shape
@@ -532,9 +546,16 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
 
     tok_emb = dec["tok_emb"]
     cache_idx = cache_start + jnp.arange(s)                     # (S,)
-    # position embedding index = element's own sequence position
-    pos_idx = jnp.clip(cache_idx[None, :] - pad_lens[:, None], 0,
-                       cfg.n_text_ctx - 1)                      # (B, S)
+    if pos_base is None:
+        # position embedding index = element's own sequence position
+        pos_idx = jnp.clip(cache_idx[None, :] - pad_lens[:, None], 0,
+                           cfg.n_text_ctx - 1)                  # (B, S)
+    else:
+        # speculative path: garbage slots break the cache-index ==
+        # pad + sequence-position identity; the caller tracks the true
+        # per-row sequence position of the block's first token
+        pos_idx = jnp.clip(pos_base[:, None] + jnp.arange(s)[None, :], 0,
+                           cfg.n_text_ctx - 1)                  # (B, S)
     x = (tok_emb[tokens] + dec["pos"][pos_idx]).astype(compute_dtype)
 
     # self-attn mask: query at cache index i attends keys j with
@@ -543,6 +564,10 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
     q_idx = cache_idx[None, :, None]                            # (1,S,1)
     self_mask = ((key_idx <= q_idx) &
                  (key_idx >= pad_lens[:, None, None]))[:, None]  # (B,1,S,T)
+    if slot_mask is not None:
+        # speculative path: rejected draft slots hold garbage KVs and
+        # are masked out of every future read
+        self_mask = self_mask & slot_mask[:, None, None, :]
 
     ck, cv = kv_cache
     xk, xv = cross_kv

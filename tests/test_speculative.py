@@ -1,0 +1,110 @@
+"""Speculative greedy decoding: token-EXACT with the sequential loop.
+
+Greedy speculation must emit the identical token sequence regardless of
+draft quality — a perfect draft (same weights, no pooling) only changes
+the pass count, an adversarial draft (different random weights) only
+costs speed. Both regimes are pinned here, plus the pooled self-draft
+(the production mode) and ragged prompts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nobs_whisper_tpu.decode.greedy import decode_window
+from nobs_whisper_tpu.decode.rules import DecodeOptions, build_rule_tables
+from nobs_whisper_tpu.decode.speculative import decode_window_speculative
+from nobs_whisper_tpu.models.whisper import encode
+from nobs_whisper_tpu.utils.testing import (tiny_test_config,
+                                            write_tiny_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from nobs_whisper_tpu.api import WhisperEngine
+    d = tmp_path_factory.mktemp("m")
+    path = str(d / "target.bin")
+    write_tiny_checkpoint(path, seed=0)
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    # adversarial draft: same architecture, DIFFERENT random weights
+    path2 = str(d / "draft.bin")
+    write_tiny_checkpoint(path2, seed=42)
+    draft = WhisperEngine.from_ggml(path2, dtype=jnp.float32)
+
+    cfg = eng.cfg
+    opts = DecodeOptions()
+    tables = build_rule_tables(cfg, opts, eng.tokenizer)
+    rng = np.random.RandomState(0)
+    mels = rng.randn(3, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    xa = encode(eng.params, jnp.asarray(mels), cfg)
+    prompts = [list(eng.tokenizer.sot_sequence(language="en"))] * 3
+    seq = decode_window(eng.params, xa, prompts, cfg, tables, opts)
+    return eng, draft, cfg, tables, xa, prompts, seq
+
+
+def _assert_exact(seq, spec):
+    for a, b in zip(seq, spec):
+        assert a.tokens == b.tokens
+        assert a.sum_logprob == pytest.approx(b.sum_logprob, abs=2e-2)
+        assert a.no_speech_prob == pytest.approx(b.no_speech_prob,
+                                                 abs=1e-5)
+
+
+def test_perfect_draft_exact_and_fast(setup):
+    """Draft == target with no pooling: every draft accepted, so the
+    pass count collapses to ~len/(k+1) — and tokens stay exact."""
+    eng, _, cfg, tables, xa, prompts, seq = setup
+    spec, passes = decode_window_speculative(
+        eng.params, xa, prompts, cfg, tables, k_draft=3, draft_pool=1,
+        return_passes=True)
+    _assert_exact(seq, spec)
+    longest = max(len(r.tokens) for r in seq) + 1   # + the final eot
+    assert passes <= -(-longest // 4) + 1, (passes, longest)
+
+
+def test_adversarial_draft_exact(setup):
+    """A draft with unrelated random weights mostly mismatches — output
+    must STILL be token-exact (speculation never changes results)."""
+    eng, draft, cfg, tables, xa, prompts, seq = setup
+    spec, passes = decode_window_speculative(
+        eng.params, xa, prompts, cfg, tables, k_draft=3, draft_pool=1,
+        draft_params=draft.params, draft_cfg=draft.cfg,
+        return_passes=True)
+    _assert_exact(seq, spec)
+    # sanity: it really was adversarial (more passes than the perfect
+    # draft would need), otherwise this test proves nothing
+    longest = max(len(r.tokens) for r in seq) + 1
+    assert passes > -(-longest // 4) + 1, (passes, longest)
+
+
+def test_pooled_self_draft_exact(setup):
+    """The production mode: the target drafts for itself over 4x
+    time-pooled cross-KV. Exactness is unconditional."""
+    eng, _, cfg, tables, xa, prompts, seq = setup
+    spec = decode_window_speculative(
+        eng.params, xa, prompts, cfg, tables, k_draft=3, draft_pool=4)
+    _assert_exact(seq, spec)
+
+
+def test_ragged_prompts_exact(setup):
+    """Ragged batch: rows with different prompt lengths (vocabulary
+    context on one row) stay exact through the left-pad machinery."""
+    eng, _, cfg, tables, xa, prompts, _ = setup
+    ragged = [list(p) for p in prompts]
+    ctx = eng.tokenizer.encode(" hello world")
+    ragged[1] = [cfg.sot_prev] + ctx + ragged[1]
+    opts = DecodeOptions()
+    seq = decode_window(eng.params, xa, ragged, cfg, tables, opts)
+    spec = decode_window_speculative(
+        eng.params, xa, ragged, cfg, tables, k_draft=2, draft_pool=2)
+    _assert_exact(seq, spec)
+
+
+def test_k1_and_k4_exact(setup):
+    """Edge draft depths: k=1 (minimal) and k=4 (deep) both exact."""
+    eng, _, cfg, tables, xa, prompts, seq = setup
+    for k in (1, 4):
+        spec = decode_window_speculative(
+            eng.params, xa, prompts, cfg, tables, k_draft=k, draft_pool=2)
+        _assert_exact(seq, spec)
