@@ -61,6 +61,13 @@ def main():
     p.add_argument("--raw-loop", action="store_true",
                    help="time the bare argmax fori_loop instead of the "
                         "real serving loop (kernel-ceiling diagnostic)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="decode via exact speculative greedy with K "
+                        "self-drafted tokens per pass over pooled "
+                        "cross-KV (decode/speculative.py); 0 = off")
+    p.add_argument("--draft-pool", type=int, default=4,
+                   help="cross-KV time-pooling factor for the "
+                        "self-draft (--speculative)")
     args = p.parse_args()
     if args.xattn_kernel:
         os.environ["NWT_XATTN_KERNEL"] = "1"
@@ -182,6 +189,27 @@ def main():
     def p_real(params, a):
         return p_real_jit(params, a, pt, pl, si, tables, temps, rng)
 
+    if args.speculative:
+        from nobs_whisper_tpu.decode.speculative import \
+            decode_window_speculative_jit
+
+        @jax.jit
+        def p_spec_jit(params, a, pt, pl, si, tables):
+            mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+            xa = encode(params, mel, cfg, compute_dtype=dtype)
+            toks, n, slp, nsp, passes = decode_window_speculative_jit(
+                params, params, xa, pt, pl, si, tables, cfg, cfg,
+                n_steps, args.speculative, args.draft_pool, dtype,
+                kt_xattn_default(dtype))
+            return slp, passes
+
+        spec_passes = [None]
+
+        def p_real(params, a):                       # noqa: F811
+            slp, passes = p_spec_jit(params, a, pt, pl, si, tables)
+            spec_passes[0] = passes
+            return slp
+
     audio_j = jax.device_put(audio)
 
     def timed(fn, *a):
@@ -242,6 +270,13 @@ def main():
     audio_seconds = b * 30.0
     rtf = audio_seconds / t_full
     loop = "raw_argmax_loop" if args.raw_loop else "serving_loop"
+    if args.speculative and spec_passes[0] is not None:
+        passes = int(np.asarray(spec_passes[0]))
+        print(f"# speculative k={args.speculative} pool={args.draft_pool}: "
+              f"{passes} passes for {n_steps} tokens/window "
+              f"({n_steps / max(passes, 1):.2f} emitted/pass)",
+              file=sys.stderr)
+        loop = f"speculative_k{args.speculative}_pool{args.draft_pool}"
     print(f"# stages (median s): mel={t_mel:.4f} "
           f"encode={max(t_enc - t_mel, 0):.4f} "
           f"decode={max(t_full - t_enc, 0):.4f} total={t_full:.4f} "
