@@ -141,7 +141,7 @@ def cmd_serve(args):
             temperature=float(app.temperature),
             task=str(getattr(app, "task", None) or "transcribe"))
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
-                               mesh=mesh)
+                               mesh=mesh, speculative=args.speculative)
         if args.warmup:
             import time as _time
             t0 = _time.perf_counter()
@@ -242,6 +242,10 @@ def main(argv=None):
     s.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="shard serving over a device mesh, e.g. 4x2 "
                         "(window batch over dp, heads/FFN over tp)")
+    s.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="exact speculative greedy decode with K "
+                        "self-drafted tokens/pass over 4x pooled "
+                        "cross-KV (token-identical output; 0 = off)")
     s.add_argument("--warmup", action="store_true",
                    help="pre-compile the serving programs for every "
                         "padded batch size before accepting traffic "

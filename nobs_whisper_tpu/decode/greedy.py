@@ -309,6 +309,10 @@ def decode_window_dispatch(
     mel: Optional[jnp.ndarray] = None,   # fuse encode into the dispatch
     frames: Optional[jnp.ndarray] = None,  # fuse mel+encode (framed audio)
     mesh=None,                   # dp-only mesh -> shard_map serving path
+    speculative: int = 0,        # k>0: exact speculative greedy
+                                 # (decode/speculative.py) when the whole
+                                 # batch is greedy; pool = draft_pool
+    draft_pool: int = 4,
 ):
     """Pad prompts and LAUNCH the jitted window decode; returns an opaque
     handle of in-flight device arrays for :func:`decode_window_finalize`.
@@ -337,6 +341,24 @@ def decode_window_dispatch(
                   or bool(os.environ.get("NWT_XATTN_BF16"))
                   or kt_xattn_default(compute_dtype))
     from ..parallel.spmd import spmd_serving_enabled
+    if (speculative > 0 and not np.any(temps > 0)
+            and not spmd_serving_enabled(mesh) and mel is None):
+        # exact speculative greedy (opt-in; token-identical to the
+        # sequential loop — test_speculative.py). Greedy batches only:
+        # ladder retries (t>0) fall through to the sampling programs.
+        from .speculative import (decode_window_speculative_jit,
+                                  frames_encode_decode_speculative_jit)
+        common = (jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
+                  jnp.asarray(sot_idx), tables, cfg, cfg, sample_len,
+                  speculative, draft_pool, compute_dtype, xattn_bf16)
+        if frames is not None:
+            tokens, n_sampled, sum_lp, nsp, _ = \
+                frames_encode_decode_speculative_jit(
+                    params, params, frames, *common)
+        else:
+            tokens, n_sampled, sum_lp, nsp, _ = \
+                decode_window_speculative_jit(params, params, xa, *common)
+        return (tokens, n_sampled, sum_lp, nsp, temps)
     if spmd_serving_enabled(mesh):
         from ..parallel.spmd import (default_kernel_mode,
                                      window_decode_spmd_jit)

@@ -318,6 +318,32 @@ decode_window_speculative_jit = functools.partial(
 )(decode_window_speculative_impl)
 
 
+def frames_encode_decode_speculative_impl(
+    params, draft_params, frames, prompt_tokens, pad_lens, sot_idx,
+    tables, cfg: WhisperConfig, draft_cfg: WhisperConfig,
+    sample_len: int, k_draft: int, draft_pool: int,
+    compute_dtype=jnp.float32, xattn_bf16: bool = False,
+):
+    """Serving fast path twin of frames_encode_decode_window_impl:
+    STFT frames -> mel -> encode -> SPECULATIVE decode, one device
+    program (one tunnel dispatch per batch)."""
+    from ..audio.mel import log_mel_from_frames
+    from ..models.whisper import encode
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
+    return decode_window_speculative_impl(
+        params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
+        tables, cfg, draft_cfg, sample_len, k_draft, draft_pool,
+        compute_dtype, xattn_bf16)
+
+
+frames_encode_decode_speculative_jit = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "draft_cfg", "sample_len", "k_draft",
+                     "draft_pool", "compute_dtype", "xattn_bf16"),
+)(frames_encode_decode_speculative_impl)
+
+
 def decode_window_speculative(
     params,
     xa: jnp.ndarray,

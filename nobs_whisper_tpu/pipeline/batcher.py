@@ -59,7 +59,8 @@ class WindowBatcher:
                  opts: Optional[DecodeOptions] = None, max_batch: int = 8,
                  max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
                  encode_fn=None, mesh=None,
-                 batch_deadline_s: Optional[float] = None):
+                 batch_deadline_s: Optional[float] = None,
+                 speculative: int = 0, draft_pool: int = 4):
         """``mesh``: a (dp, tp) jax.sharding.Mesh. When given, params are
         placed with tensor-parallel shardings and every window batch is
         sharded over dp — the SURVEY §2.3 "window batch over a mesh"
@@ -77,6 +78,13 @@ class WindowBatcher:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # exact speculative greedy decode (decode/speculative.py) for
+        # all-greedy batches; 0 = off. NWT_SPECULATIVE=K overrides.
+        import os as _os
+        self.speculative = int(
+            _os.environ.get("NWT_SPECULATIVE", speculative) or 0)
+        self.draft_pool = int(
+            _os.environ.get("NWT_DRAFT_POOL", draft_pool) or 4)
         self.opts = opts or DecodeOptions()
         self.tables: RuleTables = build_rule_tables(cfg, self.opts, tokenizer)
         self.max_batch = max_batch
@@ -417,7 +425,9 @@ class WindowBatcher:
             handle = decode_window_dispatch(
                 self.params, xa, prompts, self.cfg, self.tables, self.opts,
                 temperature=np.asarray(temps, np.float32),
-                compute_dtype=self.compute_dtype, mesh=self.mesh)
+                compute_dtype=self.compute_dtype, mesh=self.mesh,
+                speculative=self.speculative,
+                draft_pool=self.draft_pool)
         else:
             # fixed-language fast path: (frames ->) mel -> encode ->
             # decode as ONE device program per batch
@@ -426,7 +436,9 @@ class WindowBatcher:
                 self.opts, temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype,
                 mel=None if all_frames else stacked,
-                frames=stacked if all_frames else None, mesh=self.mesh)
+                frames=stacked if all_frames else None, mesh=self.mesh,
+                speculative=self.speculative,
+                draft_pool=self.draft_pool)
             if on_dispatched is not None:
                 on_dispatched()
 

@@ -108,3 +108,40 @@ def test_k1_and_k4_exact(setup):
         spec = decode_window_speculative(
             eng.params, xa, prompts, cfg, tables, k_draft=k, draft_pool=2)
         _assert_exact(seq, spec)
+
+
+def test_batcher_speculative_matches_plain(setup, tmp_path):
+    """A WindowBatcher with speculative=k produces byte-identical
+    results to the plain batcher through the serving fast path (framed
+    submit), including the auto-language route (which decodes from xa)."""
+    from nobs_whisper_tpu.audio.mel import frame_window_np
+    from nobs_whisper_tpu.pipeline.batcher import WindowBatcher
+
+    eng, _, cfg, tables, _, _, _ = setup
+    opts = DecodeOptions()
+    rng = np.random.RandomState(7)
+    audios = [(rng.randn(16000) * 0.2).astype(np.float32)
+              for _ in range(3)]
+    frames = [frame_window_np(a, n_frames=2 * cfg.n_audio_ctx)
+              for a in audios]
+    prompt = eng.tokenizer.sot_sequence(language="en")
+
+    def run(**kw):
+        b = WindowBatcher(eng.params, cfg, eng.tokenizer, opts,
+                          max_batch=4, max_wait_ms=20, **kw)
+        try:
+            plain = [b.submit(None, prompt, frames=f).result(timeout=300)
+                     for f in frames]
+            # auto-language row: decodes from explicit xa (the spec
+            # xa-kind path)
+            auto = b.submit(None, list(prompt), frames=frames[0],
+                            lang_slot=1).result(timeout=300)
+            return plain, auto
+        finally:
+            b.close()
+
+    base, base_auto = run()
+    spec, spec_auto = run(speculative=2, draft_pool=2)
+    for r0, r1 in zip(base + [base_auto], spec + [spec_auto]):
+        assert r0.tokens == r1.tokens
+        assert r0.sum_logprob == pytest.approx(r1.sum_logprob, abs=2e-2)
