@@ -371,7 +371,8 @@ def decode_window_dispatch(
             jnp.asarray(temps), rng, mesh, cfg, sample_len, compute_dtype,
             q8_kv=opts.q8_cross_kv, xattn_bf16=xattn_bf16,
             sampling=bool(np.any(temps > 0)), kind=kind,
-            kernels=default_kernel_mode())
+            kernels=default_kernel_mode(),
+            speculative=speculative, draft_pool=draft_pool)
     elif frames is not None:
         tokens, n_sampled, sum_lp, nsp = frames_encode_decode_window_jit(
             params, frames, jnp.asarray(prompt_tokens),

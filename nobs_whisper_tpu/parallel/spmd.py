@@ -62,12 +62,14 @@ def _replicated(tree):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "sample_len", "compute_dtype", "q8_kv",
-                     "xattn_bf16", "sampling", "kind", "kernels"))
+                     "xattn_bf16", "sampling", "kind", "kernels",
+                     "speculative", "draft_pool"))
 def window_decode_spmd_jit(
     params, data, prompt_tokens, pad_lens, sot_idx, tables, temperature,
     rng, mesh: Mesh, cfg, sample_len: int, compute_dtype=jnp.float32,
     q8_kv: bool = False, xattn_bf16: bool = False, sampling: bool = True,
     kind: str = "frames", kernels: Optional[str] = None,
+    speculative: int = 0, draft_pool: int = 4,
 ):
     """One dp-sharded window-decode program (same contract as the
     decode/greedy.py window jits).
@@ -77,17 +79,27 @@ def window_decode_spmd_jit(
     decode), "xa" (decode only, encoder states precomputed). ``data`` is
     the corresponding batch-leading array. ``kernels`` is the
     kernel-override mode for the shard body (default_kernel_mode()).
+    ``speculative`` k>0 runs the exact speculative greedy program per
+    shard (greedy batches only — callers gate on sampling=False).
     Returns (tokens, n_sampled, sum_logprob, no_speech_prob), all
     dp-sharded on the batch axis.
     """
     from ..decode import greedy as g
     from ..models.whisper import kernel_override
 
-    impl = {
-        "frames": g.frames_encode_decode_window_impl,
-        "mel": g.encode_decode_window_impl,
-        "xa": g.decode_window_impl,
-    }[kind]
+    use_spec = speculative > 0 and not sampling and kind != "mel"
+    if use_spec:
+        from ..decode import speculative as sp
+        spec_impl = {
+            "frames": sp.frames_encode_decode_speculative_impl,
+            "xa": sp.decode_window_speculative_impl,
+        }[kind]
+    else:
+        impl = {
+            "frames": g.frames_encode_decode_window_impl,
+            "mel": g.encode_decode_window_impl,
+            "xa": g.decode_window_impl,
+        }[kind]
 
     def body(params, data, prompt_tokens, pad_lens, sot_idx, tables,
              temperature, rng):
@@ -97,6 +109,12 @@ def window_decode_spmd_jit(
             # same in-shard index would draw identical categorical samples
             rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         with kernel_override(kernels):
+            if use_spec:
+                tokens, n_sampled, sum_lp, nsp, _ = spec_impl(
+                    params, params, data, prompt_tokens, pad_lens,
+                    sot_idx, tables, cfg, cfg, sample_len, speculative,
+                    draft_pool, compute_dtype, xattn_bf16)
+                return tokens, n_sampled, sum_lp, nsp
             return impl(params, data, prompt_tokens, pad_lens, sot_idx,
                         tables, temperature, rng, cfg, sample_len,
                         compute_dtype, q8_kv, xattn_bf16, sampling)

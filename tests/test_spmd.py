@@ -288,3 +288,29 @@ def test_spmd_sampling_decorrelated_across_shards():
     got = decode_window_finalize(handle)
     token_rows = {tuple(r.tokens) for r in got}
     assert len(token_rows) > 1, "shards drew identical sample streams"
+
+
+def test_spmd_speculative_decode_matches_single_device():
+    """kind='xa' with speculative=k under a dp-only mesh: each shard
+    runs the exact speculative greedy program; tokens must equal the
+    single-device sequential decode."""
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mel = np.random.RandomState(3).randn(8, 80, 64).astype(np.float32)
+    opts = DecodeOptions()
+    tables = build_rule_tables(cfg, opts)
+    prompts = [[cfg.sot, cfg.lang_base + (i % 4), cfg.transcribe]
+               for i in range(8)]
+
+    xa = encode(params, jnp.asarray(mel), cfg)
+    expected = decode_window(params, xa, prompts, cfg, tables, opts)
+
+    mesh = make_mesh(dp=8, tp=1)
+    handle = decode_window_dispatch(params, xa, prompts, cfg, tables,
+                                    opts, mesh=mesh, speculative=2,
+                                    draft_pool=2)
+    got = decode_window_finalize(handle)
+    for e, g in zip(expected, got):
+        assert g.tokens == e.tokens
+        assert g.sum_logprob == pytest.approx(e.sum_logprob, rel=1e-3,
+                                              abs=2e-2)
