@@ -200,7 +200,7 @@ def main():
             toks, n, slp, nsp, passes = decode_window_speculative_jit(
                 params, params, xa, pt, pl, si, tables, cfg, cfg,
                 n_steps, args.speculative, args.draft_pool, dtype,
-                kt_xattn_default(dtype))
+                kt_xattn_default(dtype), args.q8_kv)
             return slp, passes
 
         spec_passes = [None]
@@ -283,9 +283,11 @@ def main():
           f"({n_steps} tokens/window, batch={b}, quant={args.quant}, "
           f"{loop})",
           file=sys.stderr)
+    spec_tag = (f"_spec{args.speculative}p{args.draft_pool}"
+                if args.speculative else "")
     print(json.dumps({
         "metric": f"rtf_{args.model}_{args.dtype}_"
-                  f"{args.quant}_batch{b}",
+                  f"{args.quant}_batch{b}{spec_tag}",
         "value": round(rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(rtf / TARGET_RTF, 3),

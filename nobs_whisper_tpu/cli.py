@@ -140,6 +140,11 @@ def cmd_serve(args):
             best_of=max(app.best_of, 1),
             temperature=float(app.temperature),
             task=str(getattr(app, "task", None) or "transcribe"))
+        if args.speculative and (app.beam_size or 1) > 1:
+            print("--speculative applies to greedy batches only; the "
+                  "configured beam strategy routes batches through the "
+                  "beam path — ignoring", file=sys.stderr)
+            args.speculative = 0
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
                                mesh=mesh, speculative=args.speculative)
         if args.warmup:
@@ -150,8 +155,11 @@ def cmd_serve(args):
             sizes = engine.warmup()
             print(f"warmup done: sizes {sizes} in "
                   f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    elif args.warmup:
-        print("--warmup applies to batched serving (--batch > 1); "
+    elif args.warmup or args.speculative:
+        flags = " ".join(f for f, on in
+                         (("--warmup", args.warmup),
+                          ("--speculative", args.speculative)) if on)
+        print(f"{flags} applies to batched serving (--batch > 1); "
               "ignoring", file=sys.stderr)
     serve(engine, host=args.host, port=args.port, config_manager=cm)
 

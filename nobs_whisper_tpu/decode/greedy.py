@@ -342,19 +342,24 @@ def decode_window_dispatch(
                   or kt_xattn_default(compute_dtype))
     from ..parallel.spmd import spmd_serving_enabled
     if (speculative > 0 and not np.any(temps > 0)
-            and not spmd_serving_enabled(mesh) and mel is None):
+            and not spmd_serving_enabled(mesh)):
         # exact speculative greedy (opt-in; token-identical to the
         # sequential loop — test_speculative.py). Greedy batches only:
         # ladder retries (t>0) fall through to the sampling programs.
         from .speculative import (decode_window_speculative_jit,
+                                  encode_decode_speculative_jit,
                                   frames_encode_decode_speculative_jit)
         common = (jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
                   jnp.asarray(sot_idx), tables, cfg, cfg, sample_len,
-                  speculative, draft_pool, compute_dtype, xattn_bf16)
+                  speculative, draft_pool, compute_dtype, xattn_bf16,
+                  opts.q8_cross_kv)
         if frames is not None:
             tokens, n_sampled, sum_lp, nsp, _ = \
                 frames_encode_decode_speculative_jit(
                     params, params, frames, *common)
+        elif mel is not None:
+            tokens, n_sampled, sum_lp, nsp, _ = \
+                encode_decode_speculative_jit(params, params, mel, *common)
         else:
             tokens, n_sampled, sum_lp, nsp, _ = \
                 decode_window_speculative_jit(params, params, xa, *common)

@@ -103,6 +103,7 @@ def decode_window_speculative_impl(
     draft_pool: int,
     compute_dtype=jnp.float32,
     xattn_bf16: bool = False,
+    q8_kv: bool = False,
 ):
     """Greedy-only speculative twin of decode_window_impl. Returns the
     same (tokens, n_sampled, sum_logprob, no_speech_prob) tuple,
@@ -113,11 +114,15 @@ def decode_window_speculative_impl(
     eot = tables.eot
 
     # ---- cross-attention K/V: full for verification, pooled for draft
+    # (the draft pools the RAW kv; target-side q8/packing applies after)
     cross_kv = precompute_cross_kv(params, xa, cfg)
     d_cross = pool_cross_kv(
         cross_kv if draft_params is params
         else precompute_cross_kv(draft_params, xa, draft_cfg), draft_pool)
-    if xattn_bf16:
+    if q8_kv:
+        from ..ops.attention_pallas import quantize_cross_kv
+        cross_kv = quantize_cross_kv(cross_kv)
+    elif xattn_bf16:
         from ..ops.attention_pallas import pack_cross_kv_bf16
         cross_kv = pack_cross_kv_bf16(cross_kv)
 
@@ -311,11 +316,11 @@ def decode_window_speculative_impl(
             state["passes"])
 
 
+_SPEC_STATICS = ("cfg", "draft_cfg", "sample_len", "k_draft",
+                 "draft_pool", "compute_dtype", "xattn_bf16", "q8_kv")
+
 decode_window_speculative_jit = functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "draft_cfg", "sample_len", "k_draft",
-                     "draft_pool", "compute_dtype", "xattn_bf16"),
-)(decode_window_speculative_impl)
+    jax.jit, static_argnames=_SPEC_STATICS)(decode_window_speculative_impl)
 
 
 def frames_encode_decode_speculative_impl(
@@ -323,6 +328,7 @@ def frames_encode_decode_speculative_impl(
     tables, cfg: WhisperConfig, draft_cfg: WhisperConfig,
     sample_len: int, k_draft: int, draft_pool: int,
     compute_dtype=jnp.float32, xattn_bf16: bool = False,
+    q8_kv: bool = False,
 ):
     """Serving fast path twin of frames_encode_decode_window_impl:
     STFT frames -> mel -> encode -> SPECULATIVE decode, one device
@@ -334,14 +340,33 @@ def frames_encode_decode_speculative_impl(
     return decode_window_speculative_impl(
         params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
         tables, cfg, draft_cfg, sample_len, k_draft, draft_pool,
-        compute_dtype, xattn_bf16)
+        compute_dtype, xattn_bf16, q8_kv)
 
 
 frames_encode_decode_speculative_jit = functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "draft_cfg", "sample_len", "k_draft",
-                     "draft_pool", "compute_dtype", "xattn_bf16"),
-)(frames_encode_decode_speculative_impl)
+    jax.jit, static_argnames=_SPEC_STATICS)(
+        frames_encode_decode_speculative_impl)
+
+
+def encode_decode_speculative_impl(
+    params, draft_params, mel, prompt_tokens, pad_lens, sot_idx,
+    tables, cfg: WhisperConfig, draft_cfg: WhisperConfig,
+    sample_len: int, k_draft: int, draft_pool: int,
+    compute_dtype=jnp.float32, xattn_bf16: bool = False,
+    q8_kv: bool = False,
+):
+    """mel -> encode -> SPECULATIVE decode (the batcher's mel-window
+    path, incl. mixed framed/mel batches that degrade to mel)."""
+    from ..models.whisper import encode
+    xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
+    return decode_window_speculative_impl(
+        params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
+        tables, cfg, draft_cfg, sample_len, k_draft, draft_pool,
+        compute_dtype, xattn_bf16, q8_kv)
+
+
+encode_decode_speculative_jit = functools.partial(
+    jax.jit, static_argnames=_SPEC_STATICS)(encode_decode_speculative_impl)
 
 
 def decode_window_speculative(

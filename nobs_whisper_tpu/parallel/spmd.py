@@ -87,11 +87,12 @@ def window_decode_spmd_jit(
     from ..decode import greedy as g
     from ..models.whisper import kernel_override
 
-    use_spec = speculative > 0 and not sampling and kind != "mel"
+    use_spec = speculative > 0 and not sampling
     if use_spec:
         from ..decode import speculative as sp
         spec_impl = {
             "frames": sp.frames_encode_decode_speculative_impl,
+            "mel": sp.encode_decode_speculative_impl,
             "xa": sp.decode_window_speculative_impl,
         }[kind]
     else:
@@ -113,7 +114,7 @@ def window_decode_spmd_jit(
                 tokens, n_sampled, sum_lp, nsp, _ = spec_impl(
                     params, params, data, prompt_tokens, pad_lens,
                     sot_idx, tables, cfg, cfg, sample_len, speculative,
-                    draft_pool, compute_dtype, xattn_bf16)
+                    draft_pool, compute_dtype, xattn_bf16, q8_kv)
                 return tokens, n_sampled, sum_lp, nsp
             return impl(params, data, prompt_tokens, pad_lens, sot_idx,
                         tables, temperature, rng, cfg, sample_len,

@@ -79,12 +79,24 @@ class WindowBatcher:
         self.cfg = cfg
         self.tokenizer = tokenizer
         # exact speculative greedy decode (decode/speculative.py) for
-        # all-greedy batches; 0 = off. NWT_SPECULATIVE=K overrides.
+        # all-greedy batches; 0 = off. An EXPLICIT constructor value
+        # wins; NWT_SPECULATIVE/NWT_DRAFT_POOL only fill the defaults
+        # (so an exported experiment knob cannot silently flip a
+        # batcher that was configured the other way). Malformed env
+        # values are ignored, not fatal at serve startup.
         import os as _os
-        self.speculative = int(
-            _os.environ.get("NWT_SPECULATIVE", speculative) or 0)
-        self.draft_pool = int(
-            _os.environ.get("NWT_DRAFT_POOL", draft_pool) or 4)
+
+        def _env_int(name, default):
+            try:
+                return int(_os.environ.get(name, "") or default)
+            except ValueError:
+                log.warning("ignoring malformed %s=%r", name,
+                            _os.environ.get(name))
+                return default
+        self.speculative = (speculative if speculative
+                            else _env_int("NWT_SPECULATIVE", 0))
+        self.draft_pool = (draft_pool if draft_pool != 4
+                           else _env_int("NWT_DRAFT_POOL", 4))
         self.opts = opts or DecodeOptions()
         self.tables: RuleTables = build_rule_tables(cfg, self.opts, tokenizer)
         self.max_batch = max_batch

@@ -145,3 +145,34 @@ def test_batcher_speculative_matches_plain(setup, tmp_path):
     for r0, r1 in zip(base + [base_auto], spec + [spec_auto]):
         assert r0.tokens == r1.tokens
         assert r0.sum_logprob == pytest.approx(r1.sum_logprob, abs=2e-2)
+
+
+def test_mel_path_and_q8_speculative_exact(setup):
+    """The batcher's mel-window path (and q8 cross-KV) go through the
+    speculative program too — no silent sequential fallback."""
+    from nobs_whisper_tpu.decode.greedy import (decode_window_dispatch,
+                                                decode_window_finalize)
+
+    eng, _, cfg, tables, xa, prompts, seq = setup
+    opts = DecodeOptions()
+    rng = np.random.RandomState(5)
+    mel = rng.randn(3, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    mel_j = jnp.asarray(mel)
+    base = decode_window_finalize(decode_window_dispatch(
+        eng.params, None, prompts, cfg, tables, opts, mel=mel_j))
+    spec = decode_window_finalize(decode_window_dispatch(
+        eng.params, None, prompts, cfg, tables, opts, mel=mel_j,
+        speculative=2, draft_pool=2))
+    for a, b in zip(base, spec):
+        assert a.tokens == b.tokens
+
+    # q8 cross-KV option reaches the speculative program (correctness:
+    # q8 changes numerics, so compare spec-q8 against SEQUENTIAL-q8)
+    q8_opts = DecodeOptions(q8_cross_kv=True)
+    base_q8 = decode_window_finalize(decode_window_dispatch(
+        eng.params, xa, prompts, cfg, tables, q8_opts))
+    spec_q8 = decode_window_finalize(decode_window_dispatch(
+        eng.params, xa, prompts, cfg, tables, q8_opts,
+        speculative=2, draft_pool=2))
+    for a, b in zip(base_q8, spec_q8):
+        assert a.tokens == b.tokens
