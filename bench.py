@@ -247,15 +247,27 @@ def main():
         pt1, pl1 = jnp.asarray(pt1), jnp.asarray(pl1)
         si1 = pl1
 
-        def p_lat():
-            # the serving fast path end to end: host framing (the
-            # session's strided memcpy) + ONE fused device program
-            fr = jnp.asarray(frame_window_np(ut_audio)[None])
-            _, _, slp, _ = frames_encode_decode_window_jit(
-                params, fr, pt1, pl1, si1, tables,
-                jnp.zeros((1,), jnp.float32), rng, cfg, 48, dtype,
-                xattn_bf16=kt_xattn_default(dtype), sampling=False)
-            return slp
+        if args.speculative:
+            from nobs_whisper_tpu.decode.speculative import (
+                frames_encode_decode_speculative_jit)
+
+            def p_lat():
+                fr = jnp.asarray(frame_window_np(ut_audio)[None])
+                _, _, slp, _, _ = frames_encode_decode_speculative_jit(
+                    params, params, fr, pt1, pl1, si1, tables, cfg, cfg,
+                    48, args.speculative, args.draft_pool, dtype,
+                    kt_xattn_default(dtype), args.q8_kv)
+                return slp
+        else:
+            def p_lat():
+                # the serving fast path end to end: host framing (the
+                # session's strided memcpy) + ONE fused device program
+                fr = jnp.asarray(frame_window_np(ut_audio)[None])
+                _, _, slp, _ = frames_encode_decode_window_jit(
+                    params, fr, pt1, pl1, si1, tables,
+                    jnp.zeros((1,), jnp.float32), rng, cfg, 48, dtype,
+                    xattn_bf16=kt_xattn_default(dtype), sampling=False)
+                return slp
 
         np.asarray(p_lat())
         lats = []

@@ -145,8 +145,17 @@ def cmd_serve(args):
                   "configured beam strategy routes batches through the "
                   "beam path — ignoring", file=sys.stderr)
             args.speculative = 0
+        draft_engine = None
+        if args.speculative and args.draft_model:
+            draft_engine = _load_engine(args.draft_model, args.dtype)
+            if args.quant == "int8":
+                draft_engine = draft_engine.quantize()
+        elif args.draft_model:
+            print("--draft-model needs --speculative; ignoring",
+                  file=sys.stderr)
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
-                               mesh=mesh, speculative=args.speculative)
+                               mesh=mesh, speculative=args.speculative,
+                               draft_engine=draft_engine)
         if args.warmup:
             import time as _time
             t0 = _time.perf_counter()
@@ -252,8 +261,14 @@ def main(argv=None):
                         "(window batch over dp, heads/FFN over tp)")
     s.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="exact speculative greedy decode with K "
-                        "self-drafted tokens/pass over 4x pooled "
-                        "cross-KV (token-identical output; 0 = off)")
+                        "drafted tokens/pass (token-identical output; "
+                        "0 = off). Default draft = the model itself "
+                        "over 4x time-pooled cross-KV")
+    s.add_argument("--draft-model", default=None, metavar="ID|PATH",
+                   help="second-model draft for --speculative (e.g. "
+                        "distil-large-v3 drafting large-v3; must share "
+                        "the vocab and encoder width). Single-chip "
+                        "serving only — mesh serving self-drafts")
     s.add_argument("--warmup", action="store_true",
                    help="pre-compile the serving programs for every "
                         "padded batch size before accepting traffic "

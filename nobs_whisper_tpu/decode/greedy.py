@@ -313,6 +313,8 @@ def decode_window_dispatch(
                                  # (decode/speculative.py) when the whole
                                  # batch is greedy; pool = draft_pool
     draft_pool: int = 4,
+    draft=None,                  # (draft_params, draft_cfg) second-model
+                                 # draft (distil pairing); None = self
 ):
     """Pad prompts and LAUNCH the jitted window decode; returns an opaque
     handle of in-flight device arrays for :func:`decode_window_finalize`.
@@ -349,20 +351,23 @@ def decode_window_dispatch(
         from .speculative import (decode_window_speculative_jit,
                                   encode_decode_speculative_jit,
                                   frames_encode_decode_speculative_jit)
+        d_params, d_cfg = draft if draft is not None else (params, cfg)
         common = (jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
-                  jnp.asarray(sot_idx), tables, cfg, cfg, sample_len,
+                  jnp.asarray(sot_idx), tables, cfg, d_cfg, sample_len,
                   speculative, draft_pool, compute_dtype, xattn_bf16,
                   opts.q8_cross_kv)
         if frames is not None:
             tokens, n_sampled, sum_lp, nsp, _ = \
                 frames_encode_decode_speculative_jit(
-                    params, params, frames, *common)
+                    params, d_params, frames, *common)
         elif mel is not None:
             tokens, n_sampled, sum_lp, nsp, _ = \
-                encode_decode_speculative_jit(params, params, mel, *common)
+                encode_decode_speculative_jit(params, d_params, mel,
+                                              *common)
         else:
             tokens, n_sampled, sum_lp, nsp, _ = \
-                decode_window_speculative_jit(params, params, xa, *common)
+                decode_window_speculative_jit(params, d_params, xa,
+                                              *common)
         return (tokens, n_sampled, sum_lp, nsp, temps)
     if spmd_serving_enabled(mesh):
         from ..parallel.spmd import (default_kernel_mode,

@@ -33,14 +33,17 @@ class BatchedEngine:
 
     def __init__(self, engine, opts: Optional[DecodeOptions] = None,
                  max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None,
-                 speculative: int = 0, draft_pool: int = 4):
+                 speculative: int = 0, draft_pool: int = 4,
+                 draft_engine=None):
         self.engine = engine
         self.opts = opts or DecodeOptions()
         self.batcher = WindowBatcher(
             engine.params, engine.cfg, engine.tokenizer, self.opts,
             max_batch=max_batch, max_wait_ms=max_wait_ms,
             compute_dtype=engine.compute_dtype, mesh=mesh,
-            speculative=speculative, draft_pool=draft_pool)
+            speculative=speculative, draft_pool=draft_pool,
+            draft=(None if draft_engine is None
+                   else (draft_engine.params, draft_engine.cfg)))
 
     # passthroughs
     @property

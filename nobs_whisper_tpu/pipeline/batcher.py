@@ -60,7 +60,7 @@ class WindowBatcher:
                  max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
                  encode_fn=None, mesh=None,
                  batch_deadline_s: Optional[float] = None,
-                 speculative: int = 0, draft_pool: int = 4):
+                 speculative: int = 0, draft_pool: int = 4, draft=None):
         """``mesh``: a (dp, tp) jax.sharding.Mesh. When given, params are
         placed with tensor-parallel shardings and every window batch is
         sharded over dp — the SURVEY §2.3 "window batch over a mesh"
@@ -97,6 +97,20 @@ class WindowBatcher:
                             else _env_int("NWT_SPECULATIVE", 0))
         self.draft_pool = (draft_pool if draft_pool != 4
                            else _env_int("NWT_DRAFT_POOL", 4))
+        # optional second-model draft (draft_params, draft_cfg) — the
+        # distil pairing. Must share the vocab (acceptance compares
+        # token ids) and the encoder width (the target's xa feeds the
+        # draft's cross projections; Distil-Whisper freezes the teacher
+        # encoder so this holds for the registry pairs).
+        self.draft = draft
+        if draft is not None:
+            d_cfg = draft[1]
+            if (d_cfg.n_vocab != cfg.n_vocab
+                    or d_cfg.n_audio_state != cfg.n_audio_state):
+                raise ValueError(
+                    f"draft model incompatible: vocab "
+                    f"{d_cfg.n_vocab} vs {cfg.n_vocab}, encoder width "
+                    f"{d_cfg.n_audio_state} vs {cfg.n_audio_state}")
         self.opts = opts or DecodeOptions()
         self.tables: RuleTables = build_rule_tables(cfg, self.opts, tokenizer)
         self.max_batch = max_batch
@@ -439,7 +453,7 @@ class WindowBatcher:
                 temperature=np.asarray(temps, np.float32),
                 compute_dtype=self.compute_dtype, mesh=self.mesh,
                 speculative=self.speculative,
-                draft_pool=self.draft_pool)
+                draft_pool=self.draft_pool, draft=self.draft)
         else:
             # fixed-language fast path: (frames ->) mel -> encode ->
             # decode as ONE device program per batch
@@ -450,7 +464,7 @@ class WindowBatcher:
                 mel=None if all_frames else stacked,
                 frames=stacked if all_frames else None, mesh=self.mesh,
                 speculative=self.speculative,
-                draft_pool=self.draft_pool)
+                draft_pool=self.draft_pool, draft=self.draft)
             if on_dispatched is not None:
                 on_dispatched()
 

@@ -176,3 +176,31 @@ def test_mel_path_and_q8_speculative_exact(setup):
         speculative=2, draft_pool=2))
     for a, b in zip(base_q8, spec_q8):
         assert a.tokens == b.tokens
+
+
+def test_second_model_draft_through_serving(setup):
+    """BatchedEngine with a second-model draft engine (the distil
+    pairing shape) produces the same transcripts as the plain engine;
+    an incompatible draft is rejected at construction."""
+    from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
+    from nobs_whisper_tpu.pipeline.batcher import WindowBatcher
+    from nobs_whisper_tpu.utils.testing import speech_like_audio
+
+    eng, draft, cfg, tables, _, _, _ = setup
+    audio = np.asarray(speech_like_audio(0.5, seed=41))
+    plain = BatchedEngine(eng, max_batch=2, max_wait_ms=20)
+    spec = BatchedEngine(eng, max_batch=2, max_wait_ms=20,
+                         speculative=2, draft_engine=draft)
+    try:
+        a = plain.transcribe(audio, language="en")
+        b = spec.transcribe(audio, language="en")
+        assert a.text == b.text
+    finally:
+        plain.close()
+        spec.close()
+
+    bad_cfg = tiny_test_config(n_vocab=2048)
+    with pytest.raises(ValueError, match="draft model incompatible"):
+        WindowBatcher(eng.params, cfg, eng.tokenizer,
+                      speculative=2,
+                      draft=(draft.params, bad_cfg))
