@@ -60,7 +60,8 @@ def cmd_transcribe(args):
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
         timestamps=not args.no_timestamps,
-        word_timestamps=args.word_timestamps)
+        word_timestamps=args.word_timestamps,
+        speculative=max(args.speculative, 0))
     result = engine.transcribe(audio, language=args.language,
                                vocabulary=args.vocabulary, task=args.task,
                                opts=opts)
@@ -235,6 +236,9 @@ def main(argv=None):
                    default="transcribe")
     t.add_argument("--no-timestamps", action="store_true")
     t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="exact speculative greedy decode (K drafted "
+                        "tokens/pass, token-identical output; 0 = off)")
     t.add_argument("--output-format",
                    choices=["txt", "srt", "vtt", "tsv", "json"],
                    default=None)

@@ -328,6 +328,11 @@ def decode_window_dispatch(
     single-chip program — Pallas kernels included — on its batch shard
     (the batch must be divisible by dp; the batcher pads it)."""
     n = len(prompts)
+    # opts may carry the speculative knobs (DecodeOptions.speculative) —
+    # an explicit dispatch argument wins
+    speculative = speculative or opts.speculative
+    if draft_pool == 4 and opts.draft_pool != 4:
+        draft_pool = opts.draft_pool
     prompt_tokens, pad_lens = pad_prompts(prompts, cfg.eot)
     p_max = prompt_tokens.shape[1]
     sot_idx = np.array([pad_lens[i] + list(p).index(cfg.sot)

@@ -57,6 +57,12 @@ class DecodeOptions:
     xattn_bf16: bool = False
     # word-level timestamps via cross-attention DTW (decode/timing.py)
     word_timestamps: bool = False
+    # TPU serving knob: exact speculative greedy decode
+    # (decode/speculative.py) — k>0 drafts k tokens/pass (greedy rungs
+    # only; output token-identical). draft_pool = cross-KV time-pooling
+    # for the self-draft.
+    speculative: int = 0
+    draft_pool: int = 4
 
 
 @jax.tree_util.register_dataclass

@@ -168,3 +168,19 @@ def test_default_batch_per_model():
     # only the basename is matched — a directory component must never
     # pick the knee (48 would hard-OOM a 16 GB chip running large-v3)
     assert _default_batch("/data/smallville/ggml-large-v3.bin") == 24
+
+
+def test_cli_transcribe_speculative_matches_plain(wav_and_model, tmp_path):
+    """transcribe --speculative K (DecodeOptions.speculative flowing
+    through the longform path) gives the same transcript as plain."""
+    wav, model = wav_and_model
+    base = _run(["transcribe", wav, "--model", model, "--language", "en",
+                 "--dtype", "float32", "--json"], str(tmp_path))
+    assert base.returncode == 0, base.stderr
+    spec = _run(["transcribe", wav, "--model", model, "--language", "en",
+                 "--dtype", "float32", "--json", "--speculative", "2"],
+                str(tmp_path))
+    assert spec.returncode == 0, spec.stderr
+    a = json.loads(base.stdout.strip().splitlines()[-1])
+    b = json.loads(spec.stdout.strip().splitlines()[-1])
+    assert a["text"] == b["text"]
