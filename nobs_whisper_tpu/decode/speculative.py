@@ -127,10 +127,18 @@ def decode_window_speculative_impl(
         cross_kv = pack_cross_kv_bf16(cross_kv)
 
     # ---- caches: block-aligned, no rewinds (module docstring) ----------
-    # target consumes K+1 slots per pass, draft K; worst case one emitted
-    # token per pass -> sample_len passes
-    t_len = -(-(p_max + sample_len * (K + 1)) // 8) * 8
-    d_len = -(-(p_max + sample_len * K) // 8) * 8
+    # Every pass reads the whole ALLOCATED cache, so sizing it for the
+    # absolute worst case (one emitted token per pass -> sample_len
+    # passes of K+1 slots) would inflate the self-KV read ~60%. Instead
+    # the speculative phase gets a PASS BUDGET of sample_len//2 — each
+    # budgeted pass emits >= 1 token, so at most sample_len//2 tokens
+    # can remain — and a sequential phase-2 tail (one slot per step,
+    # same slot-mask machinery) finishes any stragglers exactly. With
+    # healthy acceptance (>= 2 emitted/pass) phase 2 never runs.
+    budget = max(1, -(-sample_len // 2))
+    tail = sample_len - budget          # max tokens left for phase 2
+    t_len = -(-(p_max + budget * (K + 1) + tail) // 8) * 8
+    d_len = -(-(p_max + budget * K) // 8) * 8
     cache = init_kv_cache(cfg, b, dtype=compute_dtype, t_ctx=t_len)
     dcache = init_kv_cache(draft_cfg, b, dtype=compute_dtype, t_ctx=d_len)
 
@@ -175,7 +183,8 @@ def decode_window_speculative_impl(
     )
 
     def cond(s):
-        return jnp.any(~s["done"] & (s["n_sampled"] < sample_len))
+        return (s["passes"] < budget) \
+            & jnp.any(~s["done"] & (s["n_sampled"] < sample_len))
 
     def body(s):
         n = s["n_sampled"]
@@ -310,6 +319,54 @@ def decode_window_speculative_impl(
         )
 
     state = jax.lax.while_loop(cond, body, state0)
+
+    # ---- phase 2: sequential tail for pass-budget stragglers ----------
+    # Each step consumes `last` (one slot, always valid), applies the
+    # rules, and emits the argmax — the verify pass with K=0. Runs zero
+    # iterations when phase 1 finished everything (the common case).
+    def cond2(s):
+        return jnp.any(~s["done"] & (s["n_sampled"] < sample_len))
+
+    def body2(s):
+        n = s["n_sampled"]
+        active = ~s["done"] & (n < sample_len)
+        pos_last = p_max - pad_lens + n - 1
+        t_pass_mask = jax.lax.dynamic_update_slice(
+            s["t_mask"], jnp.ones((b, 1), bool), (0, s["tpos"]))
+        logits, cache = decoder_forward(
+            params, s["last"][:, None], s["tpos"], pad_lens, s["cache"],
+            cross_kv, cfg, compute_dtype, pos_base=pos_last,
+            slot_mask=t_pass_mask)
+        tok, gl, lse = _flat_rules(
+            logits.astype(jnp.float32), tables, n[:, None],
+            s["last"][:, None], s["penult"][:, None],
+            s["max_ts"][:, None])
+        tok, gl, lse = tok[:, 0], gl[:, 0], lse[:, 0]
+        onehot = (n[:, None] == jnp.arange(sample_len)[None, :]) \
+            & active[:, None]
+        tokens = jnp.where(onehot, tok[:, None], s["tokens"])
+        t_mask = jax.lax.dynamic_update_slice(
+            s["t_mask"], active[:, None], (0, s["tpos"]))
+        return dict(
+            tokens=tokens,
+            n_sampled=n + active.astype(jnp.int32),
+            last=jnp.where(active, tok, s["last"]),
+            penult=jnp.where(active, s["last"], s["penult"]),
+            max_ts=jnp.where(active & (tok >= tb),
+                             jnp.maximum(s["max_ts"], tok), s["max_ts"]),
+            sum_logprob=s["sum_logprob"]
+            + jnp.where(active, gl - lse, 0.0),
+            done=s["done"] | (active & (tok == eot)),
+            cache=cache,
+            dcache=s["dcache"],
+            t_mask=t_mask,
+            d_mask=s["d_mask"],
+            tpos=s["tpos"] + 1,
+            dpos=s["dpos"],
+            passes=s["passes"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond2, body2, state)
     tokens = state["tokens"]
     n_sampled = jnp.sum(tokens != eot, axis=1)
     return (tokens, n_sampled, state["sum_logprob"], no_speech_prob,

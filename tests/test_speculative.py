@@ -110,6 +110,21 @@ def test_k1_and_k4_exact(setup):
         _assert_exact(seq, spec)
 
 
+def test_pass_budget_phase2_exact(setup):
+    """When the adversarial draft burns the speculative pass budget
+    (sample_len//2 passes), the sequential phase-2 tail must finish the
+    stragglers exactly."""
+    eng, draft, cfg, tables, xa, prompts, _ = setup
+    opts = DecodeOptions(sample_len=8)   # budget 4: adversarial drafts
+    seq = decode_window(eng.params, xa, prompts, cfg, tables, opts)
+    spec, passes = decode_window_speculative(
+        eng.params, xa, prompts, cfg, tables, sample_len=8, k_draft=3,
+        draft_pool=1, draft_params=draft.params, draft_cfg=draft.cfg,
+        return_passes=True)
+    _assert_exact(seq, spec)
+    assert passes > 4, passes            # phase 2 really ran
+
+
 def test_batcher_speculative_matches_plain(setup, tmp_path):
     """A WindowBatcher with speculative=k produces byte-identical
     results to the plain batcher through the serving fast path (framed
