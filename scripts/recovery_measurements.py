@@ -1,0 +1,96 @@
+"""One-shot measurement matrix for when the TPU tunnel heals.
+
+The 2026-08-18 session shipped several perf-relevant changes while the
+tunnel was in a prolonged outage (CLAUDE.md platform notes). This script
+runs every deferred measurement in priority order, each in a deadlined
+child process (the wedge-safe pattern from bench.py), and appends one
+JSON line per result to scripts/recovery_results.jsonl — so a single
+invocation after recovery banks everything even if the tunnel dies
+again mid-run.
+
+Usage:  python scripts/recovery_measurements.py [--quick]
+
+Priority order (highest value first, so partial runs still pay):
+  1. headline confirm         bench.py                       (1149x ref)
+  2. speculative A/B          bench.py --speculative 3       (the new lever)
+  3. spec k/pool sweep        k in {2,3,4} x pool in {2,4}
+  4. spec p50 latency         bench.py --latency --speculative 3
+  5. base-model batch knee    bench.py --model base --batch {48,64,80,96}
+  6. int8 QK re-validation    scripts/attn_i8_validate.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "scripts", "recovery_results.jsonl")
+DEADLINE_S = int(os.environ.get("NWT_RECOVERY_DEADLINE_S", "600"))
+
+
+def run_one(name: str, cmd: list) -> bool:
+    print(f"=== {name}: {' '.join(cmd)}", file=sys.stderr)
+    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1"}
+    t0 = time.time()
+    try:
+        r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                           text=True, timeout=DEADLINE_S)
+    except subprocess.TimeoutExpired:
+        rec = {"name": name, "ok": False, "error": "deadline",
+               "elapsed_s": round(time.time() - t0, 1)}
+        print(json.dumps(rec), file=open(OUT, "a"))
+        print(f"    TIMED OUT after {DEADLINE_S}s", file=sys.stderr)
+        return False
+    json_lines = [ln for ln in r.stdout.splitlines()
+                  if ln.startswith("{")]
+    rec = {"name": name, "ok": r.returncode == 0,
+           "elapsed_s": round(time.time() - t0, 1),
+           "result": (json.loads(json_lines[-1]) if json_lines else None),
+           "stderr_tail": r.stderr.strip().splitlines()[-6:]}
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"    {'ok' if rec['ok'] else 'FAILED'} "
+          f"({rec['elapsed_s']}s): {rec['result']}", file=sys.stderr)
+    return rec["ok"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="items 1-2 only (headline + spec A/B)")
+    args = p.parse_args()
+    py = sys.executable
+    bench = [py, "bench.py"]
+
+    ok = run_one("headline_confirm", bench)
+    if not ok:
+        print("headline failed — tunnel likely still down; stopping",
+              file=sys.stderr)
+        sys.exit(1)
+    run_one("speculative_k3_pool4", bench + ["--speculative", "3"])
+    if args.quick:
+        return
+    for k in (2, 4):
+        run_one(f"speculative_k{k}_pool4", bench + ["--speculative",
+                                                    str(k)])
+    for pool in (2, 8):
+        run_one(f"speculative_k3_pool{pool}",
+                bench + ["--speculative", "3", "--draft-pool", str(pool)])
+    run_one("latency_plain", bench + ["--latency", "--repeats", "2"])
+    run_one("latency_spec", bench + ["--latency", "--repeats", "2",
+                                     "--speculative", "3"])
+    for b in (48, 64, 80, 96):
+        run_one(f"base_knee_b{b}",
+                bench + ["--model", "base", "--batch", str(b),
+                         "--repeats", "2"])
+    run_one("attn_i8_validate",
+            [py, "scripts/attn_i8_validate.py"])
+
+
+if __name__ == "__main__":
+    main()
