@@ -219,3 +219,26 @@ def test_second_model_draft_through_serving(setup):
         WindowBatcher(eng.params, cfg, eng.tokenizer,
                       speculative=2,
                       draft=(draft.params, bad_cfg))
+
+
+def test_deep_decoder_path_exact(tmp_path):
+    """A >8-layer decoder takes _decoder_forward's fori_loop branch
+    (large-v3's shape — speculation's main target model family); the
+    slot-mask/pos-base machinery must stay exact there too."""
+    from nobs_whisper_tpu.api import WhisperEngine
+
+    path = str(tmp_path / "deep.bin")
+    write_tiny_checkpoint(path, cfg=tiny_test_config(dec_layers=9))
+    eng = WhisperEngine.from_ggml(path, dtype=jnp.float32)
+    cfg = eng.cfg
+    assert cfg.n_text_layer > 8          # really the fori_loop branch
+    tables = build_rule_tables(cfg, DecodeOptions(), eng.tokenizer)
+    rng = np.random.RandomState(2)
+    mels = rng.randn(2, cfg.n_mels, 2 * cfg.n_audio_ctx).astype(np.float32)
+    xa = encode(eng.params, jnp.asarray(mels), cfg)
+    prompts = [list(eng.tokenizer.sot_sequence(language="en"))] * 2
+    seq = decode_window(eng.params, xa, prompts, cfg, tables,
+                        DecodeOptions())
+    spec = decode_window_speculative(
+        eng.params, xa, prompts, cfg, tables, k_draft=2, draft_pool=2)
+    _assert_exact(seq, spec)
