@@ -242,3 +242,15 @@ def test_deep_decoder_path_exact(tmp_path):
     spec = decode_window_speculative(
         eng.params, xa, prompts, cfg, tables, k_draft=2, draft_pool=2)
     _assert_exact(seq, spec)
+
+
+def test_quantized_params_exact(setup):
+    """The serving default is int8 weights — speculation must match the
+    sequential decode on the QUANTIZED params too."""
+    eng, _, cfg, tables, xa, prompts, _ = setup
+    q = eng.quantize()
+    seq = decode_window(q.params, xa, prompts, cfg, tables,
+                        DecodeOptions())
+    spec = decode_window_speculative(
+        q.params, xa, prompts, cfg, tables, k_draft=2, draft_pool=2)
+    _assert_exact(seq, spec)
