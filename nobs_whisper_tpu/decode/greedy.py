@@ -362,18 +362,21 @@ def decode_window_dispatch(
                   speculative, draft_pool, compute_dtype, xattn_bf16,
                   opts.q8_cross_kv)
         if frames is not None:
-            tokens, n_sampled, sum_lp, nsp, _ = \
+            tokens, n_sampled, sum_lp, nsp, passes = \
                 frames_encode_decode_speculative_jit(
                     params, d_params, frames, *common)
         elif mel is not None:
-            tokens, n_sampled, sum_lp, nsp, _ = \
+            tokens, n_sampled, sum_lp, nsp, passes = \
                 encode_decode_speculative_jit(params, d_params, mel,
                                               *common)
         else:
-            tokens, n_sampled, sum_lp, nsp, _ = \
+            tokens, n_sampled, sum_lp, nsp, passes = \
                 decode_window_speculative_jit(params, d_params, xa,
                                               *common)
-        return (tokens, n_sampled, sum_lp, nsp, temps)
+        # 6th element: pass count for acceptance observability (the
+        # batcher records emitted/pass into /stats); finalize ignores
+        # extras
+        return (tokens, n_sampled, sum_lp, nsp, temps, passes)
     if spmd_serving_enabled(mesh):
         from ..parallel.spmd import (default_kernel_mode,
                                      window_decode_spmd_jit)
@@ -415,7 +418,7 @@ def decode_window_dispatch(
 def decode_window_finalize(handle) -> List[WindowResult]:
     """Block on the device arrays from :func:`decode_window_dispatch` and
     score them into WindowResults."""
-    tokens, n_sampled, sum_lp, nsp, temps = handle
+    tokens, n_sampled, sum_lp, nsp, temps = handle[:5]
     tokens = np.asarray(tokens)
     n_sampled = np.asarray(n_sampled)
     sum_lp = np.asarray(sum_lp)

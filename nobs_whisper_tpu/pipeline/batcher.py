@@ -138,6 +138,7 @@ class WindowBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self.batch_sizes: List[int] = []    # observability
+        self.spec_stats: List[tuple] = []   # (passes, rows, emitted)
         self._thread.start()
 
     # ------------------------------------------------------------------
@@ -470,6 +471,13 @@ class WindowBatcher:
 
         def finalize():
             results = decode_window_finalize(handle)
+            if len(handle) > 5:
+                # speculative batch: record (passes, rows, emitted) for
+                # the /stats acceptance metric
+                emitted = sum(len(r.tokens) + 1 for r in results[:n])
+                self.spec_stats.append(
+                    (int(np.asarray(handle[5])), n, emitted))
+                del self.spec_stats[:-200]
             for r, res, lang in zip(batch, results[:n], langs[:n]):
                 res.language = lang
                 # a late completion after the watchdog already failed

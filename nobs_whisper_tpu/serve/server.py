@@ -146,6 +146,17 @@ def make_handler(state: ServerState):
                         "watchdog_trips": getattr(batcher,
                                                   "watchdog_trips", 0),
                     }
+                    sp = getattr(batcher, "spec_stats", [])[-100:]
+                    if sp:
+                        # emitted tokens per (pass x row): the
+                        # speculative acceptance rate as served
+                        passes_rows = sum(p * rows for p, rows, _ in sp)
+                        emitted = sum(e for _, _, e in sp)
+                        out["batcher"]["speculative"] = {
+                            "recent_batches": len(sp),
+                            "emitted_per_pass": round(
+                                emitted / max(passes_rows, 1), 3),
+                        }
                 return self._json(out)
             if len(parts) == 3 and parts[0] == "sessions" \
                     and parts[2] == "events":

@@ -254,3 +254,36 @@ def test_quantized_params_exact(setup):
     spec = decode_window_speculative(
         q.params, xa, prompts, cfg, tables, k_draft=2, draft_pool=2)
     _assert_exact(seq, spec)
+
+
+def test_spec_stats_in_server_stats(setup):
+    """A speculative serve surfaces the acceptance rate in /stats."""
+    import json as _json
+    import socket
+    import urllib.request
+    from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
+    from nobs_whisper_tpu.serve.server import serve
+    from nobs_whisper_tpu.utils.testing import speech_like_audio
+
+    eng, _, cfg, _, _, _, _ = setup
+    batched = BatchedEngine(eng, max_batch=2, max_wait_ms=20,
+                            speculative=2, draft_pool=2)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(batched, port=port, background=True)
+    try:
+        audio = np.asarray(speech_like_audio(0.5, seed=43),
+                           dtype=np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe?language=en",
+            data=audio.tobytes(), method="POST")
+        urllib.request.urlopen(req, timeout=300).read()
+        stats = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        spec = stats["batcher"]["speculative"]
+        assert spec["recent_batches"] >= 1
+        assert spec["emitted_per_pass"] > 0
+    finally:
+        httpd.shutdown()
+        batched.close()
