@@ -153,7 +153,6 @@ def beam_decode_window_jit(
     state = dict(
         step=jnp.int32(0),
         tokens=jnp.full((b, k, sample_len), tables.eot, jnp.int32),
-        lengths=jnp.zeros((b, k), jnp.int32),
         cum=jnp.zeros((b, k), jnp.float32),
         cache=cache,
         last=jnp.zeros((b, k), jnp.int32),
@@ -219,7 +218,7 @@ def beam_decode_window_jit(
             cross_kv, cfg, compute_dtype)
 
         return dict(
-            step=step + 1, tokens=tokens, lengths=s["lengths"] + 1,
+            step=step + 1, tokens=tokens,
             cum=cum, cache=cache, last=last, penult=penult, max_ts=max_ts,
             logits=logits_next[:, 0], fin_tokens=fin_tokens,
             fin_len=fin_len, fin_cum=fin_cum, fin_valid=fin_valid,

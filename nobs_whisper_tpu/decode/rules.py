@@ -21,9 +21,6 @@ from ..core.config import WhisperConfig
 
 NEG_INF = jnp.float32(-1e30)
 
-# max_initial_timestamp = 1.0 s -> 50 timestamp steps of 20 ms
-MAX_INITIAL_TIMESTAMP_INDEX = 50
-
 
 @dataclasses.dataclass(frozen=True)
 class DecodeOptions:

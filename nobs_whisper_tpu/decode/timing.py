@@ -15,6 +15,7 @@ checkpoint-specific head lists can be passed in.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -43,12 +44,16 @@ def default_alignment_heads(cfg: WhisperConfig) -> List[Tuple[int, int]]:
             for h in range(cfg.n_text_head)]
 
 
-def decoder_cross_attn_weights(params, tokens: jnp.ndarray, xa: jnp.ndarray,
-                               cfg: WhisperConfig,
-                               compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Teacher-forced full-sequence pass returning cross-attention probs.
+def _cross_attn_scores(params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                       cfg: WhisperConfig,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Teacher-forced full-sequence pass returning RAW (pre-softmax,
+    scaled) cross-attention scores.
 
-    tokens: (B, S); xa: (B, T_audio, d). Returns (L, B, H, S, T_audio) fp32.
+    tokens: (B, S); xa: (B, T_audio, d). Returns (L, B, H, S, T_audio)
+    fp32. The alignment method needs raw scores: openai truncates QK to
+    the window's real frames and softmaxes AFTER, so padded-silence
+    frames never absorb (un-renormalized) attention mass.
     """
     from ..models.whisper import (_attention, _gelu, _layer_norm,
                                   _merge_heads, _precision_scope,
@@ -81,11 +86,36 @@ def decoder_cross_attn_weights(params, tokens: jnp.ndarray, xa: jnp.ndarray,
         h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
         h = _gelu(h @ p["fc1_w"] + p["fc1_b"])
         x = x + (h @ p["fc2_w"] + p["fc2_b"])
-        return x, probs
+        return x, scores
 
     with _precision_scope(compute_dtype):
-        _, cross_probs = jax.lax.scan(block, x, dec["blocks"])
-    return cross_probs  # (L, B, H, S, T_audio)
+        _, cross_scores = jax.lax.scan(block, x, dec["blocks"])
+    return cross_scores  # (L, B, H, S, T_audio)
+
+
+def decoder_cross_attn_weights(params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                               cfg: WhisperConfig,
+                               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Cross-attention PROBS (softmax over the full audio axis) —
+    diagnostic surface; the alignment path uses the raw-score core."""
+    return jax.nn.softmax(
+        _cross_attn_scores(params, tokens, xa, cfg, compute_dtype),
+        axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "heads", "compute_dtype"))
+def alignment_scores_jit(params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                         cfg: WhisperConfig, heads,
+                         compute_dtype=jnp.float32) -> jnp.ndarray:
+    """ONE device program for the word-timestamp attention pass: the
+    teacher-forced forward with only the (static tuple of) alignment
+    heads' raw scores selected ON DEVICE — (A, S, T_audio) fp32 comes
+    back to the host instead of the full (L, B, H, S, T) stack (for
+    large checkpoints, hundreds of MB and an op-by-op dispatch chain
+    through the ~27.5 ms-pedestal tunnel)."""
+    scores = _cross_attn_scores(params, tokens, xa, cfg, compute_dtype)
+    return jnp.stack([scores[l, 0, h] for (l, h) in heads])
 
 
 def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
@@ -203,11 +233,16 @@ def find_word_timings(
     full = list(sot_sequence) + clean + [tokenizer.eot]
     tokens_j = jnp.asarray(np.array(full, np.int32)[None])
 
-    probs = decoder_cross_attn_weights(params, tokens_j, xa, cfg)
-    probs = np.asarray(probs)                  # (L, 1, H, S, T)
-    heads = alignment_heads or default_alignment_heads(cfg)
-    w = np.stack([probs[l, 0, h] for (l, h) in heads])    # (A, S, T)
+    heads = tuple(alignment_heads or default_alignment_heads(cfg))
+    # one jitted device program; only the A selected heads transfer
+    w = np.asarray(alignment_scores_jit(params, tokens_j, xa, cfg,
+                                        heads))           # (A, S, T)
+    # openai order: truncate RAW scores to the window's real frames,
+    # THEN softmax — padded-silence frames never hold attention mass
     w = w[:, :, : num_frames // 2]
+    w = w - w.max(axis=-1, keepdims=True)
+    w = np.exp(w)
+    w = w / w.sum(axis=-1, keepdims=True)
 
     # per-head standardization over time, then smoothing
     mean = w.mean(axis=-2, keepdims=True)
@@ -215,22 +250,23 @@ def find_word_timings(
     w = (w - mean) / std
     w = median_filter(w, medfilt_width)
     matrix = w.mean(axis=0)                    # (S, T')
-    matrix = matrix[len(sot_sequence): len(sot_sequence) + len(clean)]
+    # rows = the text tokens PLUS the eot row: the eot's first DTW frame
+    # anchors the last word's end where speech actually stops, instead
+    # of the window end
+    matrix = matrix[len(sot_sequence): len(sot_sequence) + len(clean) + 1]
 
     text_idx, time_idx = dtw_path(-matrix.astype(np.float64))
 
     # token boundaries: first time index where each token appears
     # each matrix column = 2 mel frames = one 20 ms timestamp step
     jumps = np.diff(text_idx, prepend=-1) > 0
-    start_times = time_idx[jumps] * TIME_PRECISION
-    end_times = np.append(start_times[1:],
-                          (num_frames // 2) * TIME_PRECISION)
+    bounds = time_idx[jumps] * TIME_PRECISION  # len(clean) + 1 entries
+    start_times = bounds[:-1]
+    end_times = bounds[1:]
 
     words, word_toks = split_tokens_on_spaces(tokenizer, clean)
     # map word -> token index span
     out: List[WordTiming] = []
-    ti = 0
-    clean_pos = {i: idx for idx, i in enumerate(range(len(clean)))}
     cursor = 0
     for word, toks in zip(words, word_toks):
         n = len(toks)

@@ -110,8 +110,7 @@ def decode_with_fallback(
 
 
 def _split_segments(
-    tokens: List[int], tb: int, eot: int, seek: int, segment_size: int,
-    tokenizer, time_offset: float,
+    tokens: List[int], tb: int, segment_size: int, time_offset: float,
 ) -> Tuple[List[dict], int]:
     """openai-whisper's timestamp bookkeeping: slice a window's tokens into
     segments and compute the next seek position (mel frames)."""
@@ -185,8 +184,12 @@ def transcribe_mel(
     all_tokens: List[int] = []
     prompt_reset_since = 0
     if initial_prompt_tokens:
+        # prompt_reset_since stays 0 so the initial prompt (vocabulary +
+        # rolling context, whisper.rs:98-109) actually conditions the
+        # first window — it is only skipped past after a high-temperature
+        # fallback resets the prompt (openai semantics). Setting it to
+        # len(all_tokens) here made the biasing a silent no-op.
         all_tokens.extend(initial_prompt_tokens)
-        prompt_reset_since = len(all_tokens)
 
     # mel frames per window: 2 frames per encoder position (3000 for the
     # real ladder; smaller for synthetic test configs)
@@ -234,8 +237,7 @@ def transcribe_mel(
             continue
 
         raw_segments, advance = _split_segments(
-            result.tokens, tb, cfg.eot, seek, segment_size, tokenizer,
-            time_offset)
+            result.tokens, tb, segment_size, time_offset)
 
         window_words = None
         if opts.word_timestamps and result.tokens:
@@ -251,15 +253,32 @@ def transcribe_mel(
             from ..decode.timing import refine_word_durations
             refine_word_durations(window_words)
 
+        # partition words over segments by TOKEN ordinal, never by time
+        # (openai semantics): time-window matching duplicated words into
+        # adjacent segments and let refinement overlap their bounds.
+        # Words consume the window's text tokens in order, so a running
+        # clean-token cursor assigns each word to the segment its first
+        # token falls in.
+        word_starts = None
+        if window_words is not None:
+            word_starts, c = [], 0
+            for w in window_words:
+                word_starts.append(c)
+                c += len(w.tokens)
+
         n_before = len(segments)
+        seg_tok_cursor = 0
         for rs in raw_segments:
             text = tokenizer.decode(rs["tokens"]).strip()
+            n_clean = sum(1 for t in rs["tokens"] if t < cfg.eot)
+            seg_lo = seg_tok_cursor
+            seg_tok_cursor += n_clean
             if not text:
                 continue
             words = None
             if window_words is not None:
-                words = [w for w in window_words
-                         if rs["start"] - 1e-6 <= w.start < rs["end"] + 0.5]
+                words = [w for w, s in zip(window_words, word_starts)
+                         if seg_lo <= s < seg_tok_cursor]
             segments.append(Segment(
                 id=len(segments), seek=seek,
                 start=rs["start"], end=rs["end"], text=text,

@@ -126,3 +126,28 @@ def test_transcribe_chunked_rolls_context(engine):
 ])
 def test_hallucination_filter(text, expect):
     assert filter_hallucinations(text) == expect
+
+
+def test_initial_prompt_reaches_first_window(engine, monkeypatch):
+    """Regression: vocabulary/context biasing must actually condition the
+    FIRST window's prompt (whisper.rs:98-109) — prompt_reset_since
+    previously skipped the initial tokens, making the feature a no-op."""
+    import nobs_whisper_tpu.pipeline.longform as lf
+
+    seen = []
+    orig = lf.decode_with_fallback
+
+    def spy(params, xa, prompt, *a, **kw):
+        seen.append(list(prompt))
+        return orig(params, xa, prompt, *a, **kw)
+
+    monkeypatch.setattr(lf, "decode_with_fallback", spy)
+    engine.transcribe(speech_like_audio(0.5, seed=4), language="en",
+                      vocabulary="jax pallas")
+    initial = engine.build_initial_prompt("jax pallas", None)
+    assert seen, "decode_with_fallback never called"
+    first = seen[0]
+    assert first[0] == engine.cfg.sot_prev
+    # the initial prompt tokens appear, in order, before the sot sequence
+    sot_pos = first.index(engine.cfg.sot)
+    assert first[1:sot_pos][-len(initial):] == initial

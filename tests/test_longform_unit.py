@@ -13,8 +13,7 @@ EOT = 900
 
 
 def _split(tokens, seek=0, segment_size=3000, offset=0.0):
-    return _split_segments(tokens, TB, EOT, seek, segment_size,
-                           tokenizer=None, time_offset=offset)
+    return _split_segments(tokens, TB, segment_size, time_offset=offset)
 
 
 def test_single_segment_no_consecutive():
