@@ -21,3 +21,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _jax_cache_guard(request):
+    """Release compiled executables when crossing test-module boundaries.
+
+    The one-process suite JIT-compiles hundreds of programs; after the
+    speculative-decoding suite added ~20 more large ones, XLA:CPU began
+    SEGFAULTING deterministically inside an unrelated later compile
+    (LLVM JIT resource exhaustion — reproduced at
+    test_tools.py::test_native_checkpoint_roundtrip, gone when the
+    speculative module is excluded). Dropping each module's executables
+    before the next module starts caps the accumulation; cross-module
+    cache reuse is minor for these tiny test models."""
+    mod = request.module.__name__
+    if _last_module[0] not in (None, mod):
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
