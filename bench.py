@@ -200,7 +200,7 @@ def main():
             toks, n, slp, nsp, passes = decode_window_speculative_jit(
                 params, params, xa, pt, pl, si, tables, cfg, cfg,
                 n_steps, args.speculative, args.draft_pool, dtype,
-                kt_xattn_default(dtype), args.q8_kv)
+                kt_xattn_default(dtype), args.q8_kv, self_draft=True)
             return slp, passes
 
         spec_passes = [None]
@@ -256,7 +256,7 @@ def main():
                 _, _, slp, _, _ = frames_encode_decode_speculative_jit(
                     params, params, fr, pt1, pl1, si1, tables, cfg, cfg,
                     48, args.speculative, args.draft_pool, dtype,
-                    kt_xattn_default(dtype), args.q8_kv)
+                    kt_xattn_default(dtype), args.q8_kv, self_draft=True)
                 return slp
         else:
             def p_lat():

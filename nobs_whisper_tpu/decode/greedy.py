@@ -360,7 +360,7 @@ def decode_window_dispatch(
         common = (jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
                   jnp.asarray(sot_idx), tables, cfg, d_cfg, sample_len,
                   speculative, draft_pool, compute_dtype, xattn_bf16,
-                  opts.q8_cross_kv)
+                  opts.q8_cross_kv, draft is None)
         if frames is not None:
             tokens, n_sampled, sum_lp, nsp, passes = \
                 frames_encode_decode_speculative_jit(

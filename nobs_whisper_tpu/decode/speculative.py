@@ -104,10 +104,17 @@ def decode_window_speculative_impl(
     compute_dtype=jnp.float32,
     xattn_bf16: bool = False,
     q8_kv: bool = False,
+    self_draft: bool = True,
 ):
     """Greedy-only speculative twin of decode_window_impl. Returns the
     same (tokens, n_sampled, sum_logprob, no_speech_prob) tuple,
-    token-exact with the sequential greedy loop (test_speculative.py)."""
+    token-exact with the sequential greedy loop (test_speculative.py).
+
+    ``self_draft`` must be a STATIC host-level flag: under jit the
+    (params, draft_params) pytrees unflatten into distinct dicts, so a
+    ``draft_params is params`` identity check is always False and the
+    self-draft mode would silently recompute the full target cross-KV
+    precompute a second time per batch (review finding)."""
     b, p_max = prompt_tokens.shape
     K = k_draft
     tb = tables.timestamp_begin
@@ -117,7 +124,7 @@ def decode_window_speculative_impl(
     # (the draft pools the RAW kv; target-side q8/packing applies after)
     cross_kv = precompute_cross_kv(params, xa, cfg)
     d_cross = pool_cross_kv(
-        cross_kv if draft_params is params
+        cross_kv if self_draft
         else precompute_cross_kv(draft_params, xa, draft_cfg), draft_pool)
     if q8_kv:
         from ..ops.attention_pallas import quantize_cross_kv
@@ -130,9 +137,10 @@ def decode_window_speculative_impl(
     # Every pass reads the whole ALLOCATED cache, so sizing it for the
     # absolute worst case (one emitted token per pass -> sample_len
     # passes of K+1 slots) would inflate the self-KV read ~60%. Instead
-    # the speculative phase gets a PASS BUDGET of sample_len//2 — each
-    # budgeted pass emits >= 1 token, so at most sample_len//2 tokens
-    # can remain — and a sequential phase-2 tail (one slot per step,
+    # the speculative phase gets a PASS BUDGET of ceil(sample_len/2) —
+    # each budgeted pass emits >= 1 token, so at most
+    # sample_len - budget tokens can remain — and a sequential phase-2
+    # tail (one slot per step,
     # same slot-mask machinery) finishes any stragglers exactly. With
     # healthy acceptance (>= 2 emitted/pass) phase 2 never runs.
     budget = max(1, -(-sample_len // 2))
@@ -374,7 +382,8 @@ def decode_window_speculative_impl(
 
 
 _SPEC_STATICS = ("cfg", "draft_cfg", "sample_len", "k_draft",
-                 "draft_pool", "compute_dtype", "xattn_bf16", "q8_kv")
+                 "draft_pool", "compute_dtype", "xattn_bf16", "q8_kv",
+                 "self_draft")
 
 decode_window_speculative_jit = functools.partial(
     jax.jit, static_argnames=_SPEC_STATICS)(decode_window_speculative_impl)
@@ -385,7 +394,7 @@ def frames_encode_decode_speculative_impl(
     tables, cfg: WhisperConfig, draft_cfg: WhisperConfig,
     sample_len: int, k_draft: int, draft_pool: int,
     compute_dtype=jnp.float32, xattn_bf16: bool = False,
-    q8_kv: bool = False,
+    q8_kv: bool = False, self_draft: bool = True,
 ):
     """Serving fast path twin of frames_encode_decode_window_impl:
     STFT frames -> mel -> encode -> SPECULATIVE decode, one device
@@ -397,7 +406,7 @@ def frames_encode_decode_speculative_impl(
     return decode_window_speculative_impl(
         params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
         tables, cfg, draft_cfg, sample_len, k_draft, draft_pool,
-        compute_dtype, xattn_bf16, q8_kv)
+        compute_dtype, xattn_bf16, q8_kv, self_draft)
 
 
 frames_encode_decode_speculative_jit = functools.partial(
@@ -410,7 +419,7 @@ def encode_decode_speculative_impl(
     tables, cfg: WhisperConfig, draft_cfg: WhisperConfig,
     sample_len: int, k_draft: int, draft_pool: int,
     compute_dtype=jnp.float32, xattn_bf16: bool = False,
-    q8_kv: bool = False,
+    q8_kv: bool = False, self_draft: bool = True,
 ):
     """mel -> encode -> SPECULATIVE decode (the batcher's mel-window
     path, incl. mixed framed/mel batches that degrade to mel)."""
@@ -419,7 +428,7 @@ def encode_decode_speculative_impl(
     return decode_window_speculative_impl(
         params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
         tables, cfg, draft_cfg, sample_len, k_draft, draft_pool,
-        compute_dtype, xattn_bf16, q8_kv)
+        compute_dtype, xattn_bf16, q8_kv, self_draft)
 
 
 encode_decode_speculative_jit = functools.partial(
@@ -459,22 +468,13 @@ def decode_window_speculative(
         xa, jnp.asarray(prompt_tokens), jnp.asarray(pad_lens),
         jnp.asarray(sot_idx), tables, cfg,
         draft_cfg if draft_cfg is not None else cfg,
-        sample_len, k_draft, draft_pool, compute_dtype, xattn_bf16)
+        sample_len, k_draft, draft_pool, compute_dtype, xattn_bf16,
+        self_draft=draft_params is None)
 
-    tokens = np.asarray(tokens)
-    n_sampled = np.asarray(n_sampled)
-    sum_lp = np.asarray(sum_lp)
-    nsp = np.asarray(nsp)
-    out: List[WindowResult] = []
-    for i in range(tokens.shape[0]):
-        toks = tokens[i, : n_sampled[i]].tolist()
-        out.append(WindowResult(
-            tokens=toks,
-            sum_logprob=float(sum_lp[i]),
-            avg_logprob=float(sum_lp[i]) / (len(toks) + 1),
-            no_speech_prob=float(nsp[i]),
-            temperature=0.0,
-        ))
+    from .greedy import decode_window_finalize
+    out = decode_window_finalize(
+        (tokens, n_sampled, sum_lp, nsp,
+         np.zeros(len(prompts), np.float32)))
     if return_passes:
-        return out, int(passes)
+        return out, int(np.asarray(passes))
     return out

@@ -114,7 +114,8 @@ def window_decode_spmd_jit(
                 tokens, n_sampled, sum_lp, nsp, _ = spec_impl(
                     params, params, data, prompt_tokens, pad_lens,
                     sot_idx, tables, cfg, cfg, sample_len, speculative,
-                    draft_pool, compute_dtype, xattn_bf16, q8_kv)
+                    draft_pool, compute_dtype, xattn_bf16, q8_kv,
+                    self_draft=True)
                 return tokens, n_sampled, sum_lp, nsp
             return impl(params, data, prompt_tokens, pad_lens, sot_idx,
                         tables, temperature, rng, cfg, sample_len,

@@ -103,6 +103,11 @@ class WindowBatcher:
         # draft's cross projections; Distil-Whisper freezes the teacher
         # encoder so this holds for the registry pairs).
         self.draft = draft
+        if draft is not None and mesh is not None:
+            # the shard_map serving program self-drafts; a configured
+            # second-model draft would be silently ignored there
+            log.warning("mesh serving self-drafts; the configured "
+                        "second-model draft is ignored under a mesh")
         if draft is not None:
             d_cfg = draft[1]
             if (d_cfg.n_vocab != cfg.n_vocab
