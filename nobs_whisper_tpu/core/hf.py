@@ -136,7 +136,9 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         (hlen,) = struct.unpack("<Q", f.read(8))
         header = json.loads(f.read(hlen))
         base = 8 + hlen
-        data = f.read()
+    # mmap the blob: a large-v3 f16 file is ~3 GB; f.read() plus a
+    # float32 upcast of every tensor tripled transient host RAM
+    data = np.memmap(path, dtype=np.uint8, mode="r", offset=base)
     for name, meta in header.items():
         if name == "__metadata__":
             continue

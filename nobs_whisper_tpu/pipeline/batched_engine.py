@@ -69,7 +69,13 @@ class BatchedEngine:
     def transcribe(self, audio: np.ndarray, language: Optional[str] = None,
                    vocabulary: Optional[str] = None,
                    context: Optional[str] = None,
+                   task: Optional[str] = None,
                    opts: Optional[DecodeOptions] = None) -> TranscribeResult:
+        if task is not None:
+            # surface parity with WhisperEngine.transcribe: fold the
+            # kwarg into opts so the fast-path/fallback routing treats
+            # it like any other strategy override
+            opts = dataclasses.replace(opts or DecodeOptions(), task=task)
         cfg = self.engine.cfg
         audio = np.asarray(audio, dtype=np.float32)
         window_frames = 2 * cfg.n_audio_ctx

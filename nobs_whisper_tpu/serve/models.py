@@ -140,10 +140,14 @@ def download_model(model_id: str, base: Optional[Path] = None,
             raise RuntimeError(f"{model_id} is already downloading")
         _PROGRESS[model_id] = 0.0
 
-    path = model_path(model_id, base)
-    tmp = path.with_suffix(".bin.partial")
+    # everything after the progress entry registers must sit inside the
+    # try/finally, or a failure (e.g. an unwritable models dir) leaves
+    # the model stuck 'downloading' until process restart
+    tmp = None
     opener = _opener or (lambda url: urllib.request.urlopen(url, timeout=60))
     try:
+        path = model_path(model_id, base)
+        tmp = path.with_suffix(".bin.partial")
         resp = opener(models[model_id].url)
         total = int(resp.headers.get("Content-Length", 0) or
                     models[model_id].size)
@@ -162,7 +166,8 @@ def download_model(model_id: str, base: Optional[Path] = None,
         os.replace(tmp, path)
         return path
     except Exception:
-        tmp.unlink(missing_ok=True)  # partial-file cleanup
+        if tmp is not None:
+            tmp.unlink(missing_ok=True)  # partial-file cleanup
         raise
     finally:
         with _PROGRESS_LOCK:

@@ -93,15 +93,26 @@ def make_handler(state: ServerState):
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n) if n else b""
 
-        def _session(self) -> Optional[StreamingSession]:
-            sid = self.path.split("/")[2]
-            s = state.sessions.get(sid)
-            if s is None:
-                self._error(f"no session {sid}", 404)
+        def _guarded(self, fn):
+            """Map handler exceptions to HTTP instead of dropping the
+            connection: KeyError (unknown model/session id) -> 404,
+            ValueError (bad input) -> 400, anything else -> 500."""
+            try:
+                return fn()
+            except KeyError as e:
+                return self._error(str(e), 404)
+            except ValueError as e:
+                return self._error(str(e), 400)
+            except Exception as e:
+                log.exception("request failed")
+                return self._error(str(e), 500)
             return s
 
         # ---- GET -----------------------------------------------------
         def do_GET(self):
+            return self._guarded(self._do_get)
+
+        def _do_get(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             if not parts or parts == ["index.html"]:
                 # built-in web client (the reference's settings SPA
@@ -167,9 +178,14 @@ def make_handler(state: ServerState):
             if sid not in state.sessions:
                 return self._error(f"no session {sid}", 404)
             q = state.subscribe(sid)
+            # the stream has no Content-Length/chunking: the connection
+            # itself delimits it, so keep-alive must be off or a
+            # conformant client waits forever after the final event
+            self.close_connection = True
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
             self.end_headers()
             try:
                 while True:
@@ -205,10 +221,26 @@ def make_handler(state: ServerState):
                     return self._session_verb(parts[1], parts[2])
                 if len(parts) == 3 and parts[0] == "models" \
                         and parts[2] == "download":
-                    threading.Thread(
-                        target=model_registry.download_model,
-                        args=(parts[1],), daemon=True).start()
-                    return self._json({"started": parts[1]})
+                    # validate BEFORE detaching: an unknown id or a
+                    # duplicate download must be an HTTP error the
+                    # client sees, not a stderr line in a dead thread
+                    mid = parts[1]
+                    if not any(m.id == mid
+                               for m in model_registry.list_models()):
+                        return self._error(f"unknown model {mid!r}", 404)
+                    if model_registry.get_download_progress(mid) \
+                            is not None:
+                        return self._error(
+                            f"{mid} is already downloading", 409)
+
+                    def dl():
+                        try:
+                            model_registry.download_model(mid)
+                        except Exception:
+                            log.exception("download of %s failed", mid)
+
+                    threading.Thread(target=dl, daemon=True).start()
+                    return self._json({"started": mid})
             except ValueError as e:
                 # bad input (e.g. an unknown task in /config) is the
                 # client's fault, not a server failure
@@ -219,12 +251,18 @@ def make_handler(state: ServerState):
             self._error("not found", 404)
 
         def do_DELETE(self):
+            return self._guarded(self._do_delete)
+
+        def _do_delete(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             if len(parts) == 2 and parts[0] == "models":
                 return self._json(
                     {"deleted": model_registry.delete_model(parts[1])})
             if len(parts) == 2 and parts[0] == "sessions":
                 s = state.sessions.pop(parts[1], None)
+                # drop the SSE fan-out queues too, or abandoned sessions
+                # leak an event_queues entry forever
+                state.event_queues.pop(parts[1], None)
                 if s:
                     s.cancel()
                 return self._json({"deleted": s is not None})
@@ -232,7 +270,11 @@ def make_handler(state: ServerState):
 
         def _query(self) -> Dict[str, str]:
             from urllib.parse import parse_qsl, urlsplit
-            return dict(parse_qsl(urlsplit(self.path).query))
+            # keep blank values: ?vocabulary= is an explicit "no
+            # vocabulary" override of the persisted default, distinct
+            # from the parameter being absent
+            return dict(parse_qsl(urlsplit(self.path).query,
+                                  keep_blank_values=True))
 
         def _transcribe(self):
             """One-shot: body = raw f32 little-endian PCM or a WAV blob."""
@@ -279,10 +321,16 @@ def make_handler(state: ServerState):
                 beam_size=beam if beam > 1 else None,
                 best_of=max(best, 1), temperature=temp,
                 task=task, word_timestamps=words)
+            # persisted language / custom vocabulary apply to every
+            # transcription unless the request overrides them — the
+            # reference threads config.language and custom_vocabulary
+            # into every call (whisper.rs:91-109)
+            lang = q.get("language") or app.language
             result = state.engine.transcribe(
                 audio,
-                language=q.get("language"),
-                vocabulary=q.get("vocabulary"),
+                language=None if lang in (None, "auto") else lang,
+                vocabulary=q.get("vocabulary",
+                                 app.custom_vocabulary or None),
                 context=q.get("context"),
                 opts=opts)
             if fmt != "json":
@@ -338,11 +386,18 @@ def make_handler(state: ServerState):
                                                  "translate"):
                 return self._error(
                     f"unknown task {task!r}; have transcribe, translate")
+            # persisted config fills the per-session defaults the same
+            # way the reference applies AppConfig to every recording
+            # (language/vocabulary whisper.rs:91-109; duration cap
+            # config.rs:36-38 / state.rs:361,565)
+            lang = opts.get("language") or app.language
             cfg = SessionConfig(
-                language=opts.get("language"),
-                vocabulary=opts.get("vocabulary"),
+                language=None if lang in (None, "auto") else lang,
+                vocabulary=opts.get("vocabulary",
+                                    app.custom_vocabulary or None),
                 sample_rate=int(opts.get("sample_rate", 16000)),
-                max_duration_s=int(opts.get("max_duration_s", 60)),
+                max_duration_s=int(opts.get(
+                    "max_duration_s", app.max_recording_duration or 60)),
                 beam_size=int(beam) if beam is not None else None,
                 best_of=int(best) if best is not None else None,
                 temperature=float(temp) if temp is not None else None,

@@ -450,3 +450,75 @@ def test_stats_endpoint(server):
     assert "stages" in stats
     assert "decode" in stats["stages"]
     assert stats["stages"]["decode"]["count"] >= 1
+
+
+def test_persisted_config_applies_serverside(server):
+    """max_recording_duration, language, and custom_vocabulary from the
+    persisted AppConfig apply to sessions and one-shots when the request
+    doesn't override them (reference semantics: config.rs:36-38 +
+    whisper.rs:91-109)."""
+    base, httpd = server
+    cfg = _get(base, "/config")
+    eng = httpd.state.engine
+    orig = eng.transcribe
+    seen = []
+
+    def spy(a, **kw):
+        seen.append(kw)
+        return orig(a, **kw)
+
+    eng.transcribe = spy
+    try:
+        cfg.update(max_recording_duration=300, language="en",
+                   custom_vocabulary="tpu pallas")
+        _post(base, "/config", json.dumps(cfg).encode())
+
+        sid = _post(base, "/sessions",
+                    json.dumps({"sample_rate": 16000}).encode())["session"]
+        s = httpd.state.sessions[sid]
+        assert s.config.max_duration_s == 300
+        assert s.config.language == "en"
+        assert s.config.vocabulary == "tpu pallas"
+
+        audio = (np.random.RandomState(31).randn(8000) * 0.2).astype(
+            np.float32)
+        _post(base, "/transcribe", audio.tobytes())
+        assert seen[-1]["language"] == "en"
+        assert seen[-1]["vocabulary"] == "tpu pallas"
+        # explicit request params still override
+        _post(base, "/transcribe?language=auto&vocabulary=", audio.tobytes())
+        assert seen[-1]["language"] is None
+        assert not seen[-1]["vocabulary"]
+    finally:
+        eng.transcribe = orig
+        cfg.update(max_recording_duration=60, language="auto",
+                   custom_vocabulary="")
+        _post(base, "/config", json.dumps(cfg).encode())
+
+
+def test_model_download_and_delete_errors_are_http(server):
+    """Unknown-model downloads/deletes surface as HTTP errors, not
+    connection drops or silent daemon-thread failures; duplicates 409."""
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/models/bogus/download")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        with urllib.request.urlopen(urllib.request.Request(
+                base + "/models/bogus", method="DELETE"), timeout=30):
+            pass
+    assert e.value.code == 404
+
+
+def test_session_delete_drops_event_queues(server):
+    base, httpd = server
+    sid = _post(base, "/sessions",
+                json.dumps({"sample_rate": 16000}).encode())["session"]
+    # subscribe so the queue entry exists
+    httpd.state.subscribe(sid)
+    assert sid in httpd.state.event_queues
+    req = urllib.request.Request(base + f"/sessions/{sid}",
+                                 method="DELETE")
+    urllib.request.urlopen(req, timeout=30).read()
+    assert sid not in httpd.state.event_queues
+    assert sid not in httpd.state.sessions
