@@ -39,8 +39,6 @@ class AudioBuffer:
         self.noise_floor = SILENCE_THRESHOLD
         self._noise_frames = 0
         self._overlap = np.zeros(0, np.float32)
-        # partial 20 ms window carry for RMS continuity
-        self._pending = np.zeros(0, np.float32)
 
     # ------------------------------------------------------------------
     def adaptive_threshold(self) -> float:
@@ -54,9 +52,20 @@ class AudioBuffer:
             self._chunks.append(samples)
             self._n += samples.size
 
+            # Rust's samples.chunks(window_size) INCLUDES the final
+            # partial chunk (audio.rs:66) — so must we, or callers that
+            # push sub-window packets (e.g. 10 ms callbacks against a
+            # 20 ms window) would never have ANY window analyzed: no
+            # speech detection, no noise-floor adaptation, and
+            # silence-boundary chunking permanently dead.
             w = window_size(self.sample_rate)
-            rms = windowed_rms(samples, self.sample_rate)
-            for i, r in enumerate(rms):
+            rms = list(windowed_rms(samples, self.sample_rate))
+            ends = [(i + 1) * w for i in range(len(rms))]
+            tail = samples[len(rms) * w:]
+            if tail.size:
+                rms.append(float(np.sqrt(np.mean(tail * tail))))
+                ends.append(samples.size)
+            for r, end in zip(rms, ends):
                 if (r < self.noise_floor * NOISE_FLOOR_UPDATE_THRESHOLD_FACTOR
                         and self._noise_frames < NOISE_FLOOR_UPDATE_MAX_FRAMES):
                     self.noise_floor = (self.noise_floor *
@@ -64,7 +73,7 @@ class AudioBuffer:
                                         float(r) * (1 - NOISE_FLOOR_EMA_DECAY))
                     self._noise_frames += 1
                 if r >= self.adaptive_threshold():
-                    self.last_speech_pos = start_pos + (i + 1) * w
+                    self.last_speech_pos = start_pos + end
 
     # ------------------------------------------------------------------
     def _samples(self) -> np.ndarray:

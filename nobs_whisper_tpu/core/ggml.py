@@ -166,6 +166,35 @@ def _pack_hb(q: np.ndarray) -> np.ndarray:
     return out
 
 
+def quantize_q4_0(x: np.ndarray) -> bytes:
+    xb = _blocked(x)
+    amax = _signed_absmax(xb)
+    d = amax / -8.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor(xb * inv_d[:, None] + 8.5), 0, 15).astype(np.int32)
+    out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q4_0]), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:18] = ((q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)).astype(
+        np.uint8)
+    return out.tobytes()
+
+
+def quantize_q4_1(x: np.ndarray) -> bytes:
+    xb = _blocked(x)
+    mn = xb.min(axis=1)
+    mx = xb.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor((xb - mn[:, None]) * inv_d[:, None] + 0.5),
+                0, 15).astype(np.int32)
+    out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q4_1]), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:20] = ((q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)).astype(
+        np.uint8)
+    return out.tobytes()
+
+
 def quantize_q5_0(x: np.ndarray) -> bytes:
     xb = _blocked(x)
     amax = _signed_absmax(xb)
@@ -174,7 +203,7 @@ def quantize_q5_0(x: np.ndarray) -> bytes:
     q = np.clip(np.floor(xb * inv_d[:, None] + 16.5), 0, 31).astype(np.int32)
     d16 = d.astype(np.float16)
     lo = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
-    hb = _pack_hb(np.concatenate([q[:, :16], q[:, 16:]], axis=1))
+    hb = _pack_hb(q)
     out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q5_0]), dtype=np.uint8)
     out[:, 0:2] = d16[:, None].view(np.uint8)
     out[:, 2:6] = hb
@@ -204,7 +233,10 @@ def quantize_q8_0(x: np.ndarray) -> bytes:
     amax = np.abs(xb).max(axis=1)
     d = amax / 127.0
     inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
-    q = np.clip(np.round(xb * inv_d[:, None]), -127, 127).astype(np.int8)
+    # ggml's quantize_row_q8_0 uses roundf = half AWAY from zero;
+    # np.round is banker's half-to-even and diverges at exact .5 steps
+    v = xb * inv_d[:, None]
+    q = np.clip(np.trunc(v + np.copysign(0.5, v)), -127, 127).astype(np.int8)
     out = np.empty((xb.shape[0], _BLOCK_BYTES[GGML_TYPE_Q8_0]), dtype=np.uint8)
     out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
     out[:, 2:34] = q.view(np.uint8)
@@ -212,9 +244,20 @@ def quantize_q8_0(x: np.ndarray) -> bytes:
 
 
 _QUANTIZE = {
+    GGML_TYPE_Q4_0: quantize_q4_0,
+    GGML_TYPE_Q4_1: quantize_q4_1,
     GGML_TYPE_Q5_0: quantize_q5_0,
     GGML_TYPE_Q5_1: quantize_q5_1,
     GGML_TYPE_Q8_0: quantize_q8_0,
+}
+
+# whisper.cpp reads the header ftype as a ggml_ftype and derives the
+# default tensor wtype from it (ggml.h GGML_FTYPE_* codes) — writing 1
+# (f16) for quantized checkpoints made them unloadable there
+_FTYPE_CODES = {
+    GGML_TYPE_F32: 0, GGML_TYPE_F16: 1,
+    GGML_TYPE_Q4_0: 2, GGML_TYPE_Q4_1: 3,
+    GGML_TYPE_Q8_0: 7, GGML_TYPE_Q5_0: 8, GGML_TYPE_Q5_1: 9,
 }
 
 
@@ -352,7 +395,7 @@ def write_ggml(
     tensor_types = tensor_types or {}
     with open(path, "wb") as f:
         f.write(struct.pack("<I", GGML_MAGIC))
-        ftype_header = 0 if default_type == GGML_TYPE_F32 else 1
+        ftype_header = _FTYPE_CODES[default_type]
         f.write(struct.pack(
             "<11i", config.n_vocab, config.n_audio_ctx,
             config.n_audio_state, config.n_audio_head, config.n_audio_layer,

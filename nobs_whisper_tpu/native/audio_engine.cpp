@@ -64,19 +64,24 @@ struct StreamBuffer {
     std::lock_guard<std::mutex> lock(mu);
     size_t start = samples.size();
     samples.insert(samples.end(), data, data + n);
-    // scan complete 20ms windows aligned to this push (matching the
-    // Python/AudioBuffer semantics: windows are per-push, fresh offset)
+    // scan 20ms windows aligned to this push INCLUDING the final
+    // partial window — the reference's samples.chunks(window) yields
+    // the tail too (audio.rs:66); without it, sub-window pushes (10 ms
+    // callbacks vs 20 ms windows) never get analyzed at all
     const int w = win();
     size_t nw = n / size_t(w);
-    for (size_t i = 0; i < nw; ++i) {
-      float r = rms(data + i * w, w);
+    size_t n_scan = nw + ((n % size_t(w)) ? 1 : 0);
+    for (size_t i = 0; i < n_scan; ++i) {
+      size_t lo = i * size_t(w);
+      size_t hi = std::min(lo + size_t(w), n);
+      float r = rms(data + lo, hi - lo);
       if (r < noise_floor * kNoiseUpdateFactor &&
           noise_frames < kNoiseMaxFrames) {
         noise_floor = noise_floor * kEmaDecay + r * (1.0f - kEmaDecay);
         ++noise_frames;
       }
       if (r >= adaptive_threshold()) {
-        last_speech_pos = start + (i + 1) * w;
+        last_speech_pos = start + hi;
       }
     }
   }

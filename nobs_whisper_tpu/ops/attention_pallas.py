@@ -131,7 +131,7 @@ def cross_attention_decode_q8(
 
 def pack_cross_kv_bf16(
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
-) -> Dict[str, jnp.ndarray]:
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """(xk, xv) fp (L, B, H, T, Dh) -> bf16 with K pre-transposed.
 
     Layout for the single-query decode kernel: K as (L,B,H,Dh,Tp) so the

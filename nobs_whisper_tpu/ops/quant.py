@@ -90,8 +90,12 @@ def q8_matmul(x: jnp.ndarray, qt: QTensor, block_m: int = 256,
 
 def dense(x: jnp.ndarray, w: Union[jnp.ndarray, QTensor],
           use_kernel: bool = False) -> jnp.ndarray:
-    """Linear dispatch: plain arrays use `@`; quantized weights dequantize
-    (XLA fallback) or run the Pallas kernel (2D hot path on TPU)."""
+    """REFERENCE linear dispatch for the kernel A/B tests: plain arrays
+    use `@`; quantized weights dequantize (XLA) or run the Pallas kernel.
+    The PRODUCTION dispatcher is models/whisper.py::_dense, which adds
+    bias handling and the measured kernel threshold gating — this
+    simpler twin exists so test_quant.py can exercise the kernel path
+    unconditionally."""
     if not is_quantized(w):
         return x @ w
     if use_kernel and x.ndim == 2 and w["q"].ndim == 2:
@@ -157,8 +161,6 @@ def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
     bias layout uniform). Works on plain or int8-quantized trees; the
     decoder forward splits the fused output. Fewer, wider matmuls = less
     per-step op overhead in the decode loop."""
-    import jax.numpy as jnp
-
     out = dict(params)
     dec = dict(params["decoder"])
     blocks = dict(dec["blocks"])

@@ -268,3 +268,28 @@ def test_stream_frames():
     frames = list(stream_frames(audio, frame_ms=10, sample_rate=SR))
     assert len(frames) == 10
     assert sum(len(f) for f in frames) == len(audio)
+
+
+def test_sub_window_pushes_are_analyzed():
+    """Callback-sized pushes smaller than the 20 ms RMS window must still
+    drive speech detection and noise-floor adaptation — the reference's
+    chunks(window) includes the final partial chunk (audio.rs:66);
+    dropping it left VAD permanently dead for 10 ms packet streams."""
+    import numpy as np
+    from nobs_whisper_tpu.audio.buffer import AudioBuffer
+
+    rate = 48_000
+    buf = AudioBuffer(rate)
+    w = rate * 20 // 1000                     # 960-sample window
+    packet = w // 2                           # 10 ms pushes
+    rng = np.random.RandomState(0)
+    # 1 s of speech-level audio in 10 ms packets
+    for _ in range(100):
+        buf.push_samples((rng.randn(packet) * 0.3).astype(np.float32))
+    assert buf.last_speech_pos > 0
+    # then silence long enough to form a boundary (>= 700 ms)
+    for _ in range(100):
+        buf.push_samples(np.zeros(packet, np.float32))
+    assert buf.has_silence_boundary()
+    chunk = buf.take_chunk_at_silence()
+    assert chunk is not None and chunk.size > 0

@@ -42,7 +42,8 @@ def test_roundtrip_f16(tmp_path):
                 ckpt.tensors[name], expect.astype(np.float16).astype(np.float32))
 
 
-@pytest.mark.parametrize("qtype", [ggml.GGML_TYPE_Q5_0, ggml.GGML_TYPE_Q5_1,
+@pytest.mark.parametrize("qtype", [ggml.GGML_TYPE_Q4_0, ggml.GGML_TYPE_Q4_1,
+                                   ggml.GGML_TYPE_Q5_0, ggml.GGML_TYPE_Q5_1,
                                    ggml.GGML_TYPE_Q8_0])
 def test_roundtrip_quantized(tmp_path, qtype):
     cfg, tensors, _, _, ckpt = _roundtrip(tmp_path, qtype)
@@ -53,8 +54,9 @@ def test_roundtrip_quantized(tmp_path, qtype):
             np.testing.assert_array_equal(got, expect)
         else:
             # quantization error bounded by ~1 step of the block scale
-            scale = np.abs(expect).max() / (15 if qtype != ggml.GGML_TYPE_Q8_0
-                                            else 127)
+            levels = {ggml.GGML_TYPE_Q4_0: 8, ggml.GGML_TYPE_Q4_1: 15,
+                      ggml.GGML_TYPE_Q8_0: 127}.get(qtype, 15)
+            scale = np.abs(expect).max() / levels
             assert np.abs(got - expect).max() <= scale * 1.1 + 1e-6
 
 
@@ -172,3 +174,31 @@ def test_bad_magic(tmp_path):
         f.write(b"nope" + b"\x00" * 64)
     with pytest.raises(ValueError, match="bad magic"):
         ggml.read_ggml(path)
+
+
+def test_header_ftype_codes(tmp_path):
+    """The header ftype must use ggml_ftype codes (q5_0 -> 8 etc.):
+    whisper.cpp derives its default tensor wtype from it, so writing 1
+    (f16) for quantized checkpoints made them unloadable there."""
+    import struct
+    for qtype, code in [(ggml.GGML_TYPE_F32, 0), (ggml.GGML_TYPE_F16, 1),
+                        (ggml.GGML_TYPE_Q4_0, 2), (ggml.GGML_TYPE_Q8_0, 7),
+                        (ggml.GGML_TYPE_Q5_0, 8), (ggml.GGML_TYPE_Q5_1, 9)]:
+        _roundtrip(tmp_path, qtype)  # writes tmp_path/'model.bin'
+        with open(str(tmp_path / "model.bin"), "rb") as f:
+            f.read(4)
+            header = struct.unpack("<11i", f.read(44))
+        assert header[-1] == code, (qtype, header[-1], code)
+
+
+def test_q8_rounding_half_away_from_zero():
+    """ggml's roundf rounds .5 AWAY from zero; np.round (half-to-even)
+    diverged by 1 LSB at exact half steps."""
+    # block whose max is 127 -> d = 1.0, values at exact .5 quantize up
+    x = np.zeros(32, np.float32)
+    x[0] = 127.0
+    x[1] = 2.5
+    x[2] = -2.5
+    raw = ggml.quantize_q8_0(x)
+    q = np.frombuffer(raw, np.int8)[2:34]
+    assert q[1] == 3 and q[2] == -3, (q[1], q[2])
