@@ -334,10 +334,25 @@ def _main_with_wedge_retry():
                   f"{'retrying in a fresh process' if attempt == 1 else 'giving up'}",
                   file=sys.stderr)
             continue
-        if rc == 0 or attempt == 2:
-            sys.exit(rc)
+        if rc == 0:
+            sys.exit(0)
+        if attempt == 2:
+            break
         print(f"# bench attempt {attempt} exited rc={rc} — retrying",
               file=sys.stderr)
+    # both attempts failed (e.g. a prolonged tunnel outage, CLAUDE.md):
+    # emit an explicit error record so the round artifact documents the
+    # platform failure instead of being empty — value null is NOT a
+    # measurement
+    print(json.dumps({
+        "metric": "rtf_bench_failed",
+        "value": None,
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": None,
+        "error": "bench did not complete (wedged/omitted TPU tunnel "
+                 "dispatch after 2 deadlined attempts; see CLAUDE.md "
+                 "platform notes)",
+    }))
     sys.exit(1)
 
 
