@@ -23,11 +23,19 @@ def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
     forces mono capture, src-tauri/src/audio.rs:263-296)."""
     src = (io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes)
            else path_or_bytes)
-    with wave.open(src, "rb") as w:
-        rate = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(src, "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        # stdlib wave rejects WAVE_FORMAT_IEEE_FLOAT (format tag 3,
+        # e.g. ffmpeg -c:a pcm_f32le output) — parse the RIFF chunks
+        # ourselves for that case
+        blob = (path_or_bytes if isinstance(path_or_bytes, bytes)
+                else open(path_or_bytes, "rb").read())
+        return _read_float_wav(blob)
 
     if width == 2:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
@@ -46,6 +54,38 @@ def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported sample width {width}")
 
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32), rate
+
+
+def _read_float_wav(blob: bytes) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF parser for IEEE-float WAVs (format tag 3), which the
+    stdlib wave module refuses to open."""
+    import struct
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(blob)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _, _, bits = fmt
+    if tag == 0xFFFE and len(blob) and bits in (32, 64):
+        tag = 3                                # extensible float subtype
+    if tag != 3:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(
+        np.float32)
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x.astype(np.float32), rate

@@ -194,9 +194,14 @@ def log_mel_longform(audio: np.ndarray, n_mels: int = 80,
     audio = np.asarray(audio, dtype=np.float32)
     if padding:
         audio = np.concatenate([audio, np.zeros(padding, np.float32)])
+    n_frames = audio.shape[0] // HOP_LENGTH
+    if n_frames == 0:
+        # audio shorter than one hop with padding=0 (a public parameter,
+        # mirroring openai's log_mel_spectrogram(padding=0)): an empty
+        # spectrogram, not a concatenate-of-nothing crash
+        return np.zeros((n_mels, 0), np.float32)
     pad = N_FFT // 2
     padded = np.pad(audio, (pad, pad), mode="reflect")
-    n_frames = audio.shape[0] // HOP_LENGTH
 
     frames_per_win = N_FRAMES  # 3000
     n_windows = -(-n_frames // frames_per_win)

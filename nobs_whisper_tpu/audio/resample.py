@@ -52,6 +52,13 @@ def resample_jax(audio, in_rate: int, out_rate: int = SAMPLE_RATE):
 
     Static rates -> static shapes; suitable for fusing ahead of the mel
     kernel when streaming at a fixed ingest rate.
+
+    NOT numerically/length-interchangeable with the host ``resample``:
+    this path returns floor(n*up/down) samples (the host pads/trims to
+    round(n*out/in)) and its group-delay compensation differs by ~0.5
+    input sample for integer-downsample ratios. The serving path uses
+    the host/native resamplers exclusively; treat this as a fusion
+    experiment surface, not a drop-in.
     """
     import jax.numpy as jnp
 

@@ -158,14 +158,19 @@ class NativeAudioBuffer:
         return bool(self._lib.nwt_buffer_has_silence_boundary(self._h))
 
     def _take(self, fn) -> Optional[np.ndarray]:
-        need = fn(self._h, None, 0)
-        if need <= 0:
-            return None
-        out = np.empty(need, np.float32)
-        n = fn(self._h, _fptr(out), out.size)
-        if n < 0:
-            return None
-        return out[:n]
+        # size-then-consume is not atomic: a concurrent push between the
+        # two calls makes the consuming call return -1 (buffer grew past
+        # the sized capacity). Retry with the fresh size instead of
+        # silently reporting a full buffer as empty.
+        for _ in range(8):
+            need = fn(self._h, None, 0)
+            if need <= 0:
+                return None
+            out = np.empty(need, np.float32)
+            n = fn(self._h, _fptr(out), out.size)
+            if n >= 0:
+                return out[:n]
+        raise RuntimeError("native buffer kept growing during take()")
 
     def take_chunk_at_silence(self) -> Optional[np.ndarray]:
         return self._take(self._lib.nwt_buffer_take_silence_chunk)

@@ -88,7 +88,16 @@ class SessionConfig:
 
     def decode_opts(self):
         """DecodeOptions for this session, or None for engine defaults
-        (the greedy fast path)."""
+        (the greedy fast path).
+
+        Inheritance is all-or-nothing: once ANY strategy field is set,
+        the remaining unset fields resolve to greedy defaults, not to
+        the engine's configured strategy (the engine's defaults are not
+        visible here). The serving layer avoids the gap by resolving
+        AppConfig values into the session fields at creation
+        (serve/server.py::_create_session); direct library users who
+        mix a partially-set SessionConfig with a non-default engine
+        strategy should set every field they care about."""
         if (self.beam_size is None and self.best_of is None
                 and self.temperature is None and self.task is None):
             return None
@@ -119,6 +128,14 @@ class StreamingSession:
         self._results_lock = threading.Lock()
         self._started_at = 0.0
         self._cancelled = False
+        # recording generation: incremented by every start(). Detached
+        # workers/finalizers capture their generation and refuse to
+        # touch state, emit events, or write results once a NEWER
+        # recording exists — without this, a stale finalize from a
+        # cancelled session could force the new session back to IDLE
+        # and overwrite its transcript.
+        self._gen = 0
+        self._finalize_thread: Optional[threading.Thread] = None
         self.last_transcript: Optional[str] = None
 
     # ------------------------------------------------------------------
@@ -130,14 +147,17 @@ class StreamingSession:
         except Exception:
             log.exception("event callback failed")
 
-    def _worker_loop(self, q: queue.Queue):
+    def _worker_loop(self, q: queue.Queue, results: List[str], gen: int):
         """Chunk consumer: resample -> transcribe with rolling context ->
         ordered results. A failed chunk is logged and skipped.
 
-        Each finished chunk is emitted live as a ``partial`` event — the
-        streaming analog of the reference accumulating results while
-        recording continues (state.rs:147-155) — and the first one
-        records the session's first-partial latency in /stats."""
+        ``results`` is THIS generation's list (never self._results — a
+        later start() swaps that attribute and a stale worker would
+        append to the new session). Each finished chunk is emitted live
+        as a ``partial`` event — the streaming analog of the reference
+        accumulating results while recording continues
+        (state.rs:147-155) — and the first one records the session's
+        first-partial latency in /stats."""
         rolling: Optional[str] = None
         while True:
             item = q.get()
@@ -152,15 +172,15 @@ class StreamingSession:
                     opts=self.config.decode_opts())
                 if r.text:
                     with self._results_lock:
-                        first = not self._results
-                        self._results.append(r.text)
+                        first = not results
+                        results.append(r.text)
                     rolling = r.text
                     if first:
                         from ..utils.profiling import GLOBAL_PROFILER
                         GLOBAL_PROFILER.record(
                             "first_partial",
                             time.monotonic() - self._started_at)
-                    if not self._cancelled:
+                    if not self._cancelled and gen == self._gen:
                         self._emit("partial", transcript=r.text)
             except Exception:
                 log.exception("streaming chunk failed; skipping")
@@ -176,9 +196,12 @@ class StreamingSession:
             self._chunk_q = queue.Queue()
             self._results = []
             self._cancelled = False
+            self._gen += 1
             self._started_at = time.monotonic()
             self._worker = threading.Thread(
-                target=self._worker_loop, args=(self._chunk_q,), daemon=True)
+                target=self._worker_loop,
+                args=(self._chunk_q, self._results, self._gen),
+                daemon=True)
             self._worker.start()
             self.state = SessionState.RECORDING
         self._emit("recording")
@@ -186,15 +209,21 @@ class StreamingSession:
 
     def push_audio(self, frames: np.ndarray) -> None:
         """Ingest path = the reference's cpal callback: buffer the frames,
-        then dispatch any VAD-ready chunk to the worker."""
+        then dispatch any VAD-ready chunk to the worker.
+
+        Runs entirely under the session lock: a push racing stop() could
+        otherwise write samples into the already-drained buffer (audio
+        silently lost) or enqueue a chunk behind the worker's shutdown
+        sentinel. The buffer push is a memcpy + windowed RMS and the
+        queue is unbounded, so holding the lock is cheap."""
         with self._lock:
             if self.state != SessionState.RECORDING:
                 return
             buf, q = self._buffer, self._chunk_q
-        buf.push_samples(frames)
-        chunk = buf.poll_chunk()
-        if chunk is not None and q is not None:
-            q.put(chunk)
+            buf.push_samples(frames)
+            chunk = buf.poll_chunk()
+            if chunk is not None and q is not None:
+                q.put(chunk)
 
     def elapsed_s(self) -> float:
         return (time.monotonic() - self._started_at
@@ -206,27 +235,50 @@ class StreamingSession:
     def stop(self, wait: bool = True) -> Optional[str]:
         """Finalize: drain worker, transcribe the residue (silence-split if
         >30 s), join results. Returns the final transcript (when wait)."""
+        started = False
+        fin = None
         with self._lock:
-            if self.state != SessionState.RECORDING:
-                return self.last_transcript if wait else None
-            self.state = SessionState.PROCESSING
-            buf, q, worker = self._buffer, self._chunk_q, self._worker
-            self._buffer = None
-            self._chunk_q = None
-            self._worker = None
+            if self.state == SessionState.RECORDING:
+                started = True
+                self.state = SessionState.PROCESSING
+                buf, q, worker = self._buffer, self._chunk_q, self._worker
+                self._buffer = None
+                self._chunk_q = None
+                self._worker = None
+                gen = self._gen
+                results = self._results
+            elif self.state == SessionState.PROCESSING:
+                # a detached finalize is still computing THIS recording's
+                # transcript — join it before answering, or the caller
+                # would get the PREVIOUS recording's text
+                fin = self._finalize_thread
+        if not started:
+            if wait and fin is not None:
+                fin.join(timeout=900)
+            return self.last_transcript if wait else None
         self._emit("processing")
 
         def finalize() -> str:
             q.put(None)            # close the queue -> worker drains & exits
             worker.join(timeout=120)
-            if self._cancelled:
-                # cancel() raced the detached finalize: discard everything
-                # (reference discards on cancel, state.rs:874-914)
+            if worker.is_alive():
+                # a chunk transcribe is grinding (remote compile can take
+                # minutes on this box) — proceeding would snapshot a
+                # truncated result set; say so instead of staying silent
+                log.warning("session worker still busy after 120 s; the "
+                            "final transcript may miss in-flight chunks")
+
+            def stale() -> bool:
+                # a cancel() or a NEWER recording owns the session now;
+                # this finalize must not touch state or emit anything
+                return self._cancelled or self._gen != gen
+
+            if stale():
                 return ""
             remaining = buf.take()
             texts: List[str]
             with self._results_lock:
-                texts = list(self._results)
+                texts = list(results)
             rolling = texts[-1] if texts else None
             audio16k = resample(remaining, self.config.sample_rate,
                                 SAMPLE_RATE)
@@ -248,11 +300,11 @@ class StreamingSession:
                     if r.text:
                         texts.append(r.text)
                         rolling = r.text
-                        if not self._cancelled:
+                        if not stale():
                             self._emit("partial", transcript=r.text)
             final_text = " ".join(texts)
             with self._lock:
-                if self._cancelled:   # cancelled mid-transcription
+                if stale():       # cancelled / superseded mid-transcription
                     return ""
                 self.state = SessionState.IDLE
                 self.last_transcript = final_text
@@ -261,7 +313,9 @@ class StreamingSession:
 
         if wait:
             return finalize()
-        threading.Thread(target=finalize, daemon=True).start()
+        t = threading.Thread(target=finalize, daemon=True)
+        self._finalize_thread = t
+        t.start()
         return None
 
     def toggle(self) -> bool:

@@ -26,6 +26,11 @@ def normalize_text(text: str) -> str:
     """Lowercase, strip punctuation/diacritics, expand basic contractions,
     collapse whitespace."""
     text = text.lower()
+    # typographic apostrophes (HF/Whisper output uses U+2019) must fold
+    # to ASCII BEFORE contraction expansion, or "don’t" misses the
+    # table, loses its apostrophe to the punctuation strip, and scores
+    # two errors against a verbatim-correct hypothesis
+    text = text.replace("’", "'").replace("‘", "'")
     for k, v in _CONTRACTIONS.items():
         text = text.replace(k, v)
     text = unicodedata.normalize("NFKD", text)

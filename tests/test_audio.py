@@ -293,3 +293,29 @@ def test_sub_window_pushes_are_analyzed():
     assert buf.has_silence_boundary()
     chunk = buf.take_chunk_at_silence()
     assert chunk is not None and chunk.size > 0
+
+
+def test_read_float32_wav():
+    """IEEE-float WAVs (ffmpeg pcm_f32le) load via the RIFF fallback —
+    the stdlib wave module rejects format tag 3."""
+    import struct
+    import numpy as np
+    from nobs_whisper_tpu.audio.io import read_wav
+
+    x = (np.sin(np.arange(1600) / 10.0) * 0.5).astype("<f4")
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    audio, rate = read_wav(blob)
+    assert rate == 16000
+    np.testing.assert_allclose(audio, x.astype(np.float32), atol=1e-7)
+
+
+def test_log_mel_longform_empty_audio():
+    import numpy as np
+    from nobs_whisper_tpu.audio.mel import log_mel_longform
+    out = log_mel_longform(np.zeros(100, np.float32), padding=0)
+    assert out.shape == (80, 0)

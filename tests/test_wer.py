@@ -58,3 +58,10 @@ def test_eval_harness_pairs(tmp_path):
     texts = {p.stem: t for p, t in pairs}
     assert texts["u1"] == "hello world"
     assert texts["sp-ch-u2"] == "SECOND UTTERANCE"
+
+
+def test_typographic_apostrophes_normalize():
+    """U+2019 contractions must score zero errors vs ASCII references."""
+    from nobs_whisper_tpu.utils.wer import word_error_rate
+    r = word_error_rate("don't stop", "don’t stop")
+    assert r.wer == 0.0
