@@ -175,12 +175,16 @@ class RouterState:
 
     def request_full(self, backend: Backend, method: str, path: str,
                      body: Optional[bytes] = None,
-                     timeout: float = REQUEST_TIMEOUT_S):
+                     timeout: float = REQUEST_TIMEOUT_S,
+                     headers: Optional[dict] = None):
         """Like request() but also returns the response Content-Type, so
         relays can forward non-JSON bodies (the web client's HTML, vtt/srt
-        transcripts) untouched."""
+        transcripts) untouched. `headers` forwards request headers the
+        backend needs to parse the body (the OpenAI endpoints' multipart
+        boundary rides Content-Type)."""
         req = urllib.request.Request(
-            backend.base_url + path, data=body, method=method)
+            backend.base_url + path, data=body, method=method,
+            headers=headers or {})
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return (resp.status, resp.read(),
@@ -316,6 +320,13 @@ def make_handler(state: RouterState):
                 return
             if parts == ["transcribe"]:
                 return self._transcribe(body)
+            if len(parts) == 3 and parts[:2] == ["v1", "audio"]:
+                # OpenAI-compatible one-shots: stateless like
+                # /transcribe, same round-robin + failover; the
+                # multipart boundary lives in Content-Type, forward it
+                return self._transcribe(body, headers={
+                    "Content-Type":
+                        self.headers.get("Content-Type", "")})
             if parts == ["config"] or (
                     len(parts) == 3 and parts[0] == "models"):
                 # broadcast: config + model downloads apply on every host
@@ -351,7 +362,7 @@ def make_handler(state: RouterState):
             self.end_headers()
             self.wfile.write(data)
 
-        def _transcribe(self, body: bytes):
+        def _transcribe(self, body: bytes, headers: Optional[dict] = None):
             """Round-robin with failover: a connection-level failure on
             one backend retries the remaining healthy ones."""
             tried = set()
@@ -362,7 +373,7 @@ def make_handler(state: RouterState):
                 tried.add(b.base_url)
                 try:
                     status, data, ctype = state.request_full(
-                        b, "POST", self.path, body)
+                        b, "POST", self.path, body, headers=headers)
                 except Exception:
                     continue   # marked down; try the next one
                 self.send_response(status)

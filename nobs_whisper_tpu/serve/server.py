@@ -125,6 +125,9 @@ def make_handler(state: ServerState):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if parts == ["v1", "models"]:
+                from . import openai_compat
+                return self._json(openai_compat.models_listing(state))
             if parts == ["health"]:
                 return self._json({
                     "ok": True,
@@ -215,6 +218,14 @@ def make_handler(state: ServerState):
                     return self._json(new.to_dict())
                 if parts == ["transcribe"]:
                     return self._transcribe()
+                if parts == ["v1", "audio", "transcriptions"]:
+                    from . import openai_compat
+                    return openai_compat.handle_audio(
+                        self, state, "transcribe")
+                if parts == ["v1", "audio", "translations"]:
+                    from . import openai_compat
+                    return openai_compat.handle_audio(
+                        self, state, "translate")
                 if parts == ["sessions"]:
                     return self._create_session()
                 if len(parts) == 3 and parts[0] == "sessions":

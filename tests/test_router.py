@@ -183,3 +183,30 @@ def test_reconcile_keeps_sessions_created_during_sweep(cluster):
         out = _post(base, f"/sessions/{s}/start")
         assert "started" in out
         _post(base, f"/sessions/{s}/cancel")
+
+
+def test_openai_endpoints_route_through(cluster):
+    """The OpenAI-compatible one-shots relay like /transcribe, with the
+    multipart boundary (Content-Type) forwarded to the backend."""
+    base, _, _, _ = cluster
+    boundary = "xNwtRouterBoundary42"
+    audio = (np.random.RandomState(7).randn(8000) * 0.2).astype("<f4")
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; '
+        'filename="a.pcm"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n").encode() \
+        + audio.tobytes() + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="language"\r\n\r\n'
+        "en\r\n"
+        f"--{boundary}--\r\n").encode()
+    req = urllib.request.Request(
+        base + "/v1/audio/transcriptions", data=body, method="POST",
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert "text" in json.loads(r.read())
+    # GET /v1/models relays via the generic first-healthy path
+    out = _get(base, "/v1/models")
+    assert out["object"] == "list"
