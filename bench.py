@@ -75,6 +75,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("NWT_BENCH_CPU"):
+        # CPU smoke hook: env vars alone don't switch the platform on
+        # this box (sitecustomize pre-imports jax as axon); the config
+        # must be updated post-import, before first backend use
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                "/root/.cache/jax_compile_cache")
     os.makedirs(cache_dir, exist_ok=True)
