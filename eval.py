@@ -48,6 +48,13 @@ def main():
     p.add_argument("--language", default="en")
     p.add_argument("--beam-size", type=int, default=1)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--temperature-increment", type=float, default=0.2,
+                   help="fallback ladder step; 0 disables the ladder "
+                        "(deterministic greedy)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="evaluate N utterances concurrently through one "
+                        "shared window batcher (windows pack cross-file "
+                        "into device batches; 1 = sequential)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
@@ -72,18 +79,38 @@ def main():
         sys.exit(2)
 
     opts = DecodeOptions(
-        beam_size=args.beam_size if args.beam_size > 1 else None)
-    results = []
-    total_audio_s = 0.0
-    t0 = time.perf_counter()
-    for audio_path, ref in pairs:
+        beam_size=args.beam_size if args.beam_size > 1 else None,
+        temperature_increment=max(args.temperature_increment, 0.0))
+    runner = engine
+    if args.batch > 1:
+        # cross-utterance batching: N files in flight through one shared
+        # window batcher (single-window files pack directly; longer ones
+        # run their window chain through the batcher)
+        from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
+        runner = BatchedEngine(engine, opts=opts,
+                               max_batch=min(args.batch, len(pairs)))
+
+    def run_one(item):
+        audio_path, ref = item
         audio, rate = load_audio(str(audio_path))
         audio = resample(audio, rate)
-        total_audio_s += len(audio) / 16000
-        out = engine.transcribe(audio, language=args.language, opts=opts)
+        out = runner.transcribe(audio, language=args.language, opts=opts)
         r = word_error_rate(ref, out.text)
-        results.append((str(audio_path), ref, out.text, r))
+        return (str(audio_path), ref, out.text, r, len(audio) / 16000)
+
+    t0 = time.perf_counter()
+    if args.batch > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        try:
+            with ThreadPoolExecutor(max_workers=args.batch) as ex:
+                rows = list(ex.map(run_one, pairs))
+        finally:
+            runner.close()
+    else:
+        rows = [run_one(p) for p in pairs]
     wall = time.perf_counter() - t0
+    results = [(path, ref, hyp, r) for path, ref, hyp, r, _ in rows]
+    total_audio_s = sum(a for *_, a in rows)
 
     agg = corpus_wer([(ref, hyp) for _, ref, hyp, _ in results])
     exact = sum(1 for *_, r in results if r.exact_match)

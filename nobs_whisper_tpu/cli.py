@@ -55,32 +55,83 @@ def cmd_transcribe(args):
     from .decode.rules import DecodeOptions
 
     engine = _load_engine(args.model, args.dtype)
-    audio, rate = load_audio(args.file)
-    audio = resample(audio, rate)
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
+        best_of=max(args.best_of, 1),
+        temperature=args.temperature,
+        temperature_increment=max(args.temperature_increment, 0.0),
+        logprob_threshold=args.logprob_threshold,
+        entropy_threshold=args.entropy_threshold,
+        no_speech_threshold=args.no_speech_threshold,
+        compression_ratio_threshold=args.compression_ratio_threshold,
         timestamps=not args.no_timestamps,
         word_timestamps=args.word_timestamps,
         speculative=max(args.speculative, 0))
-    result = engine.transcribe(audio, language=args.language,
-                               vocabulary=args.vocabulary, task=args.task,
-                               opts=opts)
-    if args.output_format:
-        from .utils.writers import write_result
-        import os
-        out = args.output or os.path.splitext(args.file)[0] + \
-            "." + args.output_format
-        write_result(result, out, args.output_format)
-        print(f"wrote {out}")
-    elif args.json:
-        print(json.dumps({
-            "text": result.text,
-            "language": result.language,
-            "segments": [dataclasses.asdict(s) for s in result.segments]}))
+    files = args.file
+    batch = max(args.batch, 1)
+    if batch > 1 and args.word_timestamps:
+        print("--word-timestamps needs the sequential path; "
+              "ignoring --batch", file=sys.stderr)
+        batch = 1
+    batched = None
+    if batch > 1 and len(files) > 1:
+        # N files through one shared window batcher: single-window files
+        # pack directly; long files run the window chain through the
+        # batcher so their windows pack cross-file (batched long-form,
+        # pipeline/longform.py batcher mode)
+        from .pipeline.batched_engine import BatchedEngine
+        batched = BatchedEngine(engine, opts=opts,
+                                max_batch=min(batch, len(files)),
+                                speculative=max(args.speculative, 0))
+
+    def run_one(path):
+        audio, rate = load_audio(path)
+        audio = resample(audio, rate)
+        return (batched or engine).transcribe(
+            audio, language=args.language, vocabulary=args.vocabulary,
+            task=args.task, opts=opts)
+
+    if batched is not None:
+        from concurrent.futures import ThreadPoolExecutor
+        try:
+            with ThreadPoolExecutor(max_workers=batch) as ex:
+                results = list(ex.map(run_one, files))
+        finally:
+            batched.close()
     else:
-        for seg in result.segments:
-            print(f"[{seg.start:7.2f} --> {seg.end:7.2f}] {seg.text}")
-        print(result.text)
+        results = [run_one(f) for f in files]
+
+    multi = len(files) > 1
+    for path, result in zip(files, results):
+        if args.output_format:
+            from .utils.writers import write_result
+            import os
+            if args.output and multi:
+                # multiple inputs: --output is a directory of sidecars
+                os.makedirs(args.output, exist_ok=True)
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out = os.path.join(args.output,
+                                   stem + "." + args.output_format)
+            else:
+                out = args.output or os.path.splitext(path)[0] + \
+                    "." + args.output_format
+            write_result(result, out, args.output_format)
+            print(f"wrote {out}")
+        elif args.json:
+            rec = {
+                "text": result.text,
+                "language": result.language,
+                "segments": [dataclasses.asdict(s)
+                             for s in result.segments]}
+            if multi:
+                rec = {"file": path, **rec}
+            print(json.dumps(rec))
+        else:
+            if multi:
+                print(f"== {path} ==")
+            for seg in result.segments:
+                print(f"[{seg.start:7.2f} --> {seg.end:7.2f}] {seg.text}")
+            print(result.text)
 
 
 def _default_batch(model: Optional[str]) -> int:
@@ -226,8 +277,15 @@ def main(argv=None):
                         "sitecustomize pre-initializes jax)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    t = sub.add_parser("transcribe", help="transcribe an audio file")
-    t.add_argument("file")
+    t = sub.add_parser("transcribe", help="transcribe audio file(s)")
+    t.add_argument("file", nargs="+",
+                   help="audio file(s); several files with --batch N "
+                        "share one device batch")
+    t.add_argument("--batch", type=int, default=1,
+                   help="transcribe up to N files concurrently through "
+                        "one shared window batcher (their 30 s windows "
+                        "pack into common device batches; 1 = "
+                        "sequential)")
     t.add_argument("--model", default=None, help="model id or .bin path")
     t.add_argument("--language", default=None)
     t.add_argument("--vocabulary", default=None)
@@ -236,6 +294,19 @@ def main(argv=None):
                    default="transcribe")
     t.add_argument("--no-timestamps", action="store_true")
     t.add_argument("--word-timestamps", action="store_true")
+    # sampling / quality-gate knobs (openai & whisper.cpp CLI analogs;
+    # defaults = the reference's thresholds, whisper.rs:121-124)
+    t.add_argument("--temperature", type=float, default=0.0)
+    t.add_argument("--temperature-increment", type=float, default=0.2,
+                   help="fallback ladder step; 0 disables the ladder")
+    t.add_argument("--best-of", type=int, default=1,
+                   help="candidates sampled on ladder rungs above "
+                        "temperature 0")
+    t.add_argument("--logprob-threshold", type=float, default=-1.0)
+    t.add_argument("--entropy-threshold", type=float, default=2.4)
+    t.add_argument("--no-speech-threshold", type=float, default=0.6)
+    t.add_argument("--compression-ratio-threshold", type=float,
+                   default=2.4)
     t.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="exact speculative greedy decode (K drafted "
                         "tokens/pass, token-identical output; 0 = off)")

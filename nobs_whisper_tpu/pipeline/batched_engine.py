@@ -66,6 +66,40 @@ class BatchedEngine:
         (see WindowBatcher.warmup)."""
         return self.batcher.warmup(**kw)
 
+    def _transcribe_longform_batched(self, audio: np.ndarray,
+                                     language: Optional[str],
+                                     vocabulary: Optional[str],
+                                     context: Optional[str]
+                                     ) -> TranscribeResult:
+        """Long-form via the shared batcher (WhisperEngine.transcribe
+        semantics — api.py — with every window decode submitted to the
+        batcher instead of dispatched sequentially)."""
+        from ..audio.mel import log_mel_longform
+        from ..utils.profiling import stage_timer
+        from .longform import transcribe_mel
+
+        eng = self.engine
+        if language == "auto":
+            lang = None
+        elif language is None:
+            lang = self.opts.language
+        else:
+            lang = language
+        opts = dataclasses.replace(self.opts, language=lang)
+        with stage_timer("mel"):
+            mel = log_mel_longform(audio, n_mels=eng.cfg.n_mels)
+        content_frames = audio.shape[0] // HOP_LENGTH
+        initial = eng.build_initial_prompt(vocabulary, context)
+        result = transcribe_mel(
+            eng.params, mel, content_frames, eng.cfg, eng.tokenizer,
+            opts, initial_prompt_tokens=initial,
+            compute_dtype=eng.compute_dtype,
+            alignment_heads=eng.alignment_heads,
+            batcher=self.batcher)
+        filtered = filter_hallucinations(result.text)
+        return TranscribeResult(text=filtered, segments=result.segments,
+                                language=result.language)
+
     def transcribe(self, audio: np.ndarray, language: Optional[str] = None,
                    vocabulary: Optional[str] = None,
                    context: Optional[str] = None,
@@ -88,8 +122,17 @@ class BatchedEngine:
         if content_frames > window_frames \
                 or (opts is not None and opts != self.opts) \
                 or (self.opts.best_of or 1) > 1:
-            # long-form, custom options, or best_of sampling (which tiles
-            # the batch axis): sequential path
+            if content_frames > window_frames and eff == self.opts \
+                    and not eff.word_timestamps \
+                    and (eff.best_of or 1) <= 1:
+                # long-form with the batcher's own strategy: run the
+                # window chain through the SHARED batcher, so concurrent
+                # long files batch across callers (longform.transcribe_mel
+                # batcher mode)
+                return self._transcribe_longform_batched(
+                    audio, language, vocabulary, context)
+            # custom options, word timestamps, or best_of sampling (which
+            # tiles the batch axis): sequential path
             return self.engine.transcribe(audio, language=language,
                                           vocabulary=vocabulary,
                                           context=context, opts=eff)

@@ -166,12 +166,32 @@ def transcribe_mel(
     compute_dtype=jnp.float32,
     rng=None,
     alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
+    batcher=None,
 ) -> TranscribeResult:
     """Sequential window loop over a precomputed long-form mel.
 
     ``alignment_heads``: tuned (layer, head) list for word-timestamp DTW
     (from checkpoint metadata); falls back to the upper-half-layers
-    heuristic when absent."""
+    heuristic when absent.
+
+    ``batcher``: an optional WindowBatcher. When given, each window's
+    decode is SUBMITTED to the shared batcher instead of dispatched
+    directly — windows from concurrent callers (N files transcribed in
+    parallel, N live sessions) pack into one device batch. The window
+    chain stays sequential per call (window N+1's prompt needs window
+    N's text — the algorithm, not an implementation limit), so the
+    cross-caller batch is the only parallelism available, exactly the
+    reference's serialized-GPU observation (whisper.rs:151) solved the
+    TPU way. The batcher's opts must equal ``opts`` (its rule tables and
+    strategy are baked at construction); word_timestamps and best_of>1
+    need the sequential path (they consume the encoder states / tile the
+    batch axis). Ladder retries above temperature 0 sample with the
+    batcher's per-dispatch rng rather than this function's ``rng``."""
+    if batcher is not None and (
+            opts.word_timestamps or (opts.best_of or 1) > 1):
+        raise ValueError("batched long-form supports neither "
+                         "word_timestamps nor best_of>1; "
+                         "use the sequential path")
     from ..models.whisper import encode_jit
     encode_fn = encode_fn or (
         lambda m: encode_jit(params, m, cfg, compute_dtype))
@@ -204,32 +224,61 @@ def transcribe_mel(
             window = np.pad(window,
                             ((0, 0), (0, window_frames - window.shape[1])))
         from ..utils.profiling import stage_timer
-        with stage_timer("encode"):
-            xa = encode_fn(jnp.asarray(window[None]))
-
-        if language is None and cfg.multilingual:
-            lang_idx, _ = detect_language_jit(params, xa, tables, cfg,
-                                              compute_dtype)
-            from ..core.tokenizer import LANGUAGES
-            language = LANGUAGES[int(np.asarray(lang_idx)[0])]
+        xa = None
+        if batcher is None:
+            with stage_timer("encode"):
+                xa = encode_fn(jnp.asarray(window[None]))
+            if language is None and cfg.multilingual:
+                lang_idx, _ = detect_language_jit(params, xa, tables, cfg,
+                                                  compute_dtype)
+                from ..core.tokenizer import LANGUAGES
+                language = LANGUAGES[int(np.asarray(lang_idx)[0])]
         lang = language or "en"
 
-        # prompt: [sot_prev, rolling text...] + sot sequence
+        # prompt: [sot_prev, rolling text...] + sot sequence. In batched
+        # mode with language still unknown, "en" is a placeholder and
+        # lang_slot marks the token the batcher patches after its batched
+        # language-detect forward (whisper.rs:91-95 analog).
         prompt: List[int] = []
         if all_tokens[prompt_reset_since:]:
             prompt.append(cfg.sot_prev)
             prompt.extend(all_tokens[prompt_reset_since:]
                           [-(cfg.n_text_ctx // 2 - 1):])
+        sot_pos = len(prompt)
         prompt.extend(tokenizer.sot_sequence(
             language=lang if cfg.multilingual else None,
             task=opts.task, timestamps=opts.timestamps))
 
-        rng, sub = jax.random.split(rng)
-        with stage_timer("decode"):
-            result = decode_with_fallback(params, xa, prompt, cfg, tables,
-                                          opts, rng=sub,
-                                          compute_dtype=compute_dtype,
-                                          tokenizer=tokenizer)
+        if batcher is None:
+            rng, sub = jax.random.split(rng)
+            with stage_timer("decode"):
+                result = decode_with_fallback(params, xa, prompt, cfg,
+                                              tables, opts, rng=sub,
+                                              compute_dtype=compute_dtype,
+                                              tokenizer=tokenizer)
+        else:
+            lang_slot = (sot_pos + 1 if language is None
+                         and cfg.multilingual else None)
+            # temperature ladder at this level: each rung's submit packs
+            # with whatever other callers have in flight
+            result = None
+            for temp in _temperature_ladder(opts):
+                result = batcher.submit(
+                    window, prompt, temperature=temp,
+                    lang_slot=lang_slot).result(timeout=600)
+                if lang_slot is not None and result.language:
+                    language = result.language
+                    prompt[lang_slot] = \
+                        tokenizer.language_token(language)
+                    lang_slot = None
+                text_chk = tokenizer.decode(result.tokens)
+                if not needs_fallback(result.avg_logprob,
+                                      token_entropy(result.tokens),
+                                      len(result.tokens), opts,
+                                      text=text_chk,
+                                      no_speech_prob=result.no_speech_prob):
+                    break
+            lang = language or "en"
 
         time_offset = seek * HOP_LENGTH / SAMPLE_RATE
         if is_no_speech(result.no_speech_prob, result.avg_logprob, opts):

@@ -213,10 +213,12 @@ def test_translate_task_through_batcher_fast_path(engines):
 
 
 def test_fallback_paths_inherit_configured_opts(engines):
-    """The long-form fallback must decode with the engine's configured
-    strategy when the caller passes opts=None — a translate-configured
-    BatchedEngine may not silently transcribe audio merely because it
-    spans multiple windows."""
+    """Long-form with opts=None must decode with the engine's configured
+    strategy — a translate-configured BatchedEngine may not silently
+    transcribe audio merely because it spans multiple windows. With the
+    batched long-form path, the window chain runs through the SHARED
+    batcher (whose opts ARE the configured strategy) and must match the
+    sequential engine decoding with those opts."""
     import dataclasses
 
     eng, _ = engines
@@ -224,6 +226,15 @@ def test_fallback_paths_inherit_configured_opts(engines):
     translating = BatchedEngine(eng, opts=tr_opts, max_batch=4,
                                 max_wait_ms=20)
     try:
+        long_audio = speech_like_audio(31.0, seed=29)
+        b = translating.transcribe(long_audio, language="en")
+        # the window chain really ran through the batcher
+        assert len(translating.batcher.batch_sizes) > 0
+        direct = eng.transcribe(long_audio, language="en", opts=tr_opts)
+        assert b.text == direct.text
+
+        # an EXPLICIT non-matching opts still takes the sequential
+        # fallback (the batcher's rule tables are baked at construction)
         seen = []
         orig = eng.transcribe
 
@@ -233,18 +244,48 @@ def test_fallback_paths_inherit_configured_opts(engines):
 
         eng.transcribe = spy
         try:
-            long_audio = speech_like_audio(31.0, seed=29)
-            b = translating.transcribe(long_audio, language="en")
+            translating.transcribe(long_audio, language="en",
+                                   opts=_NO_FALLBACK)
         finally:
             eng.transcribe = orig
-        # no batch ran: this really took the sequential fallback, and
-        # the fallback decoded with the configured translate opts
-        assert len(translating.batcher.batch_sizes) == 0
-        assert seen and seen[-1] is not None and seen[-1].task == "translate"
-        direct = eng.transcribe(long_audio, language="en", opts=tr_opts)
-        assert b.text == direct.text
+        assert seen and seen[-1] is not None \
+            and seen[-1].task != "translate"
     finally:
         translating.close()
+
+
+def test_concurrent_longform_files_batch_across_callers(engines):
+    """Two threads each transcribing a multi-window file through one
+    BatchedEngine: windows pack cross-file into shared device batches
+    (the offline multi-file workload), and each file's transcript equals
+    its sequential decode (the window chain itself stays sequential —
+    window N+1's prompt needs window N's text)."""
+    eng, _ = engines
+    batched = BatchedEngine(eng, opts=_NO_FALLBACK, max_batch=4,
+                            max_wait_ms=150)
+    try:
+        audios = {i: speech_like_audio(2.0, seed=40 + i) for i in (0, 1)}
+        results = {}
+        start = threading.Barrier(2)
+
+        def run(i):
+            start.wait()
+            results[i] = batched.transcribe(audios[i], language="en")
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in audios]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {0, 1}
+        # cross-file batching actually happened
+        assert max(batched.batcher.batch_sizes, default=0) >= 2
+        for i, audio in audios.items():
+            direct = eng.transcribe(audio, language="en",
+                                    opts=_NO_FALLBACK)
+            assert results[i].text == direct.text
+    finally:
+        batched.close()
 
 
 def test_session_decode_opts_flow_to_engine(engines):

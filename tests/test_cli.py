@@ -170,6 +170,58 @@ def test_default_batch_per_model():
     assert _default_batch("/data/smallville/ggml-large-v3.bin") == 24
 
 
+def test_cli_transcribe_multi_file_batched(wav_and_model, tmp_path):
+    """transcribe f1 f2 --batch 2: both files through one shared window
+    batcher; per-file JSON records match the sequential single-file
+    outputs exactly. Both files are MULTI-window so both take the
+    batched long-form path (which runs the same seek algorithm as the
+    sequential engine; single-window chunks take the fast path, which
+    legitimately skips the seek loop's partial-window re-decodes)."""
+    _, model = wav_and_model
+    from nobs_whisper_tpu.audio.io import write_wav
+    files = []
+    for name, (secs, seed) in (("b1.wav", (2.0, 7)),
+                               ("b2.wav", (1.6, 8))):
+        f = str(tmp_path / name)
+        write_wav(f, speech_like_audio(secs, seed=seed))
+        files.append(f)
+
+    # --temperature-increment 0 pins a single temp-0 rung: with random
+    # weights every window fails the quality gates, and ladder rungs
+    # above 0 sample with path-specific rngs (documented divergence)
+    det = ["--temperature-increment", "0"]
+    batched = _run(["transcribe", *files, "--model", model,
+                    "--language", "en", "--dtype", "float32", "--json",
+                    "--batch", "2", *det], str(tmp_path))
+    assert batched.returncode == 0, batched.stderr
+    recs = [json.loads(ln) for ln in batched.stdout.strip().splitlines()
+            if ln.startswith("{")]
+    assert [r["file"] for r in recs] == files
+
+    for f, rec in zip(files, recs):
+        solo = _run(["transcribe", f, "--model", model, "--language",
+                     "en", "--dtype", "float32", "--json", *det],
+                    str(tmp_path))
+        assert solo.returncode == 0, solo.stderr
+        assert json.loads(
+            solo.stdout.strip().splitlines()[-1])["text"] == rec["text"]
+
+
+def test_cli_transcribe_multi_file_sidecars(wav_and_model, tmp_path):
+    """Multiple inputs with --output-format write per-file sidecars into
+    the --output directory."""
+    wav, model = wav_and_model
+    from nobs_whisper_tpu.audio.io import write_wav
+    wav2 = str(tmp_path / "c.wav")
+    write_wav(wav2, speech_like_audio(0.4, seed=8))
+    outdir = tmp_path / "subs"
+    r = _run(["transcribe", wav, wav2, "--model", model, "--language",
+              "en", "--dtype", "float32", "--output-format", "srt",
+              "--output", str(outdir), "--batch", "2"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "a.srt").exists() and (outdir / "c.srt").exists()
+
+
 def test_cli_transcribe_speculative_matches_plain(wav_and_model, tmp_path):
     """transcribe --speculative K (DecodeOptions.speculative flowing
     through the longform path) gives the same transcript as plain."""

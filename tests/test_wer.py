@@ -60,6 +60,48 @@ def test_eval_harness_pairs(tmp_path):
     assert texts["sp-ch-u2"] == "SECOND UTTERANCE"
 
 
+def test_eval_harness_batched_matches_sequential(tmp_path):
+    """eval.py --batch N routes utterances through one shared window
+    batcher and must report identical WER/exact-match to the sequential
+    run (greedy determinism across the batched path)."""
+    import json
+    import subprocess
+    import sys
+
+    from nobs_whisper_tpu.audio.io import write_wav
+    from nobs_whisper_tpu.utils.testing import (speech_like_audio,
+                                                write_tiny_checkpoint)
+
+    model = str(tmp_path / "m.bin")
+    write_tiny_checkpoint(model)
+    for i in range(3):
+        # multi-window files: both paths then run the same long-form
+        # seek algorithm (single-window chunks take the batcher fast
+        # path, which skips the seek loop's partial-window re-decodes)
+        write_wav(str(tmp_path / f"u{i}.wav"),
+                  speech_like_audio(1.5, seed=20 + i))
+        (tmp_path / f"u{i}.txt").write_text(f"utterance {i}")
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "eval.py", str(tmp_path), "--model", model,
+             "--dtype", "float32", "--json",
+             "--temperature-increment", "0", *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+                 "JAX_PLATFORMS": "cpu",
+                 "NOBS_WHISPER_TPU_HOME": str(tmp_path),
+                 "PYTHONPATH": "/root/repo"})
+        assert r.returncode == 0, r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    seq = run([])
+    bat = run(["--batch", "3"])
+    assert bat["utterances"] == seq["utterances"] == 3
+    assert bat["wer"] == seq["wer"]
+    assert bat["exact_match_rate"] == seq["exact_match_rate"]
+
+
 def test_typographic_apostrophes_normalize():
     """U+2019 contractions must score zero errors vs ASCII references."""
     from nobs_whisper_tpu.utils.wer import word_error_rate
