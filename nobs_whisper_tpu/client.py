@@ -272,6 +272,18 @@ class Session:
         body = np.asarray(samples, np.float32).astype("<f4").tobytes()
         self.client._request("POST", f"/sessions/{self.id}/audio", body)
 
+    def websocket(self, timeout: float = 300.0):
+        """Open the session's full-duplex WebSocket channel (the
+        single-channel Tauri-IPC analog, lib.rs:117-134 + state.rs:453):
+        send binary frames of little-endian f32 PCM, send JSON verb
+        frames ({"verb": "start"|...}), receive JSON replies and session
+        events. Returns a ``serve.ws.ClientWebSocket``."""
+        from .serve import ws as wsmod
+
+        url = (self.client.base_url.replace("http://", "ws://", 1)
+               + f"/sessions/{self.id}/ws")
+        return wsmod.client_connect(url, timeout=timeout)
+
     def events(self, timeout: Optional[float] = None
                ) -> Iterator[SessionEvent]:
         """Yield SSE events until the final one (done/cancelled). The

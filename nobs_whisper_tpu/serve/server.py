@@ -175,7 +175,98 @@ def make_handler(state: ServerState):
             if len(parts) == 3 and parts[0] == "sessions" \
                     and parts[2] == "events":
                 return self._sse_events(parts[1])
+            if len(parts) == 3 and parts[0] == "sessions" \
+                    and parts[2] == "ws":
+                return self._websocket(parts[1])
             self._error("not found", 404)
+
+        def _websocket(self, sid: str):
+            """Full-duplex session channel (the Tauri-IPC analog,
+            lib.rs:117-134 + state.rs:453 in ONE socket): binary frames
+            = f32 LE PCM pushed to the session; JSON text frames =
+            verbs ({"verb": "start"|"stop"|"toggle"|"cancel"|"press"|
+            "release"}, each answered with a JSON reply); session
+            events stream down as JSON text frames ({"event": ...})."""
+            from . import ws as wsmod
+            s = state.sessions.get(sid)
+            if s is None:
+                return self._error(f"no session {sid}", 404)
+            if not wsmod.is_upgrade_request(self.headers):
+                return self._error("expected a websocket upgrade", 400)
+            sock = wsmod.upgrade(self)
+            q = state.subscribe(sid)
+            stop_pump = threading.Event()
+
+            def pump_events():
+                while not stop_pump.is_set():
+                    try:
+                        ev = q.get(timeout=0.5)
+                    except queue.Empty:
+                        continue
+                    try:
+                        sock.send_json(
+                            {"event": dataclasses.asdict(ev)})
+                    except Exception:
+                        return
+                    if ev.is_final or ev.state == "cancelled":
+                        return
+
+            pump = threading.Thread(target=pump_events, daemon=True)
+            pump.start()
+            try:
+                while True:
+                    msg = sock.recv()
+                    if msg is None:
+                        break
+                    opcode, payload = msg
+                    if opcode == wsmod.OP_BINARY:
+                        s.push_audio(np.frombuffer(payload, "<f4"))
+                        if s.over_duration_cap():
+                            s.stop(wait=False)
+                        continue
+                    try:
+                        verb = json.loads(payload.decode()).get("verb")
+                    except Exception:
+                        sock.send_json({"error": "bad frame"})
+                        continue
+                    if verb == "start":
+                        sock.send_json({"reply": verb,
+                                        "started": s.start(),
+                                        "state": s.state.value})
+                    elif verb == "stop":
+                        text = s.stop(wait=True)
+                        sock.send_json({"reply": verb,
+                                        "transcript": text,
+                                        "state": s.state.value})
+                    elif verb == "toggle":
+                        sock.send_json({"reply": verb,
+                                        "recording": s.toggle(),
+                                        "state": s.state.value})
+                    elif verb == "cancel":
+                        s.cancel()
+                        sock.send_json({"reply": verb,
+                                        "state": s.state.value})
+                    elif verb in ("press", "release"):
+                        ptt = state.config_manager.config.push_to_talk
+                        if verb == "press":
+                            if ptt:
+                                s.start()
+                            else:
+                                s.toggle()
+                        elif ptt:
+                            s.stop(wait=False)
+                        sock.send_json({"reply": verb,
+                                        "state": s.state.value})
+                    else:
+                        sock.send_json(
+                            {"error": f"unknown verb {verb!r}"})
+            except (wsmod.WebSocketError, BrokenPipeError,
+                    ConnectionResetError, OSError):
+                pass
+            finally:
+                stop_pump.set()
+                state.unsubscribe(sid, q)
+                sock.close()
 
         def _sse_events(self, sid: str):
             if sid not in state.sessions:
