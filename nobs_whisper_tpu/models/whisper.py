@@ -268,6 +268,11 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # experiment knob (trace-time, like the others): int8 QK^T inside the
     # flat attention kernel — 2x MXU rate on scores, ~0.5% score noise
     attn_i8 = bool(os.environ.get("NWT_ATTN_I8"))
+    # experiment knob (trace-time): int8 probs@V in the same kernel — the
+    # PV half of the matmul work at the 2x int8 rate (probs quantize with
+    # a fixed 127 scale, V per-head-scalar). Accuracy-priced like
+    # NWT_ATTN_I8; the two compose.
+    attn_i8pv = bool(os.environ.get("NWT_ATTN_I8PV"))
     t_real = x.shape[1]
     if use_btd:
         tp_btd = -(-t_real // attn_bq) * attn_bq
@@ -299,6 +304,7 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                                       float(dh) ** -0.5, n_head,
                                       block_q=attn_bq,
                                       int8_scores=attn_i8,
+                                      int8_pv=attn_i8pv,
                                       interpret=interp)
             q = k = v = None
         elif use_int8_qkv and is_quantized(p["q_w"]):

@@ -103,7 +103,7 @@ def encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
-                     scale, dh, int8_scores=False):
+                     scale, dh, int8_scores=False, int8_pv=False):
     """Head-PAIR instance on flat (T, 2*dh) lane blocks.
 
     The other head's lanes are zeroed out of each Q tile before its
@@ -200,18 +200,66 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
                 s1 = jnp.where(key_pad, neg, s1)
             return s0, s1
 
-    def soft_pv(j, s01):
-        o01 = []
-        for s in s01:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(jnp.bfloat16), v2,
-                        preferred_element_type=jnp.float32)  # (bq, 128)
-            o01.append(o / l)
-        out = jnp.where(lane_lo, o01[0], o01[1])
-        o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
-            o_ref.dtype)
+    if int8_pv:
+        # int8 probs@V: the PV half of the kernel's matmul work at the
+        # 2x int8 MXU rate. Probabilities are exp(s - max) in [0, 1] by
+        # construction, so they quantize with the FIXED scale 127 (no
+        # statistics pass); V is quantized once per (b, pair) instance
+        # with per-head scalar scales (pad rows excluded from the
+        # statistics exactly as for K above — they contribute nothing to
+        # the dot since their probs are exp(-1e30-m) == 0, but an
+        # outlier pad row would coarsen every real value's scale).
+        # Normalization uses the QUANTIZED probs' sum so the output
+        # stays a true weighted average of (dequantized) V rows.
+        # Opt-in, accuracy-priced like int8_scores.
+        vf = v2.astype(jnp.float32)
+        if n_real < t:
+            row_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (t, 1), 0) < n_real          # (T, 1) sublanes
+            vf_stat = jnp.where(row_ok, vf, 0.0)
+        else:
+            vf_stat = vf
+        sv0 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, vf_stat, 0.0))),
+            1e-6) / 127.0
+        sv1 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, vf_stat))),
+            1e-6) / 127.0
+        vq = jnp.clip(jnp.round(vf * jnp.where(lane_lo, 1.0 / sv0,
+                                               1.0 / sv1)),
+                      -127, 127).astype(jnp.int8)
+        sv_lane = jnp.where(lane_lo, sv0, sv1)          # (1, 128)
+        pv_dims = (((1,), (0,)), ((), ()))              # plain matmul
+
+        def soft_pv(j, s01):
+            o01 = []
+            for s in s01:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)                      # in [0, 1]
+                pq = jnp.round(p * 127.0).astype(jnp.int8)
+                lq = jnp.maximum(
+                    jnp.sum(pq.astype(jnp.float32), axis=-1,
+                            keepdims=True), 1.0)        # >= the max row
+                o = jax.lax.dot_general(
+                    pq, vq, pv_dims,
+                    preferred_element_type=jnp.int32)   # (bq, 128)
+                o01.append(o.astype(jnp.float32) / lq)
+            out = jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
+            o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
+                o_ref.dtype)
+    else:
+        def soft_pv(j, s01):
+            o01 = []
+            for s in s01:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jnp.dot(p.astype(jnp.bfloat16), v2,
+                            preferred_element_type=jnp.float32)  # (bq, 128)
+                o01.append(o / l)
+            out = jnp.where(lane_lo, o01[0], o01[1])
+            o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
+                o_ref.dtype)
 
     s_cur = scores(0)
     for j in range(n_blk):
@@ -223,6 +271,7 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
 def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           n_real: int, sm_scale: float, n_head: int,
                           block_q: int = 256, int8_scores: bool = False,
+                          int8_pv: bool = False,
                           interpret: bool = False) -> jnp.ndarray:
     """Flat-layout twin of :func:`encoder_attention`: q/k/v/out stay in
     the projections' native (B, T, d) layout (d = n_head * dh, head h on
@@ -242,7 +291,7 @@ def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_attn_kernel_btd, n_real=n_real,
                           block_q=block_q, scale=sm_scale, dh=dh,
-                          int8_scores=int8_scores),
+                          int8_scores=int8_scores, int8_pv=int8_pv),
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         grid=(b, n_pair),
         in_specs=[spec, spec, spec],

@@ -1,14 +1,17 @@
-"""Accuracy delta of int8 QK^T in the flat attention kernel, measured
-through the FULL 32-layer large-v3-turbo encoder (the same instrument
-that justified the int8 MLP default: per-layer noise compounds through
-the stack, so the end-of-stack delta is the honest number).
+"""Accuracy delta of the int8 attention-kernel variants (QK^T scores,
+probs@V, both) measured through the FULL 32-layer large-v3-turbo encoder
+(the same instrument that justified the int8 MLP default: per-layer noise
+compounds through the stack, so the end-of-stack delta is the honest
+number).
 
-Compares encode() outputs bf16-scores vs int8-scores on identical
+Compares encode() outputs bf16 vs each int8 variant on identical
 quantized params/audio. Run on the chip (env knobs are trace-time, so
-this process traces each variant in a separately-keyed jit).
+this process traces each variant in a separately-keyed jit). Prints one
+JSON line at the end so recovery_measurements.py can bank it.
 """
 
 import functools
+import json
 import os
 import sys
 
@@ -16,6 +19,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
+
+VARIANTS = {
+    "i8_scores": {"NWT_ATTN_I8": "1"},
+    "i8_pv": {"NWT_ATTN_I8PV": "1"},
+    "i8_both": {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"},
+}
+KNOBS = ("NWT_ATTN_I8", "NWT_ATTN_I8PV")
 
 
 def main():
@@ -40,31 +50,42 @@ def main():
         np.asarray(pad_or_trim(speech_like_audio(28.0, seed=s)))
         for s in range(b)]))
 
-    # int8_scores is threaded through encode via the NWT_ATTN_I8 env
-    # knob, read at TRACE time — so the env is set on the host BEFORE
-    # each trace (mutating it inside the traced function would couple
-    # correctness to retrace order and leak the knob into the process),
-    # and static_argnames keys the two traces apart
-    @functools.partial(jax.jit, static_argnames=("i8",))
-    def enc(params, a, i8):
+    # the int8 variants are threaded through encode via env knobs read at
+    # TRACE time — so the env is set on the host BEFORE each trace
+    # (mutating it inside the traced function would couple correctness to
+    # retrace order and leak the knob into the process), and
+    # static_argnames keys the traces apart
+    @functools.partial(jax.jit, static_argnames=("key",))
+    def enc(params, a, key):
         mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
         return encode(params, mel, cfg, compute_dtype=jnp.bfloat16)
 
-    prior = os.environ.pop("NWT_ATTN_I8", None)
+    prior = {k: os.environ.pop(k, None) for k in KNOBS}
+    out = {}
     try:
-        ref = np.asarray(enc(params, audio, False), np.float32)
-        os.environ["NWT_ATTN_I8"] = "1"
-        got = np.asarray(enc(params, audio, True), np.float32)
+        ref = np.asarray(enc(params, audio, "bf16"), np.float32)
+        scale = np.abs(ref).max()
+        rms = np.sqrt((ref ** 2).mean())
+        print(f"encoder output: |ref|_max {scale:.3f}")
+        for name, env in VARIANTS.items():
+            for k in KNOBS:
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            got = np.asarray(enc(params, audio, name), np.float32)
+            abs_err = np.abs(got - ref)
+            rel_max = float(abs_err.max() / scale)
+            rel_rms = float(np.sqrt((abs_err ** 2).mean()) / rms)
+            out[name] = {"rel_max": round(rel_max, 4),
+                         "rel_rms": round(rel_rms, 4)}
+            print(f"{name}: rel max err {rel_max:.4f}  "
+                  f"rel rms {rel_rms:.4f}")
     finally:
-        if prior is None:
-            os.environ.pop("NWT_ATTN_I8", None)
-        else:
-            os.environ["NWT_ATTN_I8"] = prior
-    scale = np.abs(ref).max()
-    abs_err = np.abs(got - ref)
-    print(f"encoder output: |ref|_max {scale:.3f}")
-    print(f"rel max err {abs_err.max() / scale:.4f}  "
-          f"rel rms {np.sqrt((abs_err ** 2).mean()) / np.sqrt((ref ** 2).mean()):.4f}")
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    print(json.dumps({"metric": "attn_i8_rel_err", "variants": out}))
 
 
 if __name__ == "__main__":

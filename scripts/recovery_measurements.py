@@ -33,9 +33,9 @@ OUT = os.path.join(REPO, "scripts", "recovery_results.jsonl")
 DEADLINE_S = int(os.environ.get("NWT_RECOVERY_DEADLINE_S", "600"))
 
 
-def run_one(name: str, cmd: list) -> bool:
+def run_one(name: str, cmd: list, extra_env: dict = None) -> bool:
     print(f"=== {name}: {' '.join(cmd)}", file=sys.stderr)
-    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1"}
+    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1", **(extra_env or {})}
     t0 = time.time()
     try:
         r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
@@ -90,6 +90,11 @@ def main():
                          "--repeats", "2"])
     run_one("attn_i8_validate",
             [py, "scripts/attn_i8_validate.py"])
+    # int8 attention variants, perf side (accuracy side above): scores
+    # already measured (+1.1% headline, kept opt-in); PV and both are new
+    run_one("bench_attn_i8pv", bench, {"NWT_ATTN_I8PV": "1"})
+    run_one("bench_attn_i8_both", bench,
+            {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"})
 
 
 if __name__ == "__main__":

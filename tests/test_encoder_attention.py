@@ -97,6 +97,49 @@ def test_f32_inputs_bf16_matmul_tolerance():
 
 
 @pytest.mark.parametrize("n_real", [256, 250])
+def test_btd_int8_pv_close_to_reference(n_real):
+    """int8 probs@V variant: probs quantize with a fixed 127 scale (they
+    are exp(s-max) in [0,1]), V with per-head scalar scales; the
+    normalization uses the quantized probs' own sum so the output stays
+    a weighted average of V rows."""
+    b, h, t, dh = 2, 4, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=8)
+    sm = float(dh) ** -0.5
+
+    def flat(z):
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), n_real, sm,
+                                h, block_q=128, int8_pv=True,
+                                interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, n_real, sm))
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=5e-2, atol=5e-2)
+
+
+def test_btd_int8_scores_and_pv_compose():
+    """Both int8 halves on together: the full kernel matmul work at the
+    int8 MXU rate, noise still bounded."""
+    b, h, t, dh = 1, 4, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=9)
+    sm = float(dh) ** -0.5
+
+    def flat(z):
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), 250, sm, h,
+                                block_q=128, int8_scores=True,
+                                int8_pv=True, interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, 250, sm))
+    np.testing.assert_allclose(
+        np.asarray(got[:, :250], np.float32),
+        np.asarray(ref[:, :250], np.float32),
+        rtol=8e-2, atol=8e-2)
+
+
+@pytest.mark.parametrize("n_real", [256, 250])
 def test_btd_int8_scores_close_to_reference(n_real):
     """int8 QK^T variant: same contract, slightly looser tolerance
     (per-row q x per-head-scalar k int8 adds ~0.5% score noise)."""
