@@ -273,6 +273,12 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # a fixed 127 scale, V per-head-scalar). Accuracy-priced like
     # NWT_ATTN_I8; the two compose.
     attn_i8pv = bool(os.environ.get("NWT_ATTN_I8PV"))
+    # experiment knob (trace-time): fuse LN + the q/k/v projections INTO
+    # the flat attention kernel (ops/encoder_attention.py::
+    # encoder_attention_fused_qkv) — the projection outputs never exist
+    # in HBM (~940 MB/layer deleted at B=40 turbo) and LN+quant runs once
+    # per row instead of once per projection. Quantized encoders only.
+    attn_fused = bool(os.environ.get("NWT_ATTN_FUSED"))
     t_real = x.shape[1]
     if use_btd:
         tp_btd = -(-t_real // attn_bq) * attn_bq
@@ -290,7 +296,17 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             y = h @ w
             return y if bias is None else y + bias
 
-        if use_btd:
+        if use_btd and attn_fused and is_quantized(p["q_w"]) \
+                and 2 * (x.shape[-1] // n_head) == 128:
+            from ..ops.encoder_attention import encoder_attention_fused_qkv
+            dh = x.shape[-1] // n_head
+            a = encoder_attention_fused_qkv(
+                x, p["ln1_g"], p["ln1_b"],
+                p["q_w"], p["q_b"], p["k_w"], p["v_w"], p["v_b"],
+                t_real, float(dh) ** -0.5, n_head, block_q=attn_bq,
+                int8_scores=attn_i8, int8_pv=attn_i8pv, interpret=interp)
+            q = k = v = None
+        elif use_btd:
             # flat path: projections feed the head-pair kernel in their
             # native (B, T, d) layout — no split/merge, no per-layer pad
             # (x was padded once to the kernel's T multiple above)

@@ -306,6 +306,247 @@ def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
+                           wq_ref, sq_ref, bq_ref,
+                           wk_ref, sk_ref,
+                           wv_ref, sv_ref, bv_ref,
+                           o_ref, hq_ref, hs_ref, *,
+                           n_real, block_q, scale, dh,
+                           int8_scores=False, int8_pv=False):
+    """Head-pair attention with the LN + q/k/v projections fused in.
+
+    Grid (B, n_pair), j = pair. The residual-stream block x is indexed
+    (i, 0, 0) — constant across j — so Pallas fetches it once per batch
+    row and skips the re-copy on the later pair steps; LN + dynamic
+    per-row int8 quantization run ONCE per row (at j == 0) into scratch
+    persisting across the pair sweep. Each pair instance then computes
+    its own (T, 128) q/k/v tiles as int8 x int8 MXU matmuls against the
+    pair's weight column blocks and runs the same masked-dot attention
+    as :func:`_attn_kernel_btd`.
+
+    What this deletes vs the unfused path: the q/k/v projection outputs
+    never exist in HBM (3 x (B, T, d) bf16 writes + 3 reads, ~940
+    MB/layer at B=40 turbo), and the LN'd/quantized activations are
+    computed once instead of once per projection. Added traffic: the
+    per-pair weight blocks are re-fetched per (i, j) step (~0.5 MB/step,
+    hidden under ~10 us of per-step MXU work by the pipeline).
+    """
+    j = pl.program_id(1)
+
+    t = x_ref.shape[1]
+    d = x_ref.shape[2]
+    n_blk = t // block_q
+    dims = (((1,), (1,)), ((), ()))                # contract lanes
+    mm = (((1,), (0,)), ((), ()))                  # plain matmul
+
+    @pl.when(j == 0)
+    def _ln_quant():
+        xf = x_ref[0].astype(jnp.float32)          # (T, d)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = (h * g_ref[...].astype(jnp.float32)
+             + b_ref[...].astype(jnp.float32))
+        sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                         1e-6) / 127.0
+        hq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
+            jnp.int8)
+        hs_ref[...] = sx
+
+    hq = hq_ref[...]                               # (T, d) int8
+    sx = hs_ref[...]                               # (T, 1) f32
+
+    def proj(w_ref, s_ref, bias_ref=None):
+        y = jax.lax.dot_general(hq, w_ref[...], mm,
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * s_ref[...].astype(jnp.float32)
+        if bias_ref is not None:
+            y = y + bias_ref[...].astype(jnp.float32)
+        return y                                   # (T, 128) f32
+
+    q2 = proj(wq_ref, sq_ref, bq_ref)
+    k2 = proj(wk_ref, sk_ref).astype(jnp.bfloat16)
+    v2 = proj(wv_ref, sv_ref, bv_ref).astype(jnp.bfloat16)
+
+    lane_lo = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 2 * dh), 1) < dh            # (1, 128) lanes mask
+    zero = jnp.zeros((), jnp.bfloat16)
+
+    neg = jnp.float32(-1e30)
+    if n_real < t:
+        key_pad = jax.lax.broadcasted_iota(
+            jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
+    else:
+        key_pad = None
+
+    # attention core: same masked-dot formulation (and the same int8
+    # variants) as _attn_kernel_btd, with q sourced from the in-kernel
+    # projection instead of an operand ref
+    if int8_scores:
+        kf = k2.astype(jnp.float32)
+        if n_real < t:
+            row_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (t, 1), 0) < n_real
+            kf_stat = jnp.where(row_ok, kf, 0.0)
+        else:
+            kf_stat = kf
+        sk0 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, kf_stat, 0.0))),
+            1e-6) / 127.0
+        sk1 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, kf_stat))),
+            1e-6) / 127.0
+        kq = jnp.clip(jnp.round(kf * jnp.where(lane_lo, 1.0 / sk0,
+                                               1.0 / sk1)),
+                      -127, 127).astype(jnp.int8)
+
+        def scores(jb):
+            qj = q2[jb * block_q:(jb + 1) * block_q, :]  # (bq, 128) f32
+            out = []
+            for lo, sk in ((True, sk0), (False, sk1)):
+                qh = jnp.where(lane_lo, qj, 0.0) if lo else \
+                    jnp.where(lane_lo, 0.0, qj)
+                sq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1,
+                                         keepdims=True), 1e-6) / 127.0
+                qq = jnp.clip(jnp.round(qh / sq), -127, 127).astype(
+                    jnp.int8)
+                s = jax.lax.dot_general(
+                    qq, kq, dims, preferred_element_type=jnp.int32)
+                s = s.astype(jnp.float32) * (sq * (sk * scale))
+                out.append(jnp.where(key_pad, neg, s)
+                           if key_pad is not None else s)
+            return tuple(out)
+    else:
+        def scores(jb):
+            qj = (q2[jb * block_q:(jb + 1) * block_q, :]
+                  * scale).astype(jnp.bfloat16)          # (bq, 128)
+            s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2,
+                                     dims,
+                                     preferred_element_type=jnp.float32)
+            s1 = jax.lax.dot_general(jnp.where(lane_lo, zero, qj), k2,
+                                     dims,
+                                     preferred_element_type=jnp.float32)
+            if key_pad is not None:
+                s0 = jnp.where(key_pad, neg, s0)
+                s1 = jnp.where(key_pad, neg, s1)
+            return s0, s1
+
+    if int8_pv:
+        vf = v2.astype(jnp.float32)
+        if n_real < t:
+            row_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (t, 1), 0) < n_real
+            vf_stat = jnp.where(row_ok, vf, 0.0)
+        else:
+            vf_stat = vf
+        sv0 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, vf_stat, 0.0))),
+            1e-6) / 127.0
+        sv1 = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, vf_stat))),
+            1e-6) / 127.0
+        vq = jnp.clip(jnp.round(vf * jnp.where(lane_lo, 1.0 / sv0,
+                                               1.0 / sv1)),
+                      -127, 127).astype(jnp.int8)
+        sv_lane = jnp.where(lane_lo, sv0, sv1)
+
+        def soft_pv(jb, s01):
+            o01 = []
+            for s in s01:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                pq = jnp.round(p * 127.0).astype(jnp.int8)
+                lq = jnp.maximum(
+                    jnp.sum(pq.astype(jnp.float32), axis=-1,
+                            keepdims=True), 1.0)
+                o = jax.lax.dot_general(
+                    pq, vq, mm, preferred_element_type=jnp.int32)
+                o01.append(o.astype(jnp.float32) / lq)
+            out = jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
+            o_ref[0, jb * block_q:(jb + 1) * block_q, :] = out.astype(
+                o_ref.dtype)
+    else:
+        def soft_pv(jb, s01):
+            o01 = []
+            for s in s01:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jnp.dot(p.astype(jnp.bfloat16), v2,
+                            preferred_element_type=jnp.float32)
+                o01.append(o / l)
+            out = jnp.where(lane_lo, o01[0], o01[1])
+            o_ref[0, jb * block_q:(jb + 1) * block_q, :] = out.astype(
+                o_ref.dtype)
+
+    s_cur = scores(0)
+    for jb in range(n_blk):
+        s_next = scores(jb + 1) if jb + 1 < n_blk else None
+        soft_pv(jb, s_cur)
+        s_cur = s_next
+
+
+def encoder_attention_fused_qkv(x: jnp.ndarray, ln_g, ln_b,
+                                wq, bq, wk, wv, bv,
+                                n_real: int, sm_scale: float,
+                                n_head: int, block_q: int = 256,
+                                int8_scores: bool = False,
+                                int8_pv: bool = False,
+                                interpret: bool = False) -> jnp.ndarray:
+    """LN + q/k/v projections + head-pair attention in ONE kernel.
+
+    ``x``: (B, T, d) residual stream, T padded to a ``block_q`` multiple
+    (pad once before the layer scan, as for
+    :func:`encoder_attention_btd`); ``wq``/``wk``/``wv``: int8 QTensors
+    ({"q": (d, d) int8, "s": (1, d) f32}, ops/quant.py layout); ``bq``/
+    ``bv``: (d,) biases (Whisper's k projection has none); ``ln_g``/
+    ``ln_b``: (d,) pre-attention LayerNorm params. Returns the (B, T, d)
+    attention output (pre-o-projection) in x.dtype — numerics match
+    LN -> dense_int8_dynamic q/k/v -> encoder_attention_btd.
+    """
+    b, t, d = x.shape
+    dh = d // n_head
+    assert n_head % 2 == 0 and t % block_q == 0, (n_head, t, block_q)
+    assert d % 128 == 0 and 2 * dh == 128, (d, dh)
+    n_pair = n_head // 2
+
+    xspec = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)   # resident across j
+    const = pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((d, 2 * dh), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)   # pair column block
+    cspec = pl.BlockSpec((1, 2 * dh), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_btd_fused, n_real=n_real,
+                          block_q=block_q, scale=sm_scale, dh=dh,
+                          int8_scores=int8_scores, int8_pv=int8_pv),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        grid=(b, n_pair),
+        in_specs=[xspec, const, const,
+                  wspec, cspec, cspec,              # wq, sq, bq
+                  wspec, cspec,                     # wk, sk
+                  wspec, cspec, cspec],             # wv, sv, bv
+        out_specs=pl.BlockSpec((1, t, 2 * dh), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t, d), jnp.int8),           # hq (LN'd, quantized)
+            pltpu.VMEM((t, 1), jnp.float32),        # hs (row scales)
+        ],
+        # j==0 peak: x block + f32 LN temps (T, d) + scratch + the
+        # pipelined score sets; comfortably under the 128 MB physical
+        # VMEM but above Mosaic's 16 MB default scoped limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, jnp.reshape(ln_g, (1, d)), jnp.reshape(ln_b, (1, d)),
+      wq["q"], jnp.reshape(wq["s"], (1, d)), jnp.reshape(bq, (1, d)),
+      wk["q"], jnp.reshape(wk["s"], (1, d)),
+      wv["q"], jnp.reshape(wv["s"], (1, d)), jnp.reshape(bv, (1, d)))
+    return out
+
+
 def encoder_attention_reference(q, k, v, n_real, sm_scale):
     """XLA reference with the same masking contract (padded keys ignored,
     padded query rows unspecified-but-finite)."""

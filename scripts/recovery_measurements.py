@@ -95,6 +95,12 @@ def main():
     run_one("bench_attn_i8pv", bench, {"NWT_ATTN_I8PV": "1"})
     run_one("bench_attn_i8_both", bench,
             {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"})
+    # fused LN+QKV+attention kernel (first Mosaic compile of the kernel
+    # happens here — a lowering failure shows up as this record failing,
+    # everything before it is already banked)
+    run_one("bench_attn_fused", bench, {"NWT_ATTN_FUSED": "1"})
+    run_one("bench_attn_fused_i8", bench,
+            {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1"})
 
 
 if __name__ == "__main__":

@@ -7,7 +7,8 @@ import pytest
 import jax.numpy as jnp
 
 from nobs_whisper_tpu.ops.encoder_attention import (
-    encoder_attention, encoder_attention_btd, encoder_attention_reference)
+    encoder_attention, encoder_attention_btd, encoder_attention_fused_qkv,
+    encoder_attention_reference)
 
 
 def _qkv(b, h, t, dh, seed=0):
@@ -158,3 +159,78 @@ def test_btd_int8_scores_close_to_reference(n_real):
         np.asarray(got[:, :n_real], np.float32),
         np.asarray(ref[:, :n_real], np.float32),
         rtol=5e-2, atol=5e-2)
+
+
+def _fused_setup(b, h, t, d, seed=10):
+    from nobs_whisper_tpu.ops.quant import quantize_int8
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    ln_g = jnp.asarray(1.0 + 0.1 * rng.randn(d).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    mkw = lambda: quantize_int8(jnp.asarray(
+        rng.randn(d, d).astype(np.float32) * (d ** -0.5)))
+    mkb = lambda: jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    return x, ln_g, ln_b, mkw(), mkb(), mkw(), mkw(), mkb()
+
+
+def _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, n_real, sm, h,
+                     block_q):
+    """The unfused shipping path: LN -> dense_int8_dynamic projections
+    -> flat head-pair kernel."""
+    from nobs_whisper_tpu.models.whisper import _layer_norm
+    from nobs_whisper_tpu.ops.quant import dense_int8_dynamic
+    hn = _layer_norm(x, ln_g, ln_b)
+    q = dense_int8_dynamic(hn, wq, bq)
+    k = dense_int8_dynamic(hn, wk)
+    v = dense_int8_dynamic(hn, wv, bv)
+    return encoder_attention_btd(q, k, v, n_real, sm, h, block_q=block_q,
+                                 interpret=True)
+
+
+@pytest.mark.parametrize("n_real", [256, 250, 119])
+def test_fused_qkv_matches_unfused_path(n_real):
+    b, h, t, d = 2, 4, 256, 256
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d)
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      n_real, sm, h, block_q=128,
+                                      interpret=True)
+    ref = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, n_real,
+                           sm, h, block_q=128)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_fused_qkv_many_pairs():
+    """More than one pair exercises the resident-x / scratch-reuse path
+    (LN+quant at j==0 only, later pairs read the persisted scratch)."""
+    b, h, t, d = 1, 6, 128, 384
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d, seed=11)
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      t, sm, h, block_q=128,
+                                      interpret=True)
+    ref = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, t, sm, h,
+                           block_q=128)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_qkv_int8_variants_compose():
+    b, h, t, d = 1, 4, 256, 256
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d, seed=12)
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      250, sm, h, block_q=128,
+                                      int8_scores=True, int8_pv=True,
+                                      interpret=True)
+    ref = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, 250, sm,
+                           h, block_q=128)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :250], np.float32),
+        np.asarray(ref[:, :250], np.float32),
+        rtol=8e-2, atol=8e-2)
