@@ -277,8 +277,11 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # the flat attention kernel (ops/encoder_attention.py::
     # encoder_attention_fused_qkv) — the projection outputs never exist
     # in HBM (~940 MB/layer deleted at B=40 turbo) and LN+quant runs once
-    # per row instead of once per projection. Quantized encoders only.
-    attn_fused = bool(os.environ.get("NWT_ATTN_FUSED"))
+    # per row instead of once per projection. "2" additionally fuses the
+    # o projection + residual add (the attention output never exists in
+    # HBM either; the layer's attention half reads one (B, T, d) block
+    # and writes one). Quantized encoders only.
+    attn_fused = int(os.environ.get("NWT_ATTN_FUSED", "0") or "0")
     t_real = x.shape[1]
     if use_btd:
         tp_btd = -(-t_real // attn_bq) * attn_bq
@@ -300,11 +303,18 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                 and 2 * (x.shape[-1] // n_head) == 128:
             from ..ops.encoder_attention import encoder_attention_fused_qkv
             dh = x.shape[-1] // n_head
-            a = encoder_attention_fused_qkv(
+            fuse_o = attn_fused >= 2 and is_quantized(p["o_w"])
+            res = encoder_attention_fused_qkv(
                 x, p["ln1_g"], p["ln1_b"],
                 p["q_w"], p["q_b"], p["k_w"], p["v_w"], p["v_b"],
                 t_real, float(dh) ** -0.5, n_head, block_q=attn_bq,
-                int8_scores=attn_i8, int8_pv=attn_i8pv, interpret=interp)
+                int8_scores=attn_i8, int8_pv=attn_i8pv,
+                wo=p["o_w"] if fuse_o else None,
+                bo=p["o_b"] if fuse_o else None, interpret=interp)
+            if fuse_o:
+                x, a = res, None   # residual + o projection already done
+            else:
+                a = res
             q = k = v = None
         elif use_btd:
             # flat path: projections feed the head-pair kernel in their
@@ -391,7 +401,9 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             a = _merge_heads(a.astype(x.dtype))
         else:
             a = _merge_heads(_attention(q, k, v, mask=None))
-        if use_int8_qkv and is_quantized(p["o_w"]):
+        if a is None:
+            pass   # fused-o kernel already produced the residual-added x
+        elif use_int8_qkv and is_quantized(p["o_w"]):
             from ..ops.fused_qkv import residual_o_int8
             bsz, t, d = x.shape
             x = residual_o_int8(

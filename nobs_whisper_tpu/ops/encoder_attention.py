@@ -306,82 +306,15 @@ def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
-def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
-                           wq_ref, sq_ref, bq_ref,
-                           wk_ref, sk_ref,
-                           wv_ref, sv_ref, bv_ref,
-                           o_ref, hq_ref, hs_ref, *,
-                           n_real, block_q, scale, dh,
-                           int8_scores=False, int8_pv=False):
-    """Head-pair attention with the LN + q/k/v projections fused in.
-
-    Grid (B, n_pair), j = pair. The residual-stream block x is indexed
-    (i, 0, 0) — constant across j — so Pallas fetches it once per batch
-    row and skips the re-copy on the later pair steps; LN + dynamic
-    per-row int8 quantization run ONCE per row (at j == 0) into scratch
-    persisting across the pair sweep. Each pair instance then computes
-    its own (T, 128) q/k/v tiles as int8 x int8 MXU matmuls against the
-    pair's weight column blocks and runs the same masked-dot attention
-    as :func:`_attn_kernel_btd`.
-
-    What this deletes vs the unfused path: the q/k/v projection outputs
-    never exist in HBM (3 x (B, T, d) bf16 writes + 3 reads, ~940
-    MB/layer at B=40 turbo), and the LN'd/quantized activations are
-    computed once instead of once per projection. Added traffic: the
-    per-pair weight blocks are re-fetched per (i, j) step (~0.5 MB/step,
-    hidden under ~10 us of per-step MXU work by the pipeline).
-    """
-    j = pl.program_id(1)
-
-    t = x_ref.shape[1]
-    d = x_ref.shape[2]
-    n_blk = t // block_q
+def _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
+                 int8_scores, n_real, t):
+    """Build the per-q-block scores(jb) -> (s0, s1) closure shared by
+    the fused kernels. ``q2`` is the (T, 128) f32 pre-scale q tile;
+    ``k2`` the (T, 128) bf16 k tile."""
     dims = (((1,), (1,)), ((), ()))                # contract lanes
-    mm = (((1,), (0,)), ((), ()))                  # plain matmul
-
-    @pl.when(j == 0)
-    def _ln_quant():
-        xf = x_ref[0].astype(jnp.float32)          # (T, d)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-        h = (h * g_ref[...].astype(jnp.float32)
-             + b_ref[...].astype(jnp.float32))
-        sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
-                         1e-6) / 127.0
-        hq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
-            jnp.int8)
-        hs_ref[...] = sx
-
-    hq = hq_ref[...]                               # (T, d) int8
-    sx = hs_ref[...]                               # (T, 1) f32
-
-    def proj(w_ref, s_ref, bias_ref=None):
-        y = jax.lax.dot_general(hq, w_ref[...], mm,
-                                preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * sx * s_ref[...].astype(jnp.float32)
-        if bias_ref is not None:
-            y = y + bias_ref[...].astype(jnp.float32)
-        return y                                   # (T, 128) f32
-
-    q2 = proj(wq_ref, sq_ref, bq_ref)
-    k2 = proj(wk_ref, sk_ref).astype(jnp.bfloat16)
-    v2 = proj(wv_ref, sv_ref, bv_ref).astype(jnp.bfloat16)
-
-    lane_lo = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 2 * dh), 1) < dh            # (1, 128) lanes mask
+    neg = jnp.float32(-1e30)
     zero = jnp.zeros((), jnp.bfloat16)
 
-    neg = jnp.float32(-1e30)
-    if n_real < t:
-        key_pad = jax.lax.broadcasted_iota(
-            jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
-    else:
-        key_pad = None
-
-    # attention core: same masked-dot formulation (and the same int8
-    # variants) as _attn_kernel_btd, with q sourced from the in-kernel
-    # projection instead of an operand ref
     if int8_scores:
         kf = k2.astype(jnp.float32)
         if n_real < t:
@@ -431,6 +364,14 @@ def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
                 s1 = jnp.where(key_pad, neg, s1)
             return s0, s1
 
+    return scores
+
+
+def _make_pv(v2, lane_lo, n_real, t, int8_pv):
+    """Build pv(s01) -> lane-merged normalized (bq, 128) f32 output for
+    the fused kernels. ``v2``: (T, 128) bf16."""
+    mm = (((1,), (0,)), ((), ()))                  # plain matmul
+
     if int8_pv:
         vf = v2.astype(jnp.float32)
         if n_real < t:
@@ -450,7 +391,7 @@ def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
                       -127, 127).astype(jnp.int8)
         sv_lane = jnp.where(lane_lo, sv0, sv1)
 
-        def soft_pv(jb, s01):
+        def pv(s01):
             o01 = []
             for s in s01:
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -462,11 +403,9 @@ def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
                 o = jax.lax.dot_general(
                     pq, vq, mm, preferred_element_type=jnp.int32)
                 o01.append(o.astype(jnp.float32) / lq)
-            out = jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
-            o_ref[0, jb * block_q:(jb + 1) * block_q, :] = out.astype(
-                o_ref.dtype)
+            return jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
     else:
-        def soft_pv(jb, s01):
+        def pv(s01):
             o01 = []
             for s in s01:
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -475,15 +414,133 @@ def _attn_kernel_btd_fused(x_ref, g_ref, b_ref,
                 o = jnp.dot(p.astype(jnp.bfloat16), v2,
                             preferred_element_type=jnp.float32)
                 o01.append(o / l)
-            out = jnp.where(lane_lo, o01[0], o01[1])
-            o_ref[0, jb * block_q:(jb + 1) * block_q, :] = out.astype(
-                o_ref.dtype)
+            return jnp.where(lane_lo, o01[0], o01[1])
 
+    return pv
+
+
+def _attn_kernel_btd_fused(*refs, n_pair, n_real, block_q, scale, dh,
+                           int8_scores=False, int8_pv=False,
+                           fuse_o=False):
+    """Head-pair attention with the LN + q/k/v projections fused in
+    (and, with ``fuse_o``, the o projection + residual add too).
+
+    Grid (B, n_pair), j = pair. The residual-stream block x is indexed
+    (i, 0, 0) — constant across j — so Pallas fetches it once per batch
+    row and skips the re-copy on the later pair steps; LN + dynamic
+    per-row int8 quantization run ONCE per row (at j == 0) into scratch
+    persisting across the pair sweep. Each pair instance then computes
+    its own (T, 128) q/k/v tiles as int8 x int8 MXU matmuls against the
+    pair's weight column blocks and runs the same masked-dot attention
+    as :func:`_attn_kernel_btd`.
+
+    With ``fuse_o`` the per-pair attention output never exists in HBM
+    either: each q-block's (bq, 128) tile is dynamically re-quantized
+    per row and multiplied (int8 MXU) against the pair's o-weight ROW
+    block, accumulating into a persistent f32 (T, d) scratch that was
+    initialized to x + b_o at j == 0; the LAST pair writes the finished
+    residual-added layer output. The layer's attention half then reads
+    exactly one (B, T, d) block from HBM and writes exactly one.
+
+    What this deletes vs the unfused path: the q/k/v projection outputs
+    never exist in HBM (3 x (B, T, d) bf16 writes + 3 reads, ~940
+    MB/layer at B=40 turbo; fuse_o deletes the attention output's
+    write+read too, ~310 MB/layer more), and the LN'd/quantized
+    activations are computed once instead of once per projection. Added
+    traffic: the per-pair weight blocks are re-fetched per (i, j) step
+    (~0.5 MB/step, hidden under ~10 us of per-step MXU work by the
+    pipeline).
+    """
+    if fuse_o:
+        (x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref,
+         wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+         o_ref, hq_ref, hs_ref, acc_ref) = refs
+    else:
+        (x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref,
+         wv_ref, sv_ref, bv_ref, o_ref, hq_ref, hs_ref) = refs
+
+    j = pl.program_id(1)
+
+    t = x_ref.shape[1]
+    n_blk = t // block_q
+    mm = (((1,), (0,)), ((), ()))                  # plain matmul
+
+    @pl.when(j == 0)
+    def _ln_quant():
+        xf = x_ref[0].astype(jnp.float32)          # (T, d)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = (h * g_ref[...].astype(jnp.float32)
+             + b_ref[...].astype(jnp.float32))
+        sx = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                         1e-6) / 127.0
+        hq_ref[...] = jnp.clip(jnp.round(h / sx), -127, 127).astype(
+            jnp.int8)
+        hs_ref[...] = sx
+        if fuse_o:
+            acc_ref[...] = xf + bo_ref[...].astype(jnp.float32)
+
+    hq = hq_ref[...]                               # (T, d) int8
+    sx = hs_ref[...]                               # (T, 1) f32
+
+    def proj(w_ref, s_ref, bias_ref=None):
+        y = jax.lax.dot_general(hq, w_ref[...], mm,
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * s_ref[...].astype(jnp.float32)
+        if bias_ref is not None:
+            y = y + bias_ref[...].astype(jnp.float32)
+        return y                                   # (T, 128) f32
+
+    q2 = proj(wq_ref, sq_ref, bq_ref)
+    k2 = proj(wk_ref, sk_ref).astype(jnp.bfloat16)
+    v2 = proj(wv_ref, sv_ref, bv_ref).astype(jnp.bfloat16)
+
+    lane_lo = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 2 * dh), 1) < dh            # (1, 128) lanes mask
+    if n_real < t:
+        key_pad = jax.lax.broadcasted_iota(
+            jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
+    else:
+        key_pad = None
+
+    scores = _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
+                          int8_scores, n_real, t)
+    pv = _make_pv(v2, lane_lo, n_real, t, int8_pv)
+
+    if fuse_o:
+        wo = wo_ref[...]                           # (128, d) int8
+        so = so_ref[...].astype(jnp.float32)       # (1, d)
+
+        def sink(jb, s01):
+            a = pv(s01)                            # (bq, 128) f32
+            # dynamic per-row int8 re-quant of the pair's output slice,
+            # o matmul on the int8 MXU against the pair's o ROW block,
+            # partials accumulated across the pair sweep in f32 scratch
+            sa = jnp.maximum(jnp.max(jnp.abs(a), axis=-1,
+                                     keepdims=True), 1e-6) / 127.0
+            aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+            p = jax.lax.dot_general(aq, wo, mm,
+                                    preferred_element_type=jnp.int32)
+            sl = slice(jb * block_q, (jb + 1) * block_q)
+            acc_ref[sl, :] += p.astype(jnp.float32) * sa * so
+    else:
+        def sink(jb, s01):
+            o_ref[0, jb * block_q:(jb + 1) * block_q, :] = \
+                pv(s01).astype(o_ref.dtype)
+
+    # software pipeline: issue block jb+1's QK^T before block jb's
+    # softmax/PV so the independent MXU/VPU chains can overlap
     s_cur = scores(0)
     for jb in range(n_blk):
         s_next = scores(jb + 1) if jb + 1 < n_blk else None
-        soft_pv(jb, s_cur)
+        sink(jb, s_cur)
         s_cur = s_next
+
+    if fuse_o:
+        @pl.when(j == n_pair - 1)
+        def _flush():
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def encoder_attention_fused_qkv(x: jnp.ndarray, ln_g, ln_b,
@@ -492,22 +549,30 @@ def encoder_attention_fused_qkv(x: jnp.ndarray, ln_g, ln_b,
                                 n_head: int, block_q: int = 256,
                                 int8_scores: bool = False,
                                 int8_pv: bool = False,
+                                wo=None, bo=None,
                                 interpret: bool = False) -> jnp.ndarray:
-    """LN + q/k/v projections + head-pair attention in ONE kernel.
+    """LN + q/k/v projections + head-pair attention in ONE kernel; pass
+    ``wo``/``bo`` to fuse the o projection + residual add too.
 
     ``x``: (B, T, d) residual stream, T padded to a ``block_q`` multiple
     (pad once before the layer scan, as for
-    :func:`encoder_attention_btd`); ``wq``/``wk``/``wv``: int8 QTensors
-    ({"q": (d, d) int8, "s": (1, d) f32}, ops/quant.py layout); ``bq``/
-    ``bv``: (d,) biases (Whisper's k projection has none); ``ln_g``/
-    ``ln_b``: (d,) pre-attention LayerNorm params. Returns the (B, T, d)
-    attention output (pre-o-projection) in x.dtype — numerics match
-    LN -> dense_int8_dynamic q/k/v -> encoder_attention_btd.
+    :func:`encoder_attention_btd`); ``wq``/``wk``/``wv`` (and ``wo``):
+    int8 QTensors ({"q": (d, d) int8, "s": (1, d) f32}, ops/quant.py
+    layout); ``bq``/``bv``/``bo``: (d,) biases (Whisper's k projection
+    has none); ``ln_g``/``ln_b``: (d,) pre-attention LayerNorm params.
+
+    Returns (B, T, d) in x.dtype: the attention output
+    (pre-o-projection) by default — numerics match
+    LN -> dense_int8_dynamic q/k/v -> encoder_attention_btd — or, with
+    ``wo``, the finished ``x + attn @ wo + bo`` layer half (numerics
+    match the unfused path up to the per-pair o-input quantization,
+    which is FINER than the unfused full-row quant).
     """
     b, t, d = x.shape
     dh = d // n_head
     assert n_head % 2 == 0 and t % block_q == 0, (n_head, t, block_q)
     assert d % 128 == 0 and 2 * dh == 128, (d, dh)
+    fuse_o = wo is not None
     n_pair = n_head // 2
 
     xspec = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
@@ -518,32 +583,53 @@ def encoder_attention_fused_qkv(x: jnp.ndarray, ln_g, ln_b,
                          memory_space=pltpu.VMEM)   # pair column block
     cspec = pl.BlockSpec((1, 2 * dh), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM)
+
+    in_specs = [xspec, const, const,
+                wspec, cspec, cspec,                # wq, sq, bq
+                wspec, cspec,                       # wk, sk
+                wspec, cspec, cspec]                # wv, sv, bv
+    operands = [x, jnp.reshape(ln_g, (1, d)), jnp.reshape(ln_b, (1, d)),
+                wq["q"], jnp.reshape(wq["s"], (1, d)),
+                jnp.reshape(bq, (1, d)),
+                wk["q"], jnp.reshape(wk["s"], (1, d)),
+                wv["q"], jnp.reshape(wv["s"], (1, d)),
+                jnp.reshape(bv, (1, d))]
+    scratch = [
+        pltpu.VMEM((t, d), jnp.int8),               # hq (LN'd, quantized)
+        pltpu.VMEM((t, 1), jnp.float32),            # hs (row scales)
+    ]
+    if fuse_o:
+        # o ROW block: pair j's o-weight rows [j*128, (j+1)*128)
+        in_specs += [pl.BlockSpec((2 * dh, d), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM),
+                     const, const]                  # so, bo
+        operands += [wo["q"], jnp.reshape(wo["s"], (1, d)),
+                     jnp.reshape(bo, (1, d))]
+        scratch.append(pltpu.VMEM((t, d), jnp.float32))   # acc
+        out_spec = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec((1, t, 2 * dh), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_btd_fused, n_real=n_real,
-                          block_q=block_q, scale=sm_scale, dh=dh,
-                          int8_scores=int8_scores, int8_pv=int8_pv),
+        functools.partial(_attn_kernel_btd_fused, n_pair=n_pair,
+                          n_real=n_real, block_q=block_q, scale=sm_scale,
+                          dh=dh, int8_scores=int8_scores,
+                          int8_pv=int8_pv, fuse_o=fuse_o),
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         grid=(b, n_pair),
-        in_specs=[xspec, const, const,
-                  wspec, cspec, cspec,              # wq, sq, bq
-                  wspec, cspec,                     # wk, sk
-                  wspec, cspec, cspec],             # wv, sv, bv
-        out_specs=pl.BlockSpec((1, t, 2 * dh), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((t, d), jnp.int8),           # hq (LN'd, quantized)
-            pltpu.VMEM((t, 1), jnp.float32),        # hs (row scales)
-        ],
-        # j==0 peak: x block + f32 LN temps (T, d) + scratch + the
-        # pipelined score sets; comfortably under the 128 MB physical
-        # VMEM but above Mosaic's 16 MB default scoped limit
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        # j==0 peak: x block + f32 LN temps (T, d) + scratch (+ the f32
+        # accumulator with fuse_o) + the pipelined score sets;
+        # comfortably under the 128 MB physical VMEM but above Mosaic's
+        # 16 MB default scoped limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, jnp.reshape(ln_g, (1, d)), jnp.reshape(ln_b, (1, d)),
-      wq["q"], jnp.reshape(wq["s"], (1, d)), jnp.reshape(bq, (1, d)),
-      wk["q"], jnp.reshape(wk["s"], (1, d)),
-      wv["q"], jnp.reshape(wv["s"], (1, d)), jnp.reshape(bv, (1, d)))
+    )(*operands)
     return out
 
 

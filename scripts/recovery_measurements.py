@@ -99,8 +99,9 @@ def main():
     # happens here — a lowering failure shows up as this record failing,
     # everything before it is already banked)
     run_one("bench_attn_fused", bench, {"NWT_ATTN_FUSED": "1"})
-    run_one("bench_attn_fused_i8", bench,
-            {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1"})
+    run_one("bench_attn_fused_o", bench, {"NWT_ATTN_FUSED": "2"})
+    run_one("bench_attn_fused_o_i8", bench,
+            {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"})
 
 
 if __name__ == "__main__":

@@ -234,3 +234,54 @@ def test_fused_qkv_int8_variants_compose():
         np.asarray(got[:, :250], np.float32),
         np.asarray(ref[:, :250], np.float32),
         rtol=8e-2, atol=8e-2)
+
+
+@pytest.mark.parametrize("n_real", [256, 250])
+def test_fused_o_matches_unfused_path(n_real):
+    """Full fusion (qkv + o + residual): output == x + attn @ wo + bo of
+    the unfused path, up to the per-pair o-input quantization (finer
+    than the unfused full-row quant)."""
+    from nobs_whisper_tpu.ops.quant import (dense_int8_dynamic,
+                                            quantize_int8)
+    b, h, t, d = 2, 4, 256, 256
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d, seed=13)
+    rng = np.random.RandomState(14)
+    wo = quantize_int8(jnp.asarray(
+        rng.randn(d, d).astype(np.float32) * (d ** -0.5)))
+    bo = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      n_real, sm, h, block_q=128,
+                                      wo=wo, bo=bo, interpret=True)
+    a = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, n_real, sm,
+                         h, block_q=128)
+    ref = x.astype(jnp.float32) + dense_int8_dynamic(
+        a.astype(jnp.float32), wo, bo)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_fused_o_many_pairs_accumulation():
+    """3 pairs exercise the cross-pair f32 accumulator: each pair adds
+    only its own o-weight row block's contribution."""
+    from nobs_whisper_tpu.ops.quant import (dense_int8_dynamic,
+                                            quantize_int8)
+    b, h, t, d = 1, 6, 128, 384
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d, seed=15)
+    rng = np.random.RandomState(16)
+    wo = quantize_int8(jnp.asarray(
+        rng.randn(d, d).astype(np.float32) * (d ** -0.5)))
+    bo = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      t, sm, h, block_q=128,
+                                      wo=wo, bo=bo, interpret=True)
+    a = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, t, sm, h,
+                         block_q=128)
+    ref = x.astype(jnp.float32) + dense_int8_dynamic(
+        a.astype(jnp.float32), wo, bo)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
