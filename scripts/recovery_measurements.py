@@ -88,6 +88,16 @@ def main():
         run_one(f"base_knee_b{b}",
                 bench + ["--model", "base", "--batch", str(b),
                          "--repeats", "2"])
+    # int8 cross-KV as a CAPACITY lever for large-v3: the speed rejects
+    # were all at fixed batch; halving KV bytes lifts the measured B=24
+    # HBM ceiling (17.8 GB bf16 at B=32) — a bigger batch may net-win
+    # throughput even with the ~10-15% dequant tax
+    run_one("large_v3_q8kv_b32",
+            bench + ["--model", "large-v3", "--batch", "32",
+                     "--q8-kv", "--repeats", "2"])
+    run_one("large_v3_q8kv_b40",
+            bench + ["--model", "large-v3", "--batch", "40",
+                     "--q8-kv", "--repeats", "2"])
     run_one("attn_i8_validate",
             [py, "scripts/attn_i8_validate.py"])
     # int8 attention variants, perf side (accuracy side above): scores

@@ -198,6 +198,58 @@ def test_spmd_kernels_fire_inside_shards(monkeypatch):
     assert err.max() < 5e-2
 
 
+def test_spmd_fused_attention_fires_inside_shards(monkeypatch):
+    """NWT_ATTN_FUSED=2 under the dp shard_map path: the fully-fused
+    LN+qkv+attention+o kernel fires inside shards (interpret mode on
+    CPU) and the result stays close to the plain XLA path. Needs a
+    dh=64 config (the head-pair kernels' lane geometry)."""
+    from nobs_whisper_tpu.ops import encoder_attention as ea
+    from nobs_whisper_tpu.ops.quant import quantize_encoder_params
+
+    cfg = WhisperConfig(
+        name="spmd-fused-test", n_mels=80, n_vocab=1024, n_audio_ctx=32,
+        n_audio_state=128, n_audio_head=2, n_audio_layer=2,
+        n_text_ctx=32, n_text_state=128, n_text_head=2, n_text_layer=2,
+        n_langs=4, eot_id=1000, force_multilingual=True)
+    params = quantize_encoder_params(init_params(jax.random.PRNGKey(7), cfg))
+    mel = np.random.RandomState(9).randn(8, 80, 64).astype(np.float32)
+
+    calls = {"fused": 0}
+    real = ea.encoder_attention_fused_qkv
+
+    def spy(*a, **kw):
+        calls["fused"] += 1
+        assert kw.get("interpret"), "CPU path must use interpret mode"
+        assert kw.get("wo") is not None, "level 2 must fuse o too"
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ea, "encoder_attention_fused_qkv", spy)
+    monkeypatch.setenv("NWT_KERNELS_INTERPRET", "1")
+    monkeypatch.setenv("NWT_ATTN_FUSED", "2")
+
+    expected = np.asarray(encode(params, jnp.asarray(mel), cfg),
+                          np.float32)    # plain XLA (gates off on CPU)
+    assert calls["fused"] == 0
+
+    mesh = make_mesh(dp=8, tp=1)
+    from jax.sharding import PartitionSpec as P
+
+    def body(params, mel):
+        from nobs_whisper_tpu.models.whisper import kernel_override
+        with kernel_override("interpret"):
+            return encode(params, mel, cfg)
+
+    got = np.asarray(jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), P("dp")),
+        out_specs=P("dp"), check_vma=False,
+    ))(params, jnp.asarray(mel)), np.float32)
+
+    assert calls["fused"] >= 1
+    err = np.abs(got - expected) / (np.abs(expected).max() + 1e-6)
+    assert err.max() < 5e-2
+
+
 def test_kernel_override_is_thread_local():
     """The override must not leak into a concurrent trace on another
     thread (a GSPMD batcher tracing while a shard_map body holds the
