@@ -205,10 +205,8 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             compute_dtype: jnp.dtype) -> jnp.ndarray:
     enc = params["encoder"]
     gelu = _gelu_fast if compute_dtype == jnp.bfloat16 else _gelu
-    x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)   # (B, 3000, n_mels)
-    x = gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], stride=1))
-    x = gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], stride=2))
-    x = x + enc["pos"].astype(compute_dtype)
+    # NB the conv stem runs BELOW, after the kernel gates — the fused
+    # stem kernel needs them (and the attention kernels' T padding).
 
     n_head = cfg.n_audio_head
     # Pallas attention is the measured win here (XLA's unfused softmax
@@ -282,11 +280,39 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # HBM either; the layer's attention half reads one (B, T, d) block
     # and writes one). Quantized encoders only.
     attn_fused = int(os.environ.get("NWT_ATTN_FUSED", "0") or "0")
-    t_real = x.shape[1]
-    if use_btd:
-        tp_btd = -(-t_real // attn_bq) * attn_bq
-        if tp_btd != t_real:
-            x = jnp.pad(x, ((0, 0), (0, tp_btd - t_real), (0, 0)))
+    # experiment knob (trace-time): the whole conv stem (conv1 -> gelu ->
+    # conv2 s2 -> gelu -> +pos) as ONE kernel per batch row — the
+    # (B, 3000, d) conv1 output never exists in HBM and the output comes
+    # out already padded for the flat attention kernels. tanh-gelu (the
+    # bf16 serving stem's gelu already).
+    use_fused_stem = ((((jax.default_backend() == "tpu"
+                         and compute_dtype == jnp.bfloat16
+                         and (jax.device_count() == 1 or ko == "tpu"))
+                        or interp)
+                       and bool(os.environ.get("NWT_STEM_FUSED")))
+                      and enc["conv1_w"].shape[-1] % 128 == 0
+                      and mel.shape[-1] % 2 == 0)
+    if use_fused_stem:
+        from ..ops.conv_stem import encoder_stem_fused
+        t_real = mel.shape[-1] // 2
+        align = attn_bq if use_btd else 8
+        tp = -(-t_real // align) * align
+        x = encoder_stem_fused(mel, enc["conv1_w"], enc["conv1_b"],
+                               enc["conv2_w"], enc["conv2_b"],
+                               enc["pos"], tp, out_dtype=compute_dtype,
+                               interpret=interp)
+        if not use_btd and x.shape[1] != t_real:
+            x = x[:, :t_real]
+    else:
+        x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)  # (B,T,mels)
+        x = gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], stride=1))
+        x = gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], stride=2))
+        x = x + enc["pos"].astype(compute_dtype)
+        t_real = x.shape[1]
+        if use_btd:
+            tp_btd = -(-t_real // attn_bq) * attn_bq
+            if tp_btd != t_real:
+                x = jnp.pad(x, ((0, 0), (0, tp_btd - t_real), (0, 0)))
 
     def block(x, p):
         from ..ops.quant import dense_int8_dynamic, is_quantized
