@@ -285,17 +285,21 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # (B, 3000, d) conv1 output never exists in HBM and the output comes
     # out already padded for the flat attention kernels. tanh-gelu (the
     # bf16 serving stem's gelu already).
-    use_fused_stem = ((((jax.default_backend() == "tpu"
-                         and compute_dtype == jnp.bfloat16
-                         and (jax.device_count() == 1 or ko == "tpu"))
-                        or interp)
-                       and bool(os.environ.get("NWT_STEM_FUSED")))
+    use_fused_stem = (compute_dtype == jnp.bfloat16
+                      and ((jax.default_backend() == "tpu"
+                            and (jax.device_count() == 1 or ko == "tpu"))
+                           or interp)
+                      and bool(os.environ.get("NWT_STEM_FUSED"))
                       and enc["conv1_w"].shape[-1] % 128 == 0
                       and mel.shape[-1] % 2 == 0)
     if use_fused_stem:
+        import math
         from ..ops.conv_stem import encoder_stem_fused
         t_real = mel.shape[-1] // 2
-        align = attn_bq if use_btd else 8
+        # satisfy BOTH the attention kernels' T % block_q == 0 and the
+        # stem kernel's 8-row alignment (an odd NWT_ATTN_BQ would
+        # otherwise produce a non-8-aligned pad)
+        align = math.lcm(attn_bq, 8) if use_btd else 8
         tp = -(-t_real // align) * align
         x = encoder_stem_fused(mel, enc["conv1_w"], enc["conv1_b"],
                                enc["conv2_w"], enc["conv2_b"],

@@ -132,7 +132,9 @@ def encoder_stem_fused(mel: jnp.ndarray, w1, b1, w2, b2, pos,
         w1f = jnp.pad(w1f, ((0, 0), (0, c - c_in), (0, 0)))
     w1f = w1f.reshape(3 * c, d)
     w2f = jnp.asarray(w2, jnp.bfloat16).reshape(3 * d, d)
-    posp = jnp.asarray(pos, jnp.float32)
+    # the kernel adds pos in bf16 (the unfused path's compute dtype);
+    # shipping it as f32 would double the resident block for nothing
+    posp = jnp.asarray(pos, jnp.bfloat16)
     if posp.shape[0] != t_out_pad:
         posp = jnp.pad(posp, ((0, t_out_pad - posp.shape[0]), (0, 0)))
 

@@ -115,156 +115,50 @@ def _attn_kernel_btd(q_ref, k_ref, v_ref, o_ref, *, n_real, block_q,
     and garbage in the other head's, and a lane select assembles the
     pair's flat output tile. No transposes exist anywhere in this
     dataflow.
+
+    Masks live on the (bq, 128) Q tiles and (bq, 128) PV outputs, NOT
+    on K/V: four masked whole-sequence K/V copies blew the 16 MB
+    scoped-VMEM limit at B=28. K and V are read unmasked; zeroing the
+    other head's Q lanes makes each 128-lane contraction exactly the
+    per-head dh-lane dot, and each head's PV result is simply wrong in
+    the other head's lanes, where it is discarded by the lane select.
+
+    The score/PV math (including the opt-in int8 QK^T and int8 probs@V
+    variants) is shared with the fused kernels via :func:`_make_scores`
+    / :func:`_make_pv` — the only difference is that q here is read
+    per block from the operand ref.
     """
     k2 = k_ref[0]                                  # (T, 2*dh) bf16
     v2 = v_ref[0]
     t = k2.shape[0]
     n_blk = t // block_q
-    dims = (((1,), (1,)), ((), ()))                # contract lanes
 
     lane_lo = jax.lax.broadcasted_iota(
         jnp.int32, (1, 2 * dh), 1) < dh            # (1, 128) lanes mask
-    zero = jnp.zeros((), jnp.bfloat16)
-
-    neg = jnp.float32(-1e30)
     if n_real < t:
         key_pad = jax.lax.broadcasted_iota(
             jnp.int32, (1, t), 1) >= n_real        # (1, T) lanes mask
     else:
         key_pad = None
 
-    # Masks live on the (bq, 128) Q tiles and (bq, 128) PV outputs, NOT
-    # on K/V: four masked whole-sequence K/V copies blew the 16 MB
-    # scoped-VMEM limit at B=28. K and V are read unmasked; zeroing the
-    # other head's Q lanes makes each 128-lane contraction exactly the
-    # per-head dh-lane dot, and each head's PV result is simply wrong in
-    # the other head's lanes, where it is discarded by the lane select.
-    if int8_scores:
-        # int8 QK^T: 2x MXU rate on the scores half of the kernel's
-        # matmul work. K quantized ONCE per (b, pair) instance with a
-        # per-head SCALAR scale (so the dequant folds into the per-row
-        # q scale — one (bq, 1) sublane multiply, no (1, T) row to
-        # transpose into lane orientation); q quantized per row after
-        # the other head's lanes are zeroed. Opt-in: adds ~0.5% score
-        # noise on top of bf16.
-        kf = k2.astype(jnp.float32)
-        # padded key rows (>= n_real) carry uncontrolled residual-stream
-        # garbage after layer 1; they are masked out of the SCORES below,
-        # but they must also stay out of the quant statistics or an
-        # outlier pad row inflates the scale and coarsens every real key
-        if n_real < t:
-            row_ok = jax.lax.broadcasted_iota(
-                jnp.int32, (t, 1), 0) < n_real          # (T, 1) sublanes
-            kf_stat = jnp.where(row_ok, kf, 0.0)
-        else:
-            kf_stat = kf
-        sk0 = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(lane_lo, kf_stat, 0.0))),
-            1e-6) / 127.0
-        sk1 = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, kf_stat))),
-            1e-6) / 127.0
-        kq = jnp.clip(jnp.round(kf * jnp.where(lane_lo, 1.0 / sk0,
-                                               1.0 / sk1)),
-                      -127, 127).astype(jnp.int8)
+    def q_get(jb):
+        return q_ref[0, jb * block_q:(jb + 1) * block_q, :].astype(
+            jnp.float32)
 
-        def scores(j):
-            qj = q_ref[0, j * block_q:(j + 1) * block_q, :].astype(
-                jnp.float32)                             # (bq, 128)
-            out = []
-            for lo, sk in ((True, sk0), (False, sk1)):
-                qh = jnp.where(lane_lo, qj, 0.0) if lo else \
-                    jnp.where(lane_lo, 0.0, qj)
-                sq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1,
-                                         keepdims=True), 1e-6) / 127.0
-                qq = jnp.clip(jnp.round(qh / sq), -127, 127).astype(
-                    jnp.int8)
-                s = jax.lax.dot_general(
-                    qq, kq, dims, preferred_element_type=jnp.int32)
-                s = s.astype(jnp.float32) * (sq * (sk * scale))
-                out.append(jnp.where(key_pad, neg, s)
-                           if key_pad is not None else s)
-            return tuple(out)
-    else:
-        def scores(j):
-            qj = q_ref[0, j * block_q:(j + 1) * block_q, :]  # (bq, 128)
-            qj = (qj.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-            s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2,
-                                     dims,
-                                     preferred_element_type=jnp.float32)
-            s1 = jax.lax.dot_general(jnp.where(lane_lo, zero, qj), k2,
-                                     dims,
-                                     preferred_element_type=jnp.float32)
-            if key_pad is not None:
-                s0 = jnp.where(key_pad, neg, s0)
-                s1 = jnp.where(key_pad, neg, s1)
-            return s0, s1
+    scores = _make_scores(q_get, k2, lane_lo, key_pad, scale, block_q,
+                          int8_scores, n_real, t)
+    pv = _make_pv(v2, lane_lo, n_real, t, int8_pv)
 
-    if int8_pv:
-        # int8 probs@V: the PV half of the kernel's matmul work at the
-        # 2x int8 MXU rate. Probabilities are exp(s - max) in [0, 1] by
-        # construction, so they quantize with the FIXED scale 127 (no
-        # statistics pass); V is quantized once per (b, pair) instance
-        # with per-head scalar scales (pad rows excluded from the
-        # statistics exactly as for K above — they contribute nothing to
-        # the dot since their probs are exp(-1e30-m) == 0, but an
-        # outlier pad row would coarsen every real value's scale).
-        # Normalization uses the QUANTIZED probs' sum so the output
-        # stays a true weighted average of (dequantized) V rows.
-        # Opt-in, accuracy-priced like int8_scores.
-        vf = v2.astype(jnp.float32)
-        if n_real < t:
-            row_ok = jax.lax.broadcasted_iota(
-                jnp.int32, (t, 1), 0) < n_real          # (T, 1) sublanes
-            vf_stat = jnp.where(row_ok, vf, 0.0)
-        else:
-            vf_stat = vf
-        sv0 = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(lane_lo, vf_stat, 0.0))),
-            1e-6) / 127.0
-        sv1 = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(lane_lo, 0.0, vf_stat))),
-            1e-6) / 127.0
-        vq = jnp.clip(jnp.round(vf * jnp.where(lane_lo, 1.0 / sv0,
-                                               1.0 / sv1)),
-                      -127, 127).astype(jnp.int8)
-        sv_lane = jnp.where(lane_lo, sv0, sv1)          # (1, 128)
-        pv_dims = (((1,), (0,)), ((), ()))              # plain matmul
+    def soft_pv(jb, s01):
+        o_ref[0, jb * block_q:(jb + 1) * block_q, :] = \
+            pv(s01).astype(o_ref.dtype)
 
-        def soft_pv(j, s01):
-            o01 = []
-            for s in s01:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)                      # in [0, 1]
-                pq = jnp.round(p * 127.0).astype(jnp.int8)
-                lq = jnp.maximum(
-                    jnp.sum(pq.astype(jnp.float32), axis=-1,
-                            keepdims=True), 1.0)        # >= the max row
-                o = jax.lax.dot_general(
-                    pq, vq, pv_dims,
-                    preferred_element_type=jnp.int32)   # (bq, 128)
-                o01.append(o.astype(jnp.float32) / lq)
-            out = jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
-            o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
-                o_ref.dtype)
-    else:
-        def soft_pv(j, s01):
-            o01 = []
-            for s in s01:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                l = jnp.sum(p, axis=-1, keepdims=True)
-                o = jnp.dot(p.astype(jnp.bfloat16), v2,
-                            preferred_element_type=jnp.float32)  # (bq, 128)
-                o01.append(o / l)
-            out = jnp.where(lane_lo, o01[0], o01[1])
-            o_ref[0, j * block_q:(j + 1) * block_q, :] = out.astype(
-                o_ref.dtype)
-
+    # software pipeline: issue block j+1's QK^T before block j's
+    # softmax+PV so the independent MXU/VPU chains can overlap
     s_cur = scores(0)
-    for j in range(n_blk):
-        s_next = scores(j + 1) if j + 1 < n_blk else None
-        soft_pv(j, s_cur)
+    for jb in range(n_blk):
+        s_next = scores(jb + 1) if jb + 1 < n_blk else None
+        soft_pv(jb, s_cur)
         s_cur = s_next
 
 
@@ -306,11 +200,12 @@ def encoder_attention_btd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
-def _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
+def _make_scores(q_get, k2, lane_lo, key_pad, scale, block_q,
                  int8_scores, n_real, t):
     """Build the per-q-block scores(jb) -> (s0, s1) closure shared by
-    the fused kernels. ``q2`` is the (T, 128) f32 pre-scale q tile;
-    ``k2`` the (T, 128) bf16 k tile."""
+    the flat and fused kernels. ``q_get(jb)`` returns the jb-th
+    (block_q, 128) f32 pre-scale q block (from an operand ref or an
+    in-kernel projection); ``k2`` is the (T, 128) bf16 k tile."""
     dims = (((1,), (1,)), ((), ()))                # contract lanes
     neg = jnp.float32(-1e30)
     zero = jnp.zeros((), jnp.bfloat16)
@@ -334,7 +229,7 @@ def _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
                       -127, 127).astype(jnp.int8)
 
         def scores(jb):
-            qj = q2[jb * block_q:(jb + 1) * block_q, :]  # (bq, 128) f32
+            qj = q_get(jb)                               # (bq, 128) f32
             out = []
             for lo, sk in ((True, sk0), (False, sk1)):
                 qh = jnp.where(lane_lo, qj, 0.0) if lo else \
@@ -351,8 +246,7 @@ def _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
             return tuple(out)
     else:
         def scores(jb):
-            qj = (q2[jb * block_q:(jb + 1) * block_q, :]
-                  * scale).astype(jnp.bfloat16)          # (bq, 128)
+            qj = (q_get(jb) * scale).astype(jnp.bfloat16)   # (bq, 128)
             s0 = jax.lax.dot_general(jnp.where(lane_lo, qj, zero), k2,
                                      dims,
                                      preferred_element_type=jnp.float32)
@@ -504,7 +398,9 @@ def _attn_kernel_btd_fused(*refs, n_pair, n_real, block_q, scale, dh,
     else:
         key_pad = None
 
-    scores = _make_scores(q2, k2, lane_lo, key_pad, scale, block_q,
+    scores = _make_scores(lambda jb: q2[jb * block_q:
+                                        (jb + 1) * block_q, :],
+                          k2, lane_lo, key_pad, scale, block_q,
                           int8_scores, n_real, t)
     pv = _make_pv(v2, lane_lo, n_real, t, int8_pv)
 
