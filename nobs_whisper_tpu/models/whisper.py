@@ -329,6 +329,25 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             y = h @ w
             return y if bias is None else y + bias
 
+        if use_btd and attn_fused >= 3 \
+                and all(is_quantized(p[k]) for k in
+                        ("q_w", "o_w", "fc1_w", "fc2_w")) \
+                and 2 * (x.shape[-1] // n_head) == 128 \
+                and use_int8_mlp:
+            # whole-layer kernel: the attention half's output never
+            # exists in HBM (ops/fused_layer.py)
+            from ..ops.fused_layer import encoder_layer_fused
+            dh = x.shape[-1] // n_head
+            x = encoder_layer_fused(
+                x, p["ln1_g"], p["ln1_b"],
+                p["q_w"], p["q_b"], p["k_w"], p["v_w"], p["v_b"],
+                p["o_w"], p["o_b"], p["ln2_g"], p["ln2_b"],
+                p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
+                t_real, float(dh) ** -0.5, n_head, block_q=attn_bq,
+                block_f=int(os.environ.get("NWT_MLP_BF", 0)) or 1280,
+                int8_scores=attn_i8, int8_pv=attn_i8pv,
+                interpret=interp)
+            return x, None
         if use_btd and attn_fused and is_quantized(p["q_w"]) \
                 and 2 * (x.shape[-1] // n_head) == 128:
             from ..ops.encoder_attention import encoder_attention_fused_qkv

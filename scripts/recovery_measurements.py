@@ -113,8 +113,9 @@ def main():
     run_one("bench_attn_fused_o_i8", bench,
             {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"})
     run_one("bench_stem_fused", bench, {"NWT_STEM_FUSED": "1"})
+    run_one("bench_layer_fused", bench, {"NWT_ATTN_FUSED": "3"})
     run_one("bench_all_fused", bench,
-            {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "2"})
+            {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"})
 
 
 if __name__ == "__main__":
