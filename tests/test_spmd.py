@@ -198,12 +198,15 @@ def test_spmd_kernels_fire_inside_shards(monkeypatch):
     assert err.max() < 5e-2
 
 
-def test_spmd_fused_attention_fires_inside_shards(monkeypatch):
-    """NWT_ATTN_FUSED=2 under the dp shard_map path: the fully-fused
-    LN+qkv+attention+o kernel fires inside shards (interpret mode on
-    CPU) and the result stays close to the plain XLA path. Needs a
-    dh=64 config (the head-pair kernels' lane geometry)."""
+@pytest.mark.parametrize("level", ["2", "3"])
+def test_spmd_fused_attention_fires_inside_shards(monkeypatch, level):
+    """NWT_ATTN_FUSED=2 (fused attention+o) and =3 (whole-layer kernel)
+    under the dp shard_map path: the kernel fires inside shards
+    (interpret mode on CPU) and the result stays close to the plain XLA
+    path. Needs a dh=64 config (the head-pair kernels' lane
+    geometry)."""
     from nobs_whisper_tpu.ops import encoder_attention as ea
+    from nobs_whisper_tpu.ops import fused_layer as fl
     from nobs_whisper_tpu.ops.quant import quantize_encoder_params
 
     cfg = WhisperConfig(
@@ -215,17 +218,24 @@ def test_spmd_fused_attention_fires_inside_shards(monkeypatch):
     mel = np.random.RandomState(9).randn(8, 80, 64).astype(np.float32)
 
     calls = {"fused": 0}
-    real = ea.encoder_attention_fused_qkv
+    real_attn = ea.encoder_attention_fused_qkv
+    real_layer = fl.encoder_layer_fused
 
-    def spy(*a, **kw):
+    def spy_attn(*a, **kw):
         calls["fused"] += 1
         assert kw.get("interpret"), "CPU path must use interpret mode"
         assert kw.get("wo") is not None, "level 2 must fuse o too"
-        return real(*a, **kw)
+        return real_attn(*a, **kw)
 
-    monkeypatch.setattr(ea, "encoder_attention_fused_qkv", spy)
+    def spy_layer(*a, **kw):
+        calls["fused"] += 1
+        assert kw.get("interpret"), "CPU path must use interpret mode"
+        return real_layer(*a, **kw)
+
+    monkeypatch.setattr(ea, "encoder_attention_fused_qkv", spy_attn)
+    monkeypatch.setattr(fl, "encoder_layer_fused", spy_layer)
     monkeypatch.setenv("NWT_KERNELS_INTERPRET", "1")
-    monkeypatch.setenv("NWT_ATTN_FUSED", "2")
+    monkeypatch.setenv("NWT_ATTN_FUSED", level)
 
     expected = np.asarray(encode(params, jnp.asarray(mel), cfg),
                           np.float32)    # plain XLA (gates off on CPU)
