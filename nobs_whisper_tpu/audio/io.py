@@ -91,8 +91,10 @@ def _read_float_wav(blob: bytes) -> Tuple[np.ndarray, int]:
     return x.astype(np.float32), rate
 
 
-def write_wav(path: str, audio: np.ndarray,
+def write_wav(path, audio: np.ndarray,
               sample_rate: int = SAMPLE_RATE) -> None:
+    """``path``: filename or a binary file-like (wave.open takes
+    both — the SDK encodes request bodies through a BytesIO here)."""
     audio = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
     pcm = (audio * 32767.0).astype("<i2")
     with wave.open(path, "wb") as w:

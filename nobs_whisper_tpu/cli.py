@@ -102,16 +102,26 @@ def cmd_transcribe(args):
         results = [run_one(f) for f in files]
 
     multi = len(files) > 1
+    written = set()
     for path, result in zip(files, results):
         if args.output_format:
             from .utils.writers import write_result
             import os
             if args.output and multi:
-                # multiple inputs: --output is a directory of sidecars
+                # multiple inputs: --output is a directory of sidecars;
+                # same-basename inputs from different directories get a
+                # numeric suffix instead of silently overwriting
                 os.makedirs(args.output, exist_ok=True)
                 stem = os.path.splitext(os.path.basename(path))[0]
                 out = os.path.join(args.output,
                                    stem + "." + args.output_format)
+                n = 2
+                while out in written:
+                    out = os.path.join(
+                        args.output,
+                        f"{stem}-{n}." + args.output_format)
+                    n += 1
+                written.add(out)
             else:
                 out = args.output or os.path.splitext(path)[0] + \
                     "." + args.output_format

@@ -38,7 +38,6 @@ import time
 import urllib.error
 import urllib.parse
 import urllib.request
-import wave
 from typing import Any, Dict, Iterator, List, Optional
 
 __all__ = ["Client", "ClientError", "Session", "SessionEvent"]
@@ -63,17 +62,13 @@ class SessionEvent:
 
 
 def _wav_bytes(audio, sample_rate: int) -> bytes:
-    """Encode float32 PCM [-1, 1] as a 16-bit mono WAV blob."""
-    import numpy as np
+    """Encode float32 PCM [-1, 1] as a 16-bit mono WAV blob (the
+    shared audio.io encoder, so SDK round-trips match the rest of the
+    codebase bit for bit — incl. its clip-before-scale behavior)."""
+    from .audio.io import write_wav
 
-    pcm16 = np.clip(np.asarray(audio, np.float32) * 32767.0,
-                    -32768, 32767).astype("<i2")
     buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm16.tobytes())
+    write_wav(buf, audio, sample_rate)
     return buf.getvalue()
 
 

@@ -23,7 +23,8 @@ from ..core.config import SAMPLE_RATE
 from ..decode.hallucination import filter_hallucinations
 from ..decode.rules import DecodeOptions
 from ..pipeline.batcher import WindowBatcher
-from ..pipeline.longform import Segment, TranscribeResult
+from ..pipeline.longform import (Segment, TranscribeResult,
+                                 _submit_timeout)
 
 log = logging.getLogger(__name__)
 
@@ -171,7 +172,7 @@ class BatchedEngine:
         for temp in _temperature_ladder(self.opts):
             result = self.batcher.submit(
                 None, prompt, temperature=temp,
-                lang_slot=lang_slot, frames=frames).result(timeout=600)
+                lang_slot=lang_slot, frames=frames).result(timeout=_submit_timeout())
             if lang_slot is not None and result.language:
                 # reuse the detected language on retries
                 lang = result.language

@@ -31,6 +31,19 @@ from ..decode.rules import DecodeOptions, RuleTables, build_rule_tables
 log = logging.getLogger(__name__)
 
 
+def submit_timeout_s() -> float:
+    """Submit-side future timeout for callers blocking on batcher
+    results. The batcher's own watchdog (NWT_BATCH_DEADLINE_S, default
+    900 s — generous because a first batch legitimately includes a
+    minutes-long remote XLA compile) is the real wedge guard and fails
+    the future with an error; this outer timeout is only a second line
+    of defense and must stay LONGER than the watchdog or a legitimate
+    slow compile aborts the caller with a raw TimeoutError first.
+    """
+    import os
+    return float(os.environ.get("NWT_BATCH_DEADLINE_S", 900.0)) + 120.0
+
+
 @dataclasses.dataclass
 class _Request:
     mel: Optional[np.ndarray]   # (n_mels, 2*n_audio_ctx), or None

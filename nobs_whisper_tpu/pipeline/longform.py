@@ -49,6 +49,11 @@ class TranscribeResult:
     language: str
 
 
+def _submit_timeout() -> float:
+    from .batcher import submit_timeout_s
+    return submit_timeout_s()
+
+
 def _temperature_ladder(opts: DecodeOptions) -> List[float]:
     temps = [opts.temperature]
     if opts.temperature_increment:
@@ -265,7 +270,7 @@ def transcribe_mel(
             for temp in _temperature_ladder(opts):
                 result = batcher.submit(
                     window, prompt, temperature=temp,
-                    lang_slot=lang_slot).result(timeout=600)
+                    lang_slot=lang_slot).result(timeout=_submit_timeout())
                 if lang_slot is not None and result.language:
                     language = result.language
                     prompt[lang_slot] = \

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import io
 import json
-import zlib
 from email.parser import BytesParser
 from email.policy import HTTP as _HTTP_POLICY
 from typing import Dict, List, Optional, Tuple
@@ -116,10 +115,10 @@ def _decode_audio(filename: Optional[str], blob: bytes) -> np.ndarray:
 
 
 def _compression_ratio(text: str) -> float:
-    raw = text.encode("utf-8")
-    if not raw:
-        return 0.0
-    return len(raw) / len(zlib.compress(raw))
+    # the decoder's own metric (decode/rules.py) — the verbose_json
+    # field must never diverge from the gate the decode actually used
+    from ..decode.rules import compression_ratio
+    return compression_ratio(text)
 
 
 def _verbose_json(result, duration: float, task: str,
@@ -260,17 +259,16 @@ def models_listing(state) -> dict:
 # ---- response plumbing ---------------------------------------------------
 
 def _read_body(handler) -> bytes:
-    n = int(handler.headers.get("Content-Length", 0))
-    return handler.rfile.read(n) if n else b""
+    # the serve.server Handler's own Content-Length reader
+    return handler._body()
 
 
 def _send(handler, obj: dict, code: int = 200) -> None:
-    body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
-    handler.send_response(code)
-    handler.send_header("Content-Type", "application/json")
-    handler.send_header("Content-Length", str(len(body)))
-    handler.end_headers()
-    handler.wfile.write(body)
+    # OpenAI clients expect raw UTF-8 (ensure_ascii=False), which the
+    # host handler's _json doesn't guarantee — keep the encoding here
+    # but route through one response-plumbing path
+    _send_raw(handler, json.dumps(obj, ensure_ascii=False),
+              "application/json", code)
 
 
 def _send_raw(handler, text: str, ctype: str, code: int = 200) -> None:

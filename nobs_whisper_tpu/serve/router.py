@@ -258,11 +258,90 @@ def make_handler(state: RouterState):
                 if b:
                     return self._proxy_sse(b)
                 return
+            if len(parts) == 3 and parts[0] == "sessions" \
+                    and parts[2] == "ws":
+                b = self._session_backend(parts[1])
+                if b:
+                    return self._tunnel_ws(b)
+                return
             # config / models / download progress: first healthy backend
             b = state.pick_round_robin()
             if b is None:
                 return self._error("no healthy backends")
             return self._relay(b, "GET")
+
+        def _tunnel_ws(self, backend: Backend):
+            """Relay a WebSocket upgrade to the session's OWNING backend
+            and then pump raw bytes both ways — affinity must hold for
+            the full-duplex channel exactly as it does for SSE (the
+            urllib relays strip Upgrade headers and pick round-robin,
+            which can neither upgrade nor reach the right host)."""
+            import socket as socketmod
+            from urllib.parse import urlsplit
+
+            u = urlsplit(backend.base_url)
+            try:
+                upstream = socketmod.create_connection(
+                    (u.hostname, u.port or 80), timeout=30)
+            except OSError as e:
+                return self._error(f"backend {backend.base_url}: {e}",
+                                   502)
+            try:
+                # forward the original request line + headers verbatim
+                # (Sec-WebSocket-Key and friends included); rewrite Host
+                head = [f"GET {self.path} HTTP/1.1",
+                        f"Host: {u.netloc}"]
+                for k, v in self.headers.items():
+                    if k.lower() != "host":
+                        head.append(f"{k}: {v}")
+                upstream.sendall(("\r\n".join(head) + "\r\n\r\n")
+                                 .encode("latin-1"))
+                # read the backend's response head and forward verbatim
+                # (101 or an error — either way the client sees exactly
+                # what the backend said)
+                resp = b""
+                while b"\r\n\r\n" not in resp:
+                    chunk = upstream.recv(65536)
+                    if not chunk:
+                        return self._error("backend closed during "
+                                           "websocket handshake", 502)
+                    resp += chunk
+                self.connection.sendall(resp)
+                if not resp.startswith(b"HTTP/1.1 101"):
+                    return
+                # hijacked: pump bytes until either side closes. One
+                # direction inline (this handler thread), one in a
+                # helper; both sockets shut down when either ends.
+                client = self.connection
+                self.close_connection = True
+
+                def pump(src, dst):
+                    try:
+                        while True:
+                            data = src.recv(65536)
+                            if not data:
+                                break
+                            dst.sendall(data)
+                    except OSError:
+                        pass
+                    finally:
+                        for s in (src, dst):
+                            try:
+                                s.shutdown(socketmod.SHUT_RDWR)
+                            except OSError:
+                                pass
+
+                t = threading.Thread(target=pump,
+                                     args=(upstream, client),
+                                     daemon=True)
+                t.start()
+                pump(client, upstream)
+                t.join(timeout=10)
+            finally:
+                try:
+                    upstream.close()
+                except OSError:
+                    pass
 
         def _aggregate(self, method: str, path: str, key: str):
             out = {}

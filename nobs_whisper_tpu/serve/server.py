@@ -198,6 +198,10 @@ def make_handler(state: ServerState):
             stop_pump = threading.Event()
 
             def pump_events():
+                # persistent channel: unlike the SSE stream (one
+                # recording lifecycle per connection, by contract), the
+                # WS socket outlives final events — keep pumping so a
+                # restarted session's next cycle streams too
                 while not stop_pump.is_set():
                     try:
                         ev = q.get(timeout=0.5)
@@ -207,8 +211,6 @@ def make_handler(state: ServerState):
                         sock.send_json(
                             {"event": dataclasses.asdict(ev)})
                     except Exception:
-                        return
-                    if ev.is_final or ev.state == "cancelled":
                         return
 
             pump = threading.Thread(target=pump_events, daemon=True)
@@ -220,6 +222,13 @@ def make_handler(state: ServerState):
                         break
                     opcode, payload = msg
                     if opcode == wsmod.OP_BINARY:
+                        if len(payload) % 4:
+                            # truncated f32 PCM must get the same JSON
+                            # error the text path gets — an escaping
+                            # ValueError would make _guarded write an
+                            # HTTP response into the upgraded socket
+                            sock.send_json({"error": "bad frame"})
+                            continue
                         s.push_audio(np.frombuffer(payload, "<f4"))
                         if s.over_duration_cap():
                             s.stop(wait=False)
@@ -263,6 +272,10 @@ def make_handler(state: ServerState):
             except (wsmod.WebSocketError, BrokenPipeError,
                     ConnectionResetError, OSError):
                 pass
+            except Exception:
+                # after the upgrade NOTHING may write HTTP into this
+                # socket (_guarded would answer 400 in RFC 6455 land)
+                log.exception("websocket session handler failed")
             finally:
                 stop_pump.set()
                 state.unsubscribe(sid, q)

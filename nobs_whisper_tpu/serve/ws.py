@@ -129,7 +129,7 @@ class WebSocket:
     def recv(self) -> Optional[Tuple[int, bytes]]:
         """Next data message as (opcode, payload), reassembling
         continuations; answers pings; returns None on close."""
-        msg_op, parts = None, []
+        msg_op, parts, total = None, [], 0
         while True:
             opcode, fin, payload = self._read_frame()
             if opcode == OP_PING:
@@ -141,11 +141,17 @@ class WebSocket:
                 self.close()
                 return None
             if opcode in (OP_TEXT, OP_BINARY):
-                msg_op, parts = opcode, [payload]
+                msg_op, parts, total = opcode, [payload], len(payload)
             elif opcode == OP_CONT and msg_op is not None:
                 parts.append(payload)
+                total += len(payload)
             else:
                 raise WebSocketError(f"unexpected opcode {opcode:#x}")
+            if total > MAX_FRAME:
+                # the per-frame cap in _read_frame is trivially
+                # bypassed by fragmentation — bound the reassembled
+                # MESSAGE too or one connection can grow without limit
+                raise WebSocketError("message too large")
             if fin:
                 return msg_op, b"".join(parts)
 

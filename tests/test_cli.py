@@ -222,6 +222,24 @@ def test_cli_transcribe_multi_file_sidecars(wav_and_model, tmp_path):
     assert (outdir / "a.srt").exists() and (outdir / "c.srt").exists()
 
 
+def test_cli_transcribe_sidecar_basename_collision(wav_and_model,
+                                                   tmp_path):
+    """Same-basename inputs from different directories must not
+    silently overwrite each other's sidecar."""
+    wav, model = wav_and_model
+    from nobs_whisper_tpu.audio.io import write_wav
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    wav2 = str(other / "a.wav")          # same basename as the fixture
+    write_wav(wav2, speech_like_audio(0.4, seed=9))
+    outdir = tmp_path / "subs2"
+    r = _run(["transcribe", wav, wav2, "--model", model, "--language",
+              "en", "--dtype", "float32", "--output-format", "srt",
+              "--output", str(outdir), "--batch", "2"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "a.srt").exists() and (outdir / "a-2.srt").exists()
+
+
 def test_cli_transcribe_speculative_matches_plain(wav_and_model, tmp_path):
     """transcribe --speculative K (DecodeOptions.speculative flowing
     through the longform path) gives the same transcript as plain."""

@@ -210,3 +210,39 @@ def test_openai_endpoints_route_through(cluster):
     # GET /v1/models relays via the generic first-healthy path
     out = _get(base, "/v1/models")
     assert out["object"] == "list"
+
+
+def test_websocket_tunnels_to_owning_backend(cluster):
+    """The full-duplex WS channel must reach the session's OWNING
+    backend through the router (affinity), via a real upgrade tunnel —
+    the urllib relays strip Upgrade headers and pick round-robin."""
+    import numpy as np
+    from nobs_whisper_tpu.client import Client
+
+    base, router, backends, _ = cluster
+    c = Client(base)
+    with c.session(language="en") as s:
+        sock = s.websocket()
+        try:
+            sock.send_json({"verb": "start"})
+            reply = None
+            for _ in range(50):
+                opcode, payload = sock.recv()
+                obj = json.loads(payload)
+                if "reply" in obj:
+                    reply = obj
+                    break
+            assert reply and reply["reply"] == "start" and reply["started"]
+            rng = np.random.RandomState(3)
+            sock.send_binary((rng.randn(8000) * 0.2).astype("<f4")
+                             .tobytes())
+            sock.send_json({"verb": "stop"})
+            for _ in range(50):
+                opcode, payload = sock.recv()
+                obj = json.loads(payload)
+                if "reply" in obj:
+                    break
+            assert obj["reply"] == "stop"
+            assert isinstance(obj["transcript"], str)
+        finally:
+            sock.close()

@@ -251,3 +251,40 @@ def test_ws_rejects_unknown_session_and_plain_get(server):
             urllib.request.urlopen(f"{base}/sessions/{s.id}/ws",
                                    timeout=10)
     assert ei.value.code == 400
+
+
+def test_ws_channel_survives_multiple_cycles(server):
+    """The socket is a PERSISTENT channel: events must stream for a
+    second recording cycle too (the pump may not exit at the first
+    final event), and a malformed binary frame gets a JSON error
+    instead of killing the connection."""
+    from nobs_whisper_tpu.client import Client
+    base, _ = server
+    c = Client(base)
+    rng = np.random.RandomState(7)
+    with c.session(language="en") as s:
+        sock = s.websocket()
+        try:
+            for cycle in range(2):
+                sock.send_json({"verb": "start"})
+                reply = _recv_json_until(sock, "reply")
+                assert reply["started"], cycle
+                if cycle == 0:
+                    sock.send_binary(b"\x00" * 6)   # truncated f32 PCM
+                    err = _recv_json_until(sock, "error")
+                    assert err["error"] == "bad frame"
+                sock.send_binary(
+                    (rng.randn(8000) * 0.2).astype("<f4").tobytes())
+                sock.send_json({"verb": "stop"})
+                reply = _recv_json_until(sock, "reply")
+                assert reply["reply"] == "stop", cycle
+                # the cycle's final event must arrive on the socket too
+                ev = _recv_json_until(sock, "event")
+                for _ in range(50):
+                    if ev["event"].get("is_final") \
+                            or ev["event"]["state"] == "cancelled":
+                        break
+                    ev = _recv_json_until(sock, "event")
+                assert ev["event"]["is_final"], cycle
+        finally:
+            sock.close()
