@@ -114,6 +114,27 @@ def main() -> int:
            "combo": summary, "result": result}
     with open(RESULTS, "a") as f:
         f.write(json.dumps(rec) + "\n")
+    # a faster encoder historically moves the batch knee up (28 -> 40
+    # after the flat-attention win) — re-sweep two sizes under the
+    # winning combo so the knee evidence lands in the same jsonl
+    if ok and best_name != "headline_confirm":
+        for bsz in (44, 48):
+            try:
+                r2 = subprocess.run(
+                    [sys.executable, "bench.py", "--batch", str(bsz),
+                     "--repeats", "2", *spec_args],
+                    cwd=REPO, env=env, capture_output=True, text=True,
+                    timeout=DEADLINE_S)
+                jl = [ln for ln in r2.stdout.splitlines()
+                      if ln.startswith("{")]
+                res2 = json.loads(jl[-1]) if jl else None
+                ok2 = r2.returncode == 0 and res2 is not None
+            except subprocess.TimeoutExpired:
+                res2, ok2 = None, False
+            with open(RESULTS, "a") as f:
+                f.write(json.dumps({
+                    "name": f"best_combo_b{bsz}", "ok": ok2,
+                    "result": res2}) + "\n")
     with open(OUT, "w") as f:
         json.dump({**summary,
                    "confirmed_rtf": (result or {}).get("value")}, f,

@@ -73,6 +73,16 @@ def main():
               file=sys.stderr)
         sys.exit(1)
     run_one("speculative_k3_pool4", bench + ["--speculative", "3"])
+    # the session-4 fused-kernel ladder: the biggest potential encoder
+    # wins, so they run right after the top deferred item. First Mosaic
+    # compile of each kernel happens here — a lowering failure shows up
+    # as that record failing; everything already run stays banked.
+    run_one("bench_attn_fused", bench, {"NWT_ATTN_FUSED": "1"})
+    run_one("bench_attn_fused_o", bench, {"NWT_ATTN_FUSED": "2"})
+    run_one("bench_layer_fused", bench, {"NWT_ATTN_FUSED": "3"})
+    run_one("bench_stem_fused", bench, {"NWT_STEM_FUSED": "1"})
+    run_one("bench_all_fused", bench,
+            {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"})
     if args.quick:
         return
     for k in (2, 4):
@@ -105,17 +115,8 @@ def main():
     run_one("bench_attn_i8pv", bench, {"NWT_ATTN_I8PV": "1"})
     run_one("bench_attn_i8_both", bench,
             {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"})
-    # fused LN+QKV+attention kernel (first Mosaic compile of the kernel
-    # happens here — a lowering failure shows up as this record failing,
-    # everything before it is already banked)
-    run_one("bench_attn_fused", bench, {"NWT_ATTN_FUSED": "1"})
-    run_one("bench_attn_fused_o", bench, {"NWT_ATTN_FUSED": "2"})
     run_one("bench_attn_fused_o_i8", bench,
             {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"})
-    run_one("bench_stem_fused", bench, {"NWT_STEM_FUSED": "1"})
-    run_one("bench_layer_fused", bench, {"NWT_ATTN_FUSED": "3"})
-    run_one("bench_all_fused", bench,
-            {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"})
 
 
 if __name__ == "__main__":
