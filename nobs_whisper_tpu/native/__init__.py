@@ -168,8 +168,13 @@ class NativeAudioBuffer:
                 return None
             out = np.empty(need, np.float32)
             n = fn(self._h, _fptr(out), out.size)
-            if n >= 0:
+            if n > 0:
                 return out[:n]
+            if n == 0:
+                # the condition (e.g. the silence boundary) vanished
+                # between probe and consume — the AudioBuffer contract
+                # is None, never an empty chunk
+                return None
         raise RuntimeError("native buffer kept growing during take()")
 
     def take_chunk_at_silence(self) -> Optional[np.ndarray]:
@@ -195,11 +200,19 @@ def find_silence_boundaries_native(audio: np.ndarray,
     if lib is None:
         raise RuntimeError("native audio engine unavailable")
     x = np.ascontiguousarray(audio, np.float32)
-    bounds = np.zeros(4096, np.int64)
-    n = lib.nwt_find_silence_boundaries(
-        _fptr(x), x.size, sample_rate,
-        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), bounds.size)
-    return bounds[:n].tolist()
+    cap = 4096
+    while True:
+        bounds = np.zeros(cap, np.int64)
+        n = lib.nwt_find_silence_boundaries(
+            _fptr(x), x.size, sample_rate,
+            bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bounds.size)
+        if n < cap:
+            return bounds[:n].tolist()
+        # a full buffer means the C side STOPPED at the cap (it cannot
+        # overflow) — the Python twin is unbounded, so grow and re-run
+        # rather than silently dropping the tail's boundaries
+        cap *= 4
 
 
 def resample_native(audio: np.ndarray, in_rate: int,

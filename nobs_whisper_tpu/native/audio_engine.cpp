@@ -177,11 +177,15 @@ int64_t nwt_buffer_len(void* h) {
 }
 
 double nwt_buffer_noise_floor(void* h) {
-  return static_cast<StreamBuffer*>(h)->noise_floor;
+  auto* b = static_cast<StreamBuffer*>(h);
+  std::lock_guard<std::mutex> lock(b->mu);  // push() mutates it
+  return b->noise_floor;
 }
 
 int64_t nwt_buffer_last_speech_pos(void* h) {
-  return int64_t(static_cast<StreamBuffer*>(h)->last_speech_pos);
+  auto* b = static_cast<StreamBuffer*>(h);
+  std::lock_guard<std::mutex> lock(b->mu);  // push() mutates it
+  return int64_t(b->last_speech_pos);
 }
 
 int nwt_buffer_has_silence_boundary(void* h) {

@@ -28,6 +28,7 @@ import numpy as np
 from ..audio.buffer import AudioBuffer
 from ..audio.resample import resample
 from ..audio.vad import find_silence_boundaries, split_at_silences
+from ..native import make_audio_buffer
 from ..core.config import SAMPLE_RATE
 
 log = logging.getLogger(__name__)
@@ -192,7 +193,11 @@ class StreamingSession:
         with self._lock:
             if self.state != SessionState.IDLE:
                 return False  # already recording/processing: no-op
-            self._buffer = AudioBuffer(self.config.sample_rate)
+            # native C++ engine when built (bit-parity twin of the
+            # Python AudioBuffer, test_native.py pins it), NumPy
+            # fallback otherwise — the serving hot path runs the native
+            # VAD/chunking off the Python heap
+            self._buffer = make_audio_buffer(self.config.sample_rate)
             self._chunk_q = queue.Queue()
             self._results = []
             self._cancelled = False

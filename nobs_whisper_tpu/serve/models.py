@@ -99,12 +99,21 @@ def model_path(model_id: str, base: Optional[Path] = None) -> Path:
 # global progress map guarded by a lock (the reference's
 # DOWNLOAD_PROGRESS LazyLock<Mutex<HashMap>>, model.rs:47-48)
 _PROGRESS: Dict[str, float] = {}
+_ERRORS: Dict[str, str] = {}    # last failure per model id (cleared on
+                                # the next attempt / success) — without
+                                # it a failed download is
+                                # indistinguishable from a finished one
 _PROGRESS_LOCK = threading.Lock()
 
 
 def get_download_progress(model_id: str) -> Optional[float]:
     with _PROGRESS_LOCK:
         return _PROGRESS.get(model_id)
+
+
+def get_download_error(model_id: str) -> "Optional[str]":
+    with _PROGRESS_LOCK:
+        return _ERRORS.get(model_id)
 
 
 def list_models(base: Optional[Path] = None) -> List[ModelInfo]:
@@ -139,6 +148,7 @@ def download_model(model_id: str, base: Optional[Path] = None,
         if model_id in _PROGRESS:
             raise RuntimeError(f"{model_id} is already downloading")
         _PROGRESS[model_id] = 0.0
+        _ERRORS.pop(model_id, None)
 
     # everything after the progress entry registers must sit inside the
     # try/finally, or a failure (e.g. an unwritable models dir) leaves
@@ -149,25 +159,32 @@ def download_model(model_id: str, base: Optional[Path] = None,
         path = model_path(model_id, base)
         tmp = path.with_suffix(".bin.partial")
         resp = opener(models[model_id].url)
-        total = int(resp.headers.get("Content-Length", 0) or
-                    models[model_id].size)
-        done = 0
-        path.parent.mkdir(parents=True, exist_ok=True)
-        with open(tmp, "wb") as f:
-            while True:
-                buf = resp.read(chunk_size)
-                if not buf:
-                    break
-                f.write(buf)
-                done += len(buf)
-                with _PROGRESS_LOCK:
-                    _PROGRESS[model_id] = min(100.0 * done / max(total, 1),
-                                              100.0)
+        try:
+            total = int(resp.headers.get("Content-Length", 0) or
+                        models[model_id].size)
+            done = 0
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(tmp, "wb") as f:
+                while True:
+                    buf = resp.read(chunk_size)
+                    if not buf:
+                        break
+                    f.write(buf)
+                    done += len(buf)
+                    with _PROGRESS_LOCK:
+                        _PROGRESS[model_id] = min(
+                            100.0 * done / max(total, 1), 100.0)
+        finally:
+            # close the HTTP response on every path (injected test
+            # openers may omit close(), hence the getattr)
+            getattr(resp, "close", lambda: None)()
         os.replace(tmp, path)
         return path
-    except Exception:
+    except Exception as e:
         if tmp is not None:
             tmp.unlink(missing_ok=True)  # partial-file cleanup
+        with _PROGRESS_LOCK:
+            _ERRORS[model_id] = str(e)
         raise
     finally:
         with _PROGRESS_LOCK:

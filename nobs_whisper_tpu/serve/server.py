@@ -106,7 +106,6 @@ def make_handler(state: ServerState):
             except Exception as e:
                 log.exception("request failed")
                 return self._error(str(e), 500)
-            return s
 
         # ---- GET -----------------------------------------------------
         def do_GET(self):
@@ -142,7 +141,9 @@ def make_handler(state: ServerState):
                     and parts[2] == "progress":
                 return self._json({
                     "progress":
-                        model_registry.get_download_progress(parts[1])})
+                        model_registry.get_download_progress(parts[1]),
+                    "error":
+                        model_registry.get_download_error(parts[1])})
             if parts == ["state"]:
                 return self._json({
                     sid: s.state.value for sid, s in state.sessions.items()})

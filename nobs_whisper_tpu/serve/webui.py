@@ -150,11 +150,19 @@ async function loadConfig() {
   $("cfg-task").value = cfg.task || "transcribe";
   $("cfg-vocab").value = cfg.custom_vocabulary || "";
 }
+let cfgQ = Promise.resolve();   // serialize write-throughs: POST /config
+                                // is full-document (reference semantics,
+                                // config.rs:115), so out-of-order
+                                // responses would revert newer changes
 async function saveConfig(patch) {
   cfg = Object.assign({}, cfg, patch);
-  cfg = await j("/config", {method: "POST", body: JSON.stringify(cfg)});
-  $("cfg-status").textContent = "saved";
-  setTimeout(() => $("cfg-status").textContent = "", 1200);
+  const doc = cfg;
+  cfgQ = cfgQ.then(async () => {
+    cfg = await j("/config", {method: "POST", body: JSON.stringify(doc)});
+    $("cfg-status").textContent = "saved";
+    setTimeout(() => $("cfg-status").textContent = "", 1200);
+  }).catch((e) => { $("cfg-status").textContent = "save failed: " + e; });
+  return cfgQ;
 }
 $("cfg-language").onchange = (e) => saveConfig({language: e.target.value});
 $("cfg-ptt").onchange = (e) =>
@@ -168,6 +176,8 @@ $("cfg-vocab").onchange = (e) =>
 
 // ---- models (grouped, progress polled at 500 ms like the reference) --
 const downloading = new Set();
+const polling = new Set();      // one poll loop per model, ever
+const dlErrors = {};            // last failure per model id
 async function renderModels() {
   const models = await j("/models");
   const byCat = {};
@@ -186,6 +196,9 @@ async function renderModels() {
         `<div class="grow"><b>${m.name || m.id}</b>` +
         (sel ? ` <span class="pill">selected</span>` : "") +
         `<div class="muted">${m.size || ""} — ${m.description || ""}</div>` +
+        (dlErrors[m.id]
+          ? `<div class="muted">download failed: ${dlErrors[m.id]}</div>`
+          : "") +
         `<progress id="prog-${m.id}" max="100" value="0" hidden></progress>` +
         `</div>`;
       const btn = document.createElement("button");
@@ -207,6 +220,7 @@ async function renderModels() {
           ? "Downloading…" : "Download";
         btn.disabled = m.status === "downloading";
         btn.onclick = async () => {
+          delete dlErrors[m.id];
           await j(`/models/${m.id}/download`, {method: "POST"});
           downloading.add(m.id);
           btn.disabled = true; btn.textContent = "Downloading…";
@@ -222,9 +236,11 @@ async function renderModels() {
   }
 }
 function pollProgress(id) {         // 500 ms, +page.svelte:106-119 analog
+  if (polling.has(id)) return;      // renderModels re-runs must not
+  polling.add(id);                  // stack extra poll loops
   const bar = () => $(`prog-${id}`);
   const tick = async () => {
-    if (!downloading.has(id)) return;
+    if (!downloading.has(id)) { polling.delete(id); return; }
     let p;
     try {
       p = await j(`/models/${id}/progress`);
@@ -236,8 +252,10 @@ function pollProgress(id) {         // 500 ms, +page.svelte:106-119 analog
       bar().hidden = false;
       bar().value = p.progress == null ? 100 : p.progress;
     }
-    if (p.progress == null) {       // finished (or failed): re-list
+    if (p.progress == null) {       // finished or failed: re-list
+      if (p.error) dlErrors[id] = p.error;
       downloading.delete(id);
+      polling.delete(id);
       renderModels();
       return;
     }
@@ -262,16 +280,22 @@ async function micInit() {
     mic.rate = mic.ctx.sampleRate;
   } catch (e) { /* no mic: server-driven sessions still function */ }
 }
+let audioQ = Promise.resolve();   // chain PCM POSTs: parallel fetches
+                                  // can arrive out of order and the
+                                  // buffer appends in arrival order
 function micStart() {
   if (!mic.ctx) return;
   const src = mic.ctx.createMediaStreamSource(mic.stream);
   const node = mic.ctx.createScriptProcessor(4096, 1, 1);
   node.onaudioprocess = (e) => {
     if (!recording) return;
-    const pcm = e.inputBuffer.getChannelData(0);
-    fetch(`/sessions/${sid}/audio`,
-          {method: "POST", body: new Float32Array(pcm).buffer});
-  };
+    const body = new Float32Array(e.inputBuffer.getChannelData(0)).buffer;
+    const target = sid;
+    audioQ = audioQ
+      .then(() => fetch(`/sessions/${target}/audio`,
+                        {method: "POST", body}))
+      .catch(() => {});             // a dropped chunk must not break
+  };                                // the chain for later ones
   src.connect(node);
   node.connect(mic.ctx.destination);
   mic.node = {src, node};
@@ -296,6 +320,16 @@ function logEvent(ev) {
 }
 $("btn-new").onclick = async () => {
   if (es) es.close();
+  micStop();                        // or the old node keeps POSTing
+  recording = false;
+  if (sid) {                        // tear the old session down server-
+    const old = sid;                // side instead of leaking it in
+    sid = null;                     // RECORDING state
+    try { await fetch(`/sessions/${old}/cancel`, {method: "POST"}); }
+    catch (e) {}
+    try { await fetch(`/sessions/${old}`, {method: "DELETE"}); }
+    catch (e) {}
+  }
   await micInit();
   const body = {sample_rate: mic.rate};
   if (cfg && cfg.language && cfg.language !== "auto")

@@ -133,6 +133,14 @@ def test_download_failure_cleans_partial(tmp_path):
     assert not mdl.model_path("base", tmp_path).exists()
     assert not list(tmp_path.glob("*.partial"))
     assert mdl.get_download_progress("base") is None
+    # a failure must be distinguishable from a silent completion
+    # (model.rs has no such signal; clients polled into the void)
+    assert mdl.get_download_error("base")
+    # ...and the next attempt clears it
+    mdl.download_model("base", tmp_path, chunk_size=1000,
+                       _opener=lambda url: FakeResponse(payload))
+    assert mdl.get_download_error("base") is None
+    assert mdl.model_path("base", tmp_path).exists()
 
 
 def test_duplicate_download_guard(tmp_path):
