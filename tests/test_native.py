@@ -101,3 +101,29 @@ def test_factory():
     buf = native.make_audio_buffer(SR)
     buf.push_samples(sine(0.5))
     assert len(buf) == SR // 2
+
+
+def test_session_uses_native_buffer_when_available():
+    """The C++ engine is the PRODUCTION buffer: StreamingSession must
+    construct it (not the NumPy twin) whenever the library builds."""
+    from nobs_whisper_tpu import native
+    from nobs_whisper_tpu.pipeline.session import (SessionConfig,
+                                                   StreamingSession)
+    if not native.available():
+        import pytest
+        pytest.skip("native engine not built on this box")
+
+    class NullEngine:
+        def transcribe(self, *a, **kw):
+            class R:
+                text = ""
+                segments = []
+                language = "en"
+            return R()
+
+    s = StreamingSession(NullEngine(), SessionConfig())
+    assert s.start()
+    try:
+        assert isinstance(s._buffer, native.NativeAudioBuffer)
+    finally:
+        s.cancel()
