@@ -573,6 +573,26 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8777,
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     else:
+        # graceful drain on SIGTERM/SIGINT (the production analog of
+        # the reference's window-close handling, lib.rs:98-113): stop
+        # accepting, then close the engine — a BatchedEngine's close()
+        # DRAINS its queue, so already-submitted windows still deliver
+        import signal
+
+        def _stop(signum, frame):
+            log.info("signal %d: shutting down", signum)
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _stop)
+            except ValueError:     # not the main thread: skip
+                pass
         log.info("serving on %s:%d", host, port)
-        httpd.serve_forever()
+        try:
+            httpd.serve_forever()
+        finally:
+            close = getattr(engine, "close", None)
+            if close is not None:
+                close()
     return httpd

@@ -254,3 +254,39 @@ def test_cli_transcribe_speculative_matches_plain(wav_and_model, tmp_path):
     a = json.loads(base.stdout.strip().splitlines()[-1])
     b = json.loads(spec.stdout.strip().splitlines()[-1])
     assert a["text"] == b["text"]
+
+
+def test_cli_serve_sigterm_graceful(wav_and_model, tmp_path):
+    """SIGTERM drains and exits cleanly (lib.rs:98-113 analog): the
+    foreground server must shut down instead of dying mid-batch."""
+    import signal
+    import time
+    import urllib.request
+    wav, model = wav_and_model
+    port = 8841
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "nobs_whisper_tpu.cli", "serve",
+         "--model", model, "--dtype", "float32", "--quant", "none",
+         "--batch", "2", "--port", str(port)],
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu",
+             "NOBS_WHISPER_TPU_HOME": str(tmp_path),
+             "PYTHONPATH": "/root/repo"})
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/health", timeout=2):
+                    break
+            except Exception:
+                time.sleep(0.5)
+        else:
+            raise AssertionError("server never came up")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, (rc, proc.stderr.read().decode()[-500:])
+    finally:
+        if proc.poll() is None:
+            proc.kill()
