@@ -145,3 +145,54 @@ def test_from_hf_dir(tmp_path):
         jnp.zeros((1,), jnp.int32), init_kv_cache(eng.cfg, 1), ckv, eng.cfg)
     np.testing.assert_allclose(np.asarray(logits), expected,
                                rtol=1e-4, atol=1e-3)
+
+
+def test_apply_best_selection_logic(tmp_path):
+    """scripts/apply_best.py runs unattended after tunnel recovery — its
+    selection (best kernel A/B x best speculative run) must not rot.
+    Exercised against a fake repo with synthetic results and a stub
+    bench.py so the confirm run executes for real."""
+    import json
+    import shutil
+
+    repo = tmp_path / "repo"
+    (repo / "scripts").mkdir(parents=True)
+    shutil.copy("scripts/apply_best.py", repo / "scripts" / "apply_best.py")
+    rows = [
+        {"name": "headline_confirm", "ok": True, "result": {"value": 1000.0}},
+        {"name": "bench_attn_fused", "ok": True, "result": {"value": 1100.0}},
+        {"name": "bench_layer_fused", "ok": True, "result": {"value": 1200.0}},
+        {"name": "bench_stem_fused", "ok": False, "result": None},
+        {"name": "speculative_k3_pool4", "ok": True,
+         "result": {"value": 1300.0}},
+        {"name": "speculative_k2_pool4", "ok": True,
+         "result": {"value": 900.0}},
+    ]
+    with open(repo / "scripts" / "recovery_results.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # stub bench: echoes its env/args as the confirm record
+    (repo / "bench.py").write_text(
+        "import json, os, sys\n"
+        "print(json.dumps({'metric': 'rtf', 'value': 1400.0,\n"
+        "                  'env': os.environ.get('NWT_ATTN_FUSED'),\n"
+        "                  'args': sys.argv[1:]}))\n")
+    r = subprocess.run([sys.executable, "scripts/apply_best.py"],
+                       cwd=repo, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    best = json.loads((repo / "scripts" / "best_flags.json").read_text())
+    assert best["kernel_pick"] == "bench_layer_fused"
+    assert best["kernel_env"] == {"NWT_ATTN_FUSED": "3"}
+    assert best["speculative_args"] == ["--speculative", "3",
+                                        "--draft-pool", "4"]
+    assert best["confirmed_rtf"] == 1400.0
+    recs = [json.loads(ln) for ln in
+            (repo / "scripts" / "recovery_results.jsonl")
+            .read_text().splitlines()]
+    confirm = [r for r in recs if r["name"] == "best_combo_confirm"]
+    assert confirm and confirm[0]["ok"]
+    # the confirm ran the stub with the winning env + spec args
+    assert confirm[0]["result"]["env"] == "3"
+    assert confirm[0]["result"]["args"][:2] == ["--speculative", "3"]
+    # knee re-sweep records landed too
+    assert {r["name"] for r in recs} >= {"best_combo_b44", "best_combo_b48"}
