@@ -85,7 +85,15 @@ class AudioBuffer:
         return self._n
 
     def take(self) -> np.ndarray:
-        """Drain everything (stop-recording path)."""
+        """Drain everything (stop-recording path).
+
+        NB the pending 200 ms overlap is deliberately DISCARDED, not
+        prepended: the reference's drain does exactly this
+        (AudioBuffer::take clears overlap_buffer, audio.rs:89-93) — the
+        overlap's samples were already transcribed at the tail of the
+        previous chunk, and the reference accepts the mid-word cut on
+        the residue after a forced split. Intentional behavioral
+        parity, not an oversight."""
         with self._lock:
             out = self._samples()
             self._chunks = []

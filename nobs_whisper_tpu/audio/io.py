@@ -67,6 +67,7 @@ def _read_float_wav(blob: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos, n = 12, len(blob)
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= n:
         cid = blob[pos:pos + 4]
@@ -74,18 +75,34 @@ def _read_float_wav(blob: bytes) -> Tuple[np.ndarray, int]:
         body = blob[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)          # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _, _, bits = fmt
-    if tag == 0xFFFE and len(blob) and bits in (32, 64):
-        tag = 3                                # extensible float subtype
-    if tag != 3:
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the REAL format is the SubFormat GUID
+        # in the fmt extension (first 2 bytes = the classic tag) — a
+        # 32-bit extensible file can be integer PCM, and reading its
+        # bytes as f32 would silently return garbage audio
+        if len(fmt_body) >= 26:
+            (tag,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            raise ValueError("extensible WAV without a SubFormat GUID")
+    if tag == 1:                               # integer PCM subtype
+        if bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        else:
+            raise ValueError(f"unsupported extensible PCM width {bits}")
+    elif tag == 3:
+        x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(
+            np.float32)
+    else:
         raise ValueError(f"unsupported WAV format tag {tag}")
-    x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(
-        np.float32)
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x.astype(np.float32), rate

@@ -122,6 +122,14 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     Accepts (T,) or batched (B, T). Normalization max is per-sample over the
     full spectrogram, as in whisper.cpp / openai-whisper.
     """
+    if audio.shape[-1] <= N_FFT // 2:
+        # reflect-pad needs more samples than the pad width (empty or
+        # sub-centering audio raises deep in jnp.pad); such inputs are
+        # below one STFT window — return the well-defined all-zero
+        # spectrogram with the usual T//hop frame count (the longform
+        # sibling guards its zero-frame case the same way, below)
+        shape = audio.shape[:-1] + (n_mels, audio.shape[-1] // HOP_LENGTH)
+        return jnp.zeros(shape, jnp.float32)
     if audio.ndim == 1:
         return _log_mel_single(audio, n_mels)
     return jax.vmap(lambda a: _log_mel_single(a, n_mels))(audio)
@@ -205,7 +213,6 @@ def log_mel_longform(audio: np.ndarray, n_mels: int = 80,
 
     frames_per_win = N_FRAMES  # 3000
     n_windows = -(-n_frames // frames_per_win)
-    total = n_windows * frames_per_win
     # frame index matrix per window, computed lazily per batch
     logmels = []
     for w0 in range(0, n_windows, window_batch):

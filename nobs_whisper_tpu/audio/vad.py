@@ -15,7 +15,7 @@ from typing import List
 
 import numpy as np
 
-SAMPLE_RATE = 16_000
+from ..core.config import SAMPLE_RATE
 
 # constants mirroring src-tauri/src/audio.rs:7-15,338-361
 MAX_BUFFER_DURATION_S = 25

@@ -291,8 +291,11 @@ def read_ggml(path: str) -> GGMLCheckpoint:
     Tensor arrays are returned in NumPy layout with shape = reversed ggml
     ``ne`` (ggml lists the contiguous dimension first).
     """
-    with open(path, "rb") as f:
-        data = f.read()
+    # memmap, not read(): full file bytes + an fp32 upcast of every
+    # tensor held simultaneously tripled transient host RAM on large-v3
+    # (~10 GB); the mmap pages in per tensor and the OS drops cold
+    # pages. Same reason core/hf.py memmaps safetensors.
+    data = np.memmap(path, dtype=np.uint8, mode="r")
     off = 0
 
     def u32() -> int:
@@ -328,7 +331,7 @@ def read_ggml(path: str) -> GGMLCheckpoint:
     vocab: List[bytes] = []
     for _ in range(n_tok):
         ln = u32()
-        vocab.append(data[off:off + ln])
+        vocab.append(bytes(data[off:off + ln]))
         off += ln
     for i in range(n_tok, n_vocab):
         vocab.append(f"[_extra_token_{i}]".encode())
@@ -340,7 +343,7 @@ def read_ggml(path: str) -> GGMLCheckpoint:
         name_len = u32()
         ttype = u32()
         ne = [u32() for _ in range(n_dims)]
-        name = data[off:off + name_len].decode("utf-8")
+        name = bytes(data[off:off + name_len]).decode("utf-8")
         off += name_len
         n_elems = int(np.prod(ne))
         nbytes = _tensor_nbytes(ttype, n_elems)
@@ -411,7 +414,15 @@ def write_ggml(
         for name, arr in tensors.items():
             arr = np.ascontiguousarray(arr, dtype=np.float32)
             ttype = tensor_types.get(name, default_type)
-            if arr.ndim == 1 or (arr.size % QK and ttype in _QUANTIZE):
+            if ttype in _QUANTIZE and (arr.ndim != 2
+                                       or arr.shape[-1] % QK):
+                # whisper.cpp quantizes 2-D tensors only, and ggml
+                # requires the contiguous dim ne[0] to be a QK multiple
+                # (blocks may not span rows) — gating on total SIZE let
+                # 3-wide conv kernels through with row-spanning blocks,
+                # which its loader rejects
+                ttype = GGML_TYPE_F32
+            if arr.ndim == 1:
                 ttype = GGML_TYPE_F32
             ne = list(reversed(arr.shape))
             name_b = name.encode("utf-8")

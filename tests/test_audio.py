@@ -319,3 +319,39 @@ def test_log_mel_longform_empty_audio():
     from nobs_whisper_tpu.audio.mel import log_mel_longform
     out = log_mel_longform(np.zeros(100, np.float32), padding=0)
     assert out.shape == (80, 0)
+
+
+def test_mel_empty_and_subwindow_audio():
+    """Sub-STFT-window audio returns the well-defined empty/all-zero
+    spectrogram instead of crashing in reflect padding."""
+    import jax.numpy as jnp
+    from nobs_whisper_tpu.audio.mel import log_mel_spectrogram
+    out = log_mel_spectrogram(jnp.zeros(0))
+    assert out.shape == (80, 0)
+    out = log_mel_spectrogram(jnp.zeros(180))   # > hop, < reflect pad
+    assert out.shape == (80, 1) and float(abs(out).max()) == 0.0
+    out = log_mel_spectrogram(jnp.zeros((2, 100)), n_mels=128)
+    assert out.shape == (2, 128, 0)
+
+
+def test_read_wav_extensible_int_pcm():
+    """WAVE_FORMAT_EXTENSIBLE with an integer-PCM SubFormat GUID must be
+    decoded as int32 PCM — not reinterpreted as f32 garbage."""
+    import struct
+    from nobs_whisper_tpu.audio.io import read_wav
+
+    rate, vals = 16000, np.array([0.5, -0.25, 0.125, -1.0], np.float32)
+    pcm = (vals * 2147483647).astype("<i4").tobytes()
+    # KSDATAFORMAT_SUBTYPE_PCM: 00000001-0000-0010-8000-00aa00389b71
+    guid = struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00" \
+        + bytes([0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    ext = struct.pack("<HHI", 22, 32, 0x4) + guid   # cbSize, validbits,
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, rate,   # chmask, then GUID
+                      rate * 4, 4, 32) + ext
+    data = pcm
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    audio, r = read_wav(blob)
+    assert r == rate
+    np.testing.assert_allclose(audio, vals, atol=2e-9)

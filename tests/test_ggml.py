@@ -135,15 +135,22 @@ def test_q5_file_tensor_matches_independent_dequant(tmp_path, qtype):
     path = str(tmp_path / "model.bin")
     ggml.write_ggml(path, cfg, mel, vocab, tensors, default_type=qtype)
     ckpt = ggml.read_ggml(path)
-    checked = 0
+    checked = passthrough = 0
     for name, orig in tensors.items():
-        if orig.ndim == 1 or orig.size % 32:
-            continue               # stored f32 (whisper.cpp leaves 1D alone)
+        if orig.ndim != 2 or orig.shape[-1] % 32:
+            # non-2D (conv kernels: ne[0]=3) and ragged-row tensors must
+            # come back as exact f32 — ggml requires the contiguous dim
+            # to be a QK multiple for quantized types (blocks may not
+            # span rows) and whisper.cpp quantizes 2-D tensors only
+            np.testing.assert_array_equal(
+                ckpt.tensors[name], orig.astype(np.float32), err_msg=name)
+            passthrough += orig.ndim != 1
+            continue
         raw = ggml._QUANTIZE[qtype](orig.reshape(-1))
         expect = _independent_q5_dequant(raw, qtype).reshape(orig.shape)
         np.testing.assert_array_equal(ckpt.tensors[name], expect, err_msg=name)
         checked += 1
-    assert checked >= 3
+    assert checked >= 3 and passthrough >= 1
 
 
 def test_q8_0_roundtrip_precision():
