@@ -262,29 +262,41 @@ def test_ws_channel_survives_multiple_cycles(server):
     base, _ = server
     c = Client(base)
     rng = np.random.RandomState(7)
+
+    def read_until(sock, key, events, tries=80):
+        """Like _recv_json_until but COLLECTS event frames instead of
+        discarding them — event/reply ordering on the shared socket is
+        nondeterministic (pump thread vs handler thread)."""
+        for _ in range(tries):
+            opcode, payload = sock.recv()
+            obj = json.loads(payload)
+            if "event" in obj:
+                events.append(obj["event"])
+            if key in obj:
+                return obj
+        raise AssertionError(f"no frame with {key!r}")
+
     with c.session(language="en") as s:
         sock = s.websocket()
         try:
             for cycle in range(2):
+                events = []
                 sock.send_json({"verb": "start"})
-                reply = _recv_json_until(sock, "reply")
+                reply = read_until(sock, "reply", events)
                 assert reply["started"], cycle
                 if cycle == 0:
                     sock.send_binary(b"\x00" * 6)   # truncated f32 PCM
-                    err = _recv_json_until(sock, "error")
+                    err = read_until(sock, "error", events)
                     assert err["error"] == "bad frame"
                 sock.send_binary(
                     (rng.randn(8000) * 0.2).astype("<f4").tobytes())
                 sock.send_json({"verb": "stop"})
-                reply = _recv_json_until(sock, "reply")
+                reply = read_until(sock, "reply", events)
                 assert reply["reply"] == "stop", cycle
                 # the cycle's final event must arrive on the socket too
-                ev = _recv_json_until(sock, "event")
-                for _ in range(50):
-                    if ev["event"].get("is_final") \
-                            or ev["event"]["state"] == "cancelled":
-                        break
-                    ev = _recv_json_until(sock, "event")
-                assert ev["event"]["is_final"], cycle
+                # (may already have been collected alongside the reply)
+                while not any(e.get("is_final") for e in events):
+                    read_until(sock, "event", events)
+                assert any(e.get("is_final") for e in events), cycle
         finally:
             sock.close()
