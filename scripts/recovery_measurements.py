@@ -33,7 +33,8 @@ OUT = os.path.join(REPO, "scripts", "recovery_results.jsonl")
 DEADLINE_S = int(os.environ.get("NWT_RECOVERY_DEADLINE_S", "600"))
 
 
-def run_one(name: str, cmd: list, extra_env: dict = None) -> bool:
+def run_one(name: str, cmd: list, extra_env: dict = None,
+            _attempt: int = 1) -> bool:
     print(f"=== {name}: {' '.join(cmd)}", file=sys.stderr)
     env = {**os.environ, "NWT_BENCH_NO_RETRY": "1", **(extra_env or {})}
     t0 = time.time()
@@ -45,6 +46,13 @@ def run_one(name: str, cmd: list, extra_env: dict = None) -> bool:
                "elapsed_s": round(time.time() - t0, 1)}
         print(json.dumps(rec), file=open(OUT, "a"))
         print(f"    TIMED OUT after {DEADLINE_S}s", file=sys.stderr)
+        # the known platform failure is a TRANSIENT wedged dispatch
+        # (CLAUDE.md): an identical program often succeeds on an
+        # immediate retry, so one retry per item before moving on
+        if _attempt == 1:
+            print("    retrying once (wedge is usually transient)",
+                  file=sys.stderr)
+            return run_one(name, cmd, extra_env, _attempt=2)
         return False
     json_lines = [ln for ln in r.stdout.splitlines()
                   if ln.startswith("{")]
@@ -69,9 +77,25 @@ def main():
 
     ok = run_one("headline_confirm", bench)
     if not ok:
-        print("headline failed — tunnel likely still down; stopping",
-              file=sys.stderr)
-        sys.exit(1)
+        # a banked ok headline from an earlier (partial) invocation
+        # still anchors apply_best's comparisons — one wedged confirm
+        # shouldn't discard the rest of the matrix
+        prior = False
+        if os.path.exists(OUT):
+            with open(OUT) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("name") == "headline_confirm" and rec.get("ok"):
+                        prior = True
+        if not prior:
+            print("headline failed — tunnel likely still down; stopping",
+                  file=sys.stderr)
+            sys.exit(1)
+        print("headline wedged this run, but a prior ok headline is "
+              "banked — continuing", file=sys.stderr)
     run_one("speculative_k3_pool4", bench + ["--speculative", "3"])
     # the session-4 fused-kernel ladder: the biggest potential encoder
     # wins, so they run right after the top deferred item. First Mosaic
