@@ -320,13 +320,15 @@ def _main_with_wedge_retry():
     child and retrying once makes the driver's end-of-round bench
     artifact survive a single wedge instead of hanging forever.
 
-    NWT_BENCH_DEADLINE_S tunes the per-attempt cap (default 540 s —
-    well above the ~25 s warm-cache compile+run, below any sane outer
-    timeout). NWT_BENCH_NO_RETRY=1 (set for the child; settable by
-    hand) runs the measurement inline with no wrapper.
+    NWT_BENCH_DEADLINE_S tunes the per-attempt cap (default 1500 s:
+    the 2026-08-19 degraded-tunnel state needs ~15 min of setup —
+    weight upload + quantize dispatches — before the first measurement;
+    a healthy tunnel finishes in ~2 min). NWT_BENCH_NO_RETRY=1 (set for
+    the child; settable by hand) runs the measurement inline with no
+    wrapper.
     """
     import subprocess
-    deadline = int(os.environ.get("NWT_BENCH_DEADLINE_S", "540"))
+    deadline = int(os.environ.get("NWT_BENCH_DEADLINE_S", "1500"))
     env = {**os.environ, "NWT_BENCH_NO_RETRY": "1"}
     for attempt in (1, 2):
         try:

@@ -822,9 +822,11 @@ def init_params(rng: jax.Array, cfg: WhisperConfig,
     def nrm(shape, scale=None):
         scale = scale if scale is not None else shape[-1] ** -0.5
         if host_rng:
-            return jnp.asarray(
-                (np_rng.randn(*shape) * scale).astype(np.float32)
-            ).astype(dtype)
+            arr = (np_rng.randn(*shape) * scale).astype(np.float32)
+            # cast on the HOST (ml_dtypes-backed numpy dtype): shipping
+            # bf16 halves the multi-GB weight upload through the remote
+            # tunnel vs uploading f32 and casting on device
+            return jnp.asarray(arr.astype(np.dtype(dtype)))
         return (jax.random.normal(next(keys), shape, jnp.float32) *
                 scale).astype(dtype)
 

@@ -1,0 +1,344 @@
+"""One-process A/B measurement matrix (slow-tunnel amortization).
+
+scripts/recovery_measurements.py runs each A/B as a fresh bench.py
+process. That was right when a full bench took ~2 min; after the
+2026-08-19 tunnel degradation a single process spends ~15 min on
+setup alone (3 GB weight upload + per-tensor quantize dispatches), so
+a 25-item matrix would take a day. This runner pays setup ONCE —
+params, audio, prompts, rule tables stay on device — and then loops
+configs: set env knobs -> jax.clear_caches() (the knobs are trace-time,
+docs/KNOBS.md) -> retrace -> warm -> time.
+
+Each config appends one record to scripts/recovery_results.jsonl in
+run_one's exact format, so scripts/apply_best.py consumes the output
+unchanged. Already-ok names are skipped on relaunch (resume after a
+wedge: run under `timeout`, relaunch, it continues where it died).
+
+Measurement method is identical to bench.py's serving loop (one device
+program: frames->mel->encode->decode_window_jit with full rules; eot
+suppressed so every window runs exactly --decode-tokens steps), so the
+RTF values are directly comparable with bench.py records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "scripts",
+                   "recovery_results_cpu_smoke.jsonl"
+                   if os.environ.get("NWT_BENCH_CPU")
+                   else "recovery_results.jsonl")
+
+# every knob any config touches: cleared before each config is applied
+MATRIX_KNOBS = ("NWT_ATTN_FUSED", "NWT_STEM_FUSED", "NWT_ATTN_I8",
+                "NWT_ATTN_I8PV")
+
+KERNEL_CONFIGS = [
+    ("headline_confirm", {}),
+    ("bench_attn_fused", {"NWT_ATTN_FUSED": "1"}),
+    ("bench_attn_fused_o", {"NWT_ATTN_FUSED": "2"}),
+    ("bench_layer_fused", {"NWT_ATTN_FUSED": "3"}),
+    ("bench_stem_fused", {"NWT_STEM_FUSED": "1"}),
+    ("bench_all_fused", {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"}),
+    # accuracy-priced (excluded from apply_best auto-selection)
+    ("bench_attn_i8pv", {"NWT_ATTN_I8PV": "1"}),
+    ("bench_attn_i8_both", {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"}),
+    ("bench_attn_fused_o_i8", {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"}),
+]
+
+SPEC_CONFIGS = [  # (name, k, pool)
+    ("speculative_k3_pool4", 3, 4),
+    ("speculative_k2_pool4", 2, 4),
+    ("speculative_k4_pool4", 4, 4),
+    ("speculative_k3_pool2", 3, 2),
+    ("speculative_k3_pool8", 3, 8),
+]
+
+
+def done_names() -> set:
+    names = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("ok") and rec.get("result"):
+                    names.add(rec["name"])
+    return names
+
+
+def bank(name: str, t0: float, result=None, error: str = None,
+         extra: dict = None) -> None:
+    rec = {"name": name, "ok": error is None,
+           "elapsed_s": round(time.time() - t0, 1)}
+    if result is not None:
+        rec["result"] = result
+    if error is not None:
+        rec["error"] = error
+    if extra:
+        rec.update(extra)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"    {'ok' if error is None else 'FAILED'} "
+          f"({rec['elapsed_s']}s): {result or error}", file=sys.stderr)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="large-v3-turbo")
+    p.add_argument("--batch", type=int, default=40)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--decode-tokens", type=int, default=160)
+    p.add_argument("--quant", choices=["none", "int8"], default="int8")
+    p.add_argument("--configs", default="kernels,spec",
+                   help="comma list: kernel-config names, speculative "
+                        "names, 'kernels'/'spec' groups, 'knee:B1+B2' "
+                        "batch sweep, 'latency'")
+    p.add_argument("--force", action="store_true",
+                   help="re-run configs already ok in the results file")
+    args = p.parse_args()
+
+    want = [w.strip() for w in args.configs.split(",") if w.strip()]
+    kernel_sel = [c for c in KERNEL_CONFIGS
+                  if "kernels" in want or c[0] in want]
+    spec_sel = [c for c in SPEC_CONFIGS
+                if "spec" in want or c[0] in want]
+    knees = []
+    for w in want:
+        if w.startswith("knee:"):
+            knees = [int(x) for x in w.split(":", 1)[1].split("+")]
+    do_latency = "latency" in want
+    already = set() if args.force else done_names()
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("NWT_BENCH_CPU"):
+        # CPU smoke hook (same caveat as bench.py: the platform must be
+        # switched post-import, before first backend use)
+        jax.config.update("jax_platforms", "cpu")
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_compile_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import dataclasses as _dc
+
+    from nobs_whisper_tpu.audio.mel import log_mel_spectrogram
+    from nobs_whisper_tpu.audio.mel import pad_or_trim
+    from nobs_whisper_tpu.core.config import get_config
+    from nobs_whisper_tpu.decode.greedy import (decode_window_jit,
+                                                kt_xattn_default,
+                                                pad_prompts)
+    from nobs_whisper_tpu.decode.rules import (DecodeOptions,
+                                               build_rule_tables)
+    from nobs_whisper_tpu.models.whisper import encode, init_params
+    from nobs_whisper_tpu.ops.quant import (quantize_decoder_params,
+                                            quantize_encoder_params)
+    from nobs_whisper_tpu.utils.testing import speech_like_audio
+
+    cfg = get_config(args.model)
+    dtype = jnp.bfloat16
+    t0 = time.time()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if args.quant == "int8":
+        params = quantize_decoder_params(params)
+        params = quantize_encoder_params(params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # force residency before timing anything
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+    print(f"# setup: params resident in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    opts = DecodeOptions()
+    tables = build_rule_tables(cfg, opts, tokenizer=None)
+    tables = _dc.replace(
+        tables, suppress_mask=tables.suppress_mask.at[cfg.eot].set(True))
+    rng = jax.random.PRNGKey(0)
+    n_steps = args.decode_tokens
+
+    def batch_inputs(b):
+        audio = np.stack([
+            np.asarray(pad_or_trim(speech_like_audio(28.0, seed=s)))
+            for s in range(b)])
+        pt_np, pl_np = pad_prompts(
+            [[cfg.sot, cfg.lang_base, cfg.transcribe]] * b, cfg.eot)
+        pt, pl = jnp.asarray(pt_np), jnp.asarray(pl_np)
+        return (jax.device_put(audio), pt, pl, pl,
+                jnp.zeros((b,), jnp.float32))
+
+    audio_j, pt, pl, si, temps = batch_inputs(args.batch)
+
+    def make_serving(q8_kv=False):
+        @jax.jit
+        def p_real(params, a, pt, pl, si, tables, temps, rng):
+            mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+            xa = encode(params, mel, cfg, compute_dtype=dtype)
+            toks, n, slp, nsp = decode_window_jit(
+                params, xa, pt, pl, si, tables, temps, rng, cfg, n_steps,
+                dtype, q8_kv=q8_kv, xattn_bf16=kt_xattn_default(dtype),
+                sampling=False)
+            return slp
+        return p_real
+
+    def measure(fn, fn_args, b):
+        tw = time.time()
+        np.asarray(fn(*fn_args))
+        print(f"    compile+warm {time.time() - tw:.1f}s",
+              file=sys.stderr)
+        ts = []
+        for _ in range(args.repeats):
+            ta = time.perf_counter()
+            np.asarray(fn(*fn_args))
+            ts.append(time.perf_counter() - ta)
+        t_full = float(np.median(ts))
+        return t_full, b * 30.0 / t_full
+
+    def apply_env(env: dict):
+        for k in MATRIX_KNOBS:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        jax.clear_caches()
+
+    # ---- kernel-knob ladder -------------------------------------------
+    for name, env in kernel_sel:
+        if name in already:
+            print(f"=== {name}: already banked, skipping", file=sys.stderr)
+            continue
+        print(f"=== {name}: env={env}", file=sys.stderr)
+        t0 = time.time()
+        try:
+            apply_env(env)
+            fn = make_serving()
+            t_full, rtf = measure(
+                fn, (params, audio_j, pt, pl, si, tables, temps, rng),
+                args.batch)
+            bank(name, t0, {
+                "metric": f"rtf_{args.model}_bfloat16_{args.quant}_"
+                          f"batch{args.batch}",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_per_second_per_chip",
+                "vs_baseline": round(rtf / 50.0, 3)},
+                extra={"t_full_s": round(t_full, 4), "env": env,
+                       "method": "ab_bench one-process"})
+        except Exception as e:  # Mosaic lowering, OOM, ... keep going
+            bank(name, t0, error=f"{type(e).__name__}: {e}")
+    apply_env({})
+
+    # ---- speculative (flag-based, no env) -----------------------------
+    if spec_sel:
+        from nobs_whisper_tpu.decode.speculative import \
+            decode_window_speculative_jit
+
+    for name, k, pool in spec_sel:
+        if name in already:
+            print(f"=== {name}: already banked, skipping", file=sys.stderr)
+            continue
+        print(f"=== {name}: k={k} pool={pool}", file=sys.stderr)
+        t0 = time.time()
+        try:
+            passes_box = [None]
+
+            @jax.jit
+            def p_spec(params, a, pt, pl, si, tables, _k=k, _pool=pool):
+                mel = log_mel_spectrogram(a, n_mels=cfg.n_mels)
+                xa = encode(params, mel, cfg, compute_dtype=dtype)
+                toks, n, slp, nsp, passes = decode_window_speculative_jit(
+                    params, params, xa, pt, pl, si, tables, cfg, cfg,
+                    n_steps, _k, _pool, dtype, kt_xattn_default(dtype),
+                    False, self_draft=True)
+                return slp, passes
+
+            def fn(*a):
+                slp, passes = p_spec(*a)
+                passes_box[0] = passes
+                return slp
+
+            t_full, rtf = measure(
+                fn, (params, audio_j, pt, pl, si, tables), args.batch)
+            passes = int(np.asarray(passes_box[0]))
+            bank(name, t0, {
+                "metric": f"rtf_{args.model}_bfloat16_{args.quant}_"
+                          f"batch{args.batch}_spec{k}p{pool}",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_per_second_per_chip",
+                "vs_baseline": round(rtf / 50.0, 3)},
+                extra={"t_full_s": round(t_full, 4), "passes": passes,
+                       "emitted_per_pass": round(n_steps / max(passes, 1), 2),
+                       "method": "ab_bench one-process"})
+        except Exception as e:
+            bank(name, t0, error=f"{type(e).__name__}: {e}")
+
+    # ---- batch-knee sweep (same params, new batch inputs) -------------
+    for b in knees:
+        name = (f"{args.model.replace('-', '_')}_knee_b{b}"
+                if args.model != "base" else f"base_knee_b{b}")
+        if name in already:
+            print(f"=== {name}: already banked, skipping", file=sys.stderr)
+            continue
+        print(f"=== {name}", file=sys.stderr)
+        t0 = time.time()
+        try:
+            a_j, ptb, plb, sib, tb = batch_inputs(b)
+            fn = make_serving()
+            t_full, rtf = measure(
+                fn, (params, a_j, ptb, plb, sib, tables, tb, rng), b)
+            bank(name, t0, {
+                "metric": f"rtf_{args.model}_bfloat16_{args.quant}_batch{b}",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_per_second_per_chip",
+                "vs_baseline": round(rtf / 50.0, 3)},
+                extra={"t_full_s": round(t_full, 4),
+                       "method": "ab_bench one-process"})
+        except Exception as e:
+            bank(name, t0, error=f"{type(e).__name__}: {e}")
+
+    # ---- p50 single-utterance latency ---------------------------------
+    if do_latency and "latency_plain" not in already:
+        from nobs_whisper_tpu.audio.mel import frame_window_np
+        from nobs_whisper_tpu.decode.greedy import \
+            frames_encode_decode_window_jit
+        ut = np.asarray(speech_like_audio(5.0, seed=99))
+        pt1, pl1 = pad_prompts(
+            [[cfg.sot, cfg.lang_base, cfg.transcribe]], cfg.eot)
+        pt1, pl1 = jnp.asarray(pt1), jnp.asarray(pl1)
+        t0 = time.time()
+        try:
+            def p_lat():
+                fr = jnp.asarray(frame_window_np(ut)[None])
+                _, _, slp, _ = frames_encode_decode_window_jit(
+                    params, fr, pt1, pl1, pl1, tables,
+                    jnp.zeros((1,), jnp.float32), rng, cfg, 48, dtype,
+                    xattn_bf16=kt_xattn_default(dtype), sampling=False)
+                return slp
+            np.asarray(p_lat())
+            lats = []
+            for _ in range(max(args.repeats * 3, 5)):
+                ta = time.perf_counter()
+                np.asarray(p_lat())
+                lats.append(time.perf_counter() - ta)
+            bank("latency_plain", t0, {
+                "metric": f"p50_utterance_latency_{args.model}",
+                "value": round(float(np.median(lats)) * 1000, 1),
+                "unit": "ms", "vs_baseline": None})
+        except Exception as e:
+            bank("latency_plain", t0, error=f"{type(e).__name__}: {e}")
+
+    print("# matrix complete", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
