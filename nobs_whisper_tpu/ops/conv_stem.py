@@ -50,6 +50,21 @@ def _gelu_tanh(a):
     return 0.5 * a * (1.0 + jnp.tanh(c * (a + 0.044715 * a * a * a)))
 
 
+def _roll_rows(x, shift):
+    """Sublane roll that Mosaic can lower for any dtype.
+
+    tpu.dynamic_rotate is only implemented for 32-bit element types
+    (measured on-chip 2026-08-19: bf16 rolls fail to compile with
+    "Rotate with non-32-bit data"), so narrow dtypes round-trip
+    through f32 for the shuffle. VPU cost is negligible next to the
+    kernel's nine matmuls.
+    """
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift=shift, axis=0)
+    return pltpu.roll(x.astype(jnp.float32), shift=shift,
+                      axis=0).astype(x.dtype)
+
+
 def _stem_kernel(me_ref, mo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                  pos_ref, o_ref, *, c, d, t_real):
     th = me_ref.shape[1]                           # padded half-length
@@ -62,9 +77,9 @@ def _stem_kernel(me_ref, mo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # provides when there are explicit pad rows (t_out_pad > t_real) —
     # mask it (and the wrapped don't-care rows above it) to zero.
     mo_m1 = jnp.where(row == 0, jnp.zeros((), mo.dtype),
-                      pltpu.roll(mo, shift=1, axis=0))
+                      _roll_rows(mo, 1))
     me_p1 = jnp.where(row >= t_real - 1, jnp.zeros((), me.dtype),
-                      pltpu.roll(me, shift=th - 1, axis=0))  # roll(-1)
+                      _roll_rows(me, th - 1))  # roll(-1)
 
     w1_0 = w1_ref[0:c, :]
     w1_1 = w1_ref[c:2 * c, :]
@@ -87,7 +102,7 @@ def _stem_kernel(me_ref, mo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     # O[t-1]: row 0 = the conv2 left pad (conv1's r = -1 zero row)
     o_m1 = jnp.where(row == 0, jnp.zeros((), o.dtype),
-                     pltpu.roll(o, shift=1, axis=0))
+                     _roll_rows(o, 1))
 
     w2_0 = w2_ref[0:d, :]
     w2_1 = w2_ref[d:2 * d, :]

@@ -48,18 +48,27 @@ KERNEL_CONFIGS = [
     ("bench_layer_fused", {"NWT_ATTN_FUSED": "3"}),
     ("bench_stem_fused", {"NWT_STEM_FUSED": "1"}),
     ("bench_all_fused", {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"}),
+    ("bench_attn1_stem", {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "1"}),
     # accuracy-priced (excluded from apply_best auto-selection)
     ("bench_attn_i8pv", {"NWT_ATTN_I8PV": "1"}),
     ("bench_attn_i8_both", {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"}),
     ("bench_attn_fused_o_i8", {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"}),
 ]
 
-SPEC_CONFIGS = [  # (name, k, pool)
-    ("speculative_k3_pool4", 3, 4),
-    ("speculative_k2_pool4", 2, 4),
-    ("speculative_k4_pool4", 4, 4),
-    ("speculative_k3_pool2", 3, 2),
-    ("speculative_k3_pool8", 3, 8),
+SPEC_CONFIGS = [  # (name, k, pool, env)
+    ("speculative_k3_pool4", 3, 4, {}),
+    ("speculative_k2_pool4", 2, 4, {}),
+    ("speculative_k4_pool4", 4, 4, {}),
+    ("speculative_k3_pool2", 3, 2, {}),
+    ("speculative_k3_pool8", 3, 8, {}),
+    # first sweep (2026-08-19): pool=8 BEAT pool=4 (1200 vs 1140 at
+    # k=3; plain 1150) — heavier pooling = cheaper draft passes. Probe
+    # the pool ceiling and k around it, and compose with the winning
+    # fused-attention kernel.
+    ("speculative_k3_pool16", 3, 16, {}),
+    ("speculative_k2_pool8", 2, 8, {}),
+    ("speculative_k4_pool8", 4, 8, {}),
+    ("speculative_k3_pool8_attn1", 3, 8, {"NWT_ATTN_FUSED": "1"}),
 ]
 
 
@@ -114,9 +123,15 @@ def main():
     spec_sel = [c for c in SPEC_CONFIGS
                 if "spec" in want or c[0] in want]
     knees = []
+    q8knees = []
     for w in want:
         if w.startswith("knee:"):
             knees = [int(x) for x in w.split(":", 1)[1].split("+")]
+        if w.startswith("q8knee:"):
+            # int8 cross-KV as a CAPACITY lever (large-v3: bf16 KV hits
+            # the HBM ceiling at B=32; halving KV bytes may net-win
+            # throughput despite the measured ~10-15% dequant tax)
+            q8knees = [int(x) for x in w.split(":", 1)[1].split("+")]
     do_latency = "latency" in want
     already = set() if args.force else done_names()
 
@@ -243,13 +258,15 @@ def main():
         from nobs_whisper_tpu.decode.speculative import \
             decode_window_speculative_jit
 
-    for name, k, pool in spec_sel:
+    for name, k, pool, senv in spec_sel:
         if name in already:
             print(f"=== {name}: already banked, skipping", file=sys.stderr)
             continue
-        print(f"=== {name}: k={k} pool={pool}", file=sys.stderr)
+        print(f"=== {name}: k={k} pool={pool} env={senv}",
+              file=sys.stderr)
         t0 = time.time()
         try:
+            apply_env(senv)
             passes_box = [None]
 
             @jax.jit
@@ -278,9 +295,11 @@ def main():
                 "vs_baseline": round(rtf / 50.0, 3)},
                 extra={"t_full_s": round(t_full, 4), "passes": passes,
                        "emitted_per_pass": round(n_steps / max(passes, 1), 2),
-                       "method": "ab_bench one-process"})
+                       "env": senv, "method": "ab_bench one-process"})
         except Exception as e:
             bank(name, t0, error=f"{type(e).__name__}: {e}")
+    if spec_sel:
+        apply_env({})
 
     # ---- batch-knee sweep (same params, new batch inputs) -------------
     for b in knees:
@@ -298,6 +317,30 @@ def main():
                 fn, (params, a_j, ptb, plb, sib, tables, tb, rng), b)
             bank(name, t0, {
                 "metric": f"rtf_{args.model}_bfloat16_{args.quant}_batch{b}",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_per_second_per_chip",
+                "vs_baseline": round(rtf / 50.0, 3)},
+                extra={"t_full_s": round(t_full, 4),
+                       "method": "ab_bench one-process"})
+        except Exception as e:
+            bank(name, t0, error=f"{type(e).__name__}: {e}")
+
+    # ---- int8-cross-KV capacity knee (q8knee:B1+B2) --------------------
+    for b in q8knees:
+        name = f"{args.model.replace('-', '_')}_q8kv_b{b}"
+        if name in already:
+            print(f"=== {name}: already banked, skipping", file=sys.stderr)
+            continue
+        print(f"=== {name}", file=sys.stderr)
+        t0 = time.time()
+        try:
+            a_j, ptb, plb, sib, tb = batch_inputs(b)
+            fn = make_serving(q8_kv=True)
+            t_full, rtf = measure(
+                fn, (params, a_j, ptb, plb, sib, tables, tb, rng), b)
+            bank(name, t0, {
+                "metric": f"rtf_{args.model}_bfloat16_{args.quant}_"
+                          f"batch{b}_q8kv",
                 "value": round(rtf, 2),
                 "unit": "audio_seconds_per_second_per_chip",
                 "vs_baseline": round(rtf / 50.0, 3)},

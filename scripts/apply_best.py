@@ -39,6 +39,7 @@ KERNEL_ENVS = {
     "bench_layer_fused": {"NWT_ATTN_FUSED": "3"},
     "bench_stem_fused": {"NWT_STEM_FUSED": "1"},
     "bench_all_fused": {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"},
+    "bench_attn1_stem": {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "1"},
 }
 
 
@@ -76,15 +77,20 @@ def main() -> int:
     best_val = _value(latest[best_name])
 
     spec_args = []
-    spec = [(n, _value(r)) for n, r in latest.items()
+    spec = [(n, _value(r), (r.get("env") or {})) for n, r in latest.items()
             if n.startswith("speculative_k")]
     if spec:
-        sn, sv = max(spec, key=lambda t: t[1])
+        sn, sv, senv = max(spec, key=lambda t: t[1])
         if sv > base:
-            # name format speculative_k{K}_pool{P}
-            k = sn.split("_k")[1].split("_")[0]
-            p = sn.split("pool")[1]
-            spec_args = ["--speculative", k, "--draft-pool", p]
+            # name format speculative_k{K}_pool{P}[_suffix]
+            import re
+            m = re.match(r"speculative_k(\d+)_pool(\d+)", sn)
+            spec_args = ["--speculative", m.group(1),
+                         "--draft-pool", m.group(2)]
+            # a combined spec+kernel record's env folds into the pick
+            # (kernel dimension may be overridden below if it's better)
+            if senv:
+                best_env = {**best_env, **senv}
 
     summary = {"baseline_rtf": base, "kernel_pick": best_name,
                "kernel_env": best_env, "kernel_rtf": best_val,
