@@ -146,17 +146,17 @@ def cmd_transcribe(args):
 
 def _default_batch(model: Optional[str]) -> int:
     """Measured per-model v5e throughput knees (docs/ROADMAP.md round-3
-    batch sweeps; ~99% of the best measured RTF at the smallest batch —
-    except ``base``, which is an unmeasured interpolation between the
-    tiny and small sweeps). Distil/quantized variants share their
-    parent architecture's knee (their decoders are lighter, so the knee
-    can only be higher — conservative). Unknown ids fall back to the
-    turbo knee. Only the BASENAME is matched, never directory
-    components: ``/data/smallville/ggml-large-v3.bin`` must resolve as
-    large-v3 (knee 24, the HBM ceiling), not 'small' (knee 48 would
-    hard-OOM a 16 GB chip)."""
+    batch sweeps; ~99% of the best measured RTF at the smallest batch;
+    ``base`` measured 2026-08-19: 48/64/80/96/128 ->
+    3166/3251/3384/3484/3450x, knee 96). Distil/quantized variants
+    share their parent architecture's knee (their decoders are lighter,
+    so the knee can only be higher — conservative). Unknown ids fall
+    back to the turbo knee. Only the BASENAME is matched, never
+    directory components: ``/data/smallville/ggml-large-v3.bin`` must
+    resolve as large-v3 (knee 24, the HBM ceiling), not 'small' (knee
+    48 would hard-OOM a 16 GB chip)."""
     name = os.path.basename((model or "").lower())
-    for key, knee in (("tiny", 128), ("base", 64), ("small", 48),
+    for key, knee in (("tiny", 128), ("base", 96), ("small", 48),
                       ("medium", 32), ("turbo", 40),
                       ("distil-large", 40), ("large", 24)):
         if key in name:

@@ -69,6 +69,16 @@ SPEC_CONFIGS = [  # (name, k, pool, env)
     ("speculative_k2_pool8", 2, 8, {}),
     ("speculative_k4_pool8", 4, 8, {}),
     ("speculative_k3_pool8_attn1", 3, 8, {"NWT_ATTN_FUSED": "1"}),
+    # second sweep: pool16 beat pool8 (1240 vs 1200), FUSED=1 composes
+    # (k3p8+attn1 1222). Probe the pool ceiling + the expected winner.
+    ("speculative_k3_pool32", 3, 32, {}),
+    ("speculative_k2_pool16", 2, 16, {}),
+    ("speculative_k3_pool16_attn1", 3, 16, {"NWT_ATTN_FUSED": "1"}),
+    # third sweep: pool32 1273.5 still climbing; probe the asymptote
+    # and whether higher k pays once drafts are near-free
+    ("speculative_k3_pool64", 3, 64, {}),
+    ("speculative_k4_pool32", 4, 32, {}),
+    ("speculative_k3_pool32_attn1", 3, 32, {"NWT_ATTN_FUSED": "1"}),
 ]
 
 
