@@ -66,7 +66,8 @@ def cmd_transcribe(args):
         compression_ratio_threshold=args.compression_ratio_threshold,
         timestamps=not args.no_timestamps,
         word_timestamps=args.word_timestamps,
-        speculative=max(args.speculative, 0))
+        speculative=max(args.speculative, 0),
+        draft_pool=max(args.draft_pool, 1))
     files = args.file
     batch = max(args.batch, 1)
     if batch > 1 and args.word_timestamps:
@@ -82,7 +83,8 @@ def cmd_transcribe(args):
         from .pipeline.batched_engine import BatchedEngine
         batched = BatchedEngine(engine, opts=opts,
                                 max_batch=min(batch, len(files)),
-                                speculative=max(args.speculative, 0))
+                                speculative=max(args.speculative, 0),
+                                draft_pool=max(args.draft_pool, 1))
 
     def run_one(path):
         audio, rate = load_audio(path)
@@ -217,6 +219,7 @@ def cmd_serve(args):
                   file=sys.stderr)
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
                                mesh=mesh, speculative=args.speculative,
+                               draft_pool=max(args.draft_pool, 1),
                                draft_engine=draft_engine)
         if args.warmup:
             import time as _time
@@ -320,6 +323,13 @@ def main(argv=None):
     t.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="exact speculative greedy decode (K drafted "
                         "tokens/pass, token-identical output; 0 = off)")
+    t.add_argument("--draft-pool", type=int, default=4, metavar="P",
+                   help="cross-KV time-pooling of the self-draft "
+                        "(--speculative). Heavier pooling = cheaper "
+                        "draft passes but lower acceptance; the v5e "
+                        "throughput sweep favored 16-32 (docs/"
+                        "ROADMAP.md 2026-08-19), default stays 4 until "
+                        "real-weight acceptance is measured")
     t.add_argument("--output-format",
                    choices=["txt", "srt", "vtt", "tsv", "json"],
                    default=None)
@@ -349,6 +359,9 @@ def main(argv=None):
                         "drafted tokens/pass (token-identical output; "
                         "0 = off). Default draft = the model itself "
                         "over 4x time-pooled cross-KV")
+    s.add_argument("--draft-pool", type=int, default=4, metavar="P",
+                   help="cross-KV time-pooling of the self-draft "
+                        "(--speculative); see transcribe --draft-pool")
     s.add_argument("--draft-model", default=None, metavar="ID|PATH",
                    help="second-model draft for --speculative (e.g. "
                         "distil-large-v3 drafting large-v3; must share "

@@ -271,15 +271,21 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # a fixed 127 scale, V per-head-scalar). Accuracy-priced like
     # NWT_ATTN_I8; the two compose.
     attn_i8pv = bool(os.environ.get("NWT_ATTN_I8PV"))
-    # experiment knob (trace-time): fuse LN + the q/k/v projections INTO
-    # the flat attention kernel (ops/encoder_attention.py::
-    # encoder_attention_fused_qkv) — the projection outputs never exist
-    # in HBM (~940 MB/layer deleted at B=40 turbo) and LN+quant runs once
-    # per row instead of once per projection. "2" additionally fuses the
-    # o projection + residual add (the attention output never exists in
-    # HBM either; the layer's attention half reads one (B, T, d) block
-    # and writes one). Quantized encoders only.
-    attn_fused = int(os.environ.get("NWT_ATTN_FUSED", "0") or "0")
+    # fuse LN + the q/k/v projections INTO the flat attention kernel
+    # (ops/encoder_attention.py::encoder_attention_fused_qkv) — the
+    # projection outputs never exist in HBM (~940 MB/layer deleted at
+    # B=40 turbo) and LN+quant runs once per row instead of once per
+    # projection. DEFAULT 1 since 2026-08-19: measured 1149.7 -> 1170.5x
+    # RTF (B=40 turbo serving loop), composes with speculative decode
+    # (k3p32: 1273.5 -> 1300.6x); numerics parity-tested vs the unfused
+    # path and exercised under the dp shard_map mesh path.
+    # NWT_ATTN_FUSED=0 opts out. "2" additionally fuses the o projection
+    # + residual add — measured SLOWER (1143.0x: the in-kernel per-row
+    # requant + row-block o matmul cost more than the (B, T, d) write
+    # they delete); "3" (whole-layer, + the MLP under pl.when) measured
+    # far slower (871.8x). Both kept opt-in. Quantized encoders only
+    # (the consumer gates on is_quantized + head-pair dh=128 + use_btd).
+    attn_fused = int(os.environ.get("NWT_ATTN_FUSED", "1") or "0")
     # experiment knob (trace-time): the whole conv stem (conv1 -> gelu ->
     # conv2 s2 -> gelu -> +pos) as ONE kernel per batch row — the
     # (B, 3000, d) conv1 output never exists in HBM and the output comes
