@@ -55,12 +55,16 @@ def main():
     attn_bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
 
     @functools.partial(jax.jit, static_argnames=("attn", "mlp", "qkvo",
-                                                 "stem_only"))
-    def enc(params, mel, attn=True, mlp=True, qkvo=True, stem_only=False):
+                                                 "stem_only", "fused"))
+    def enc(params, mel, attn=True, mlp=True, qkvo=True, stem_only=False,
+            fused=False):
         # replicates the PRODUCTION path (models/whisper.py::encode with
         # use_btd): flat-layout head-pair attention kernel, residual
         # stream padded once to the kernel T multiple, fused int8 MLP.
-        # attn=False substitutes a = v (identity attention, flat layout).
+        # fused=True mirrors the 2026-08-19 default (NWT_ATTN_FUSED=1:
+        # LN+QKV computed inside the attention kernel, separate o
+        # projection). attn=False substitutes a = v (identity attention,
+        # flat layout).
         enc_p = params["encoder"]
         x = jnp.swapaxes(mel, -1, -2).astype(jnp.bfloat16)
         x = _gelu(_conv1d(x, enc_p["conv1_w"], enc_p["conv1_b"], stride=1))
@@ -75,7 +79,15 @@ def main():
         dh = x.shape[-1] // n_head
 
         def block(x, p):
-            if qkvo:
+            if fused:
+                from nobs_whisper_tpu.ops.encoder_attention import \
+                    encoder_attention_fused_qkv
+                a = encoder_attention_fused_qkv(
+                    x, p["ln1_g"], p["ln1_b"],
+                    p["q_w"], p["q_b"], p["k_w"], p["v_w"], p["v_b"],
+                    t_real, float(dh) ** -0.5, n_head, block_q=attn_bq)
+                x = x + lin(a.astype(x.dtype), p["o_w"], p["o_b"])
+            elif qkvo:
                 hn = _layer_norm(x, p["ln1_g"], p["ln1_b"])
                 qf = lin(hn, p["q_w"], p["q_b"])
                 kf = lin(hn, p["k_w"])
@@ -123,17 +135,24 @@ def main():
         print(f"{name:24s} {med * 1000:8.1f} ms")
         return med
 
-    full = timed("full")
+    full_fused = timed("full_fused (default)", fused=True)
+    no_mlp_fused = timed("fused_no_mlp", fused=True, mlp=False)
+    full = timed("full_unfused")
     no_attn = timed("no_attention", attn=False)
     no_mlp = timed("no_mlp", mlp=False)
     stem = timed("stem_only", stem_only=True)
     proj_only = timed("qkvo_only", attn=False, mlp=False)
 
-    print(f"\nbatch={batch} breakdown (in-context deltas):")
+    print(f"\nbatch={batch} breakdown (in-context deltas; production "
+          f"default = fused LN+QKV attention):")
+    print(f"  fused ln+qkv+attn+o : {(no_mlp_fused - stem) * 1000:8.1f} ms")
+    print(f"  mlp                 : {(full_fused - no_mlp_fused) * 1000:8.1f} ms")
+    print(f"  stem                : {stem * 1000:8.1f} ms")
+    print(f"  full (default)      : {full_fused * 1000:8.1f} ms")
+    print(f"\n  unfused-path reference:")
     print(f"  attention : {(full - no_attn) * 1000:8.1f} ms")
     print(f"  mlp       : {(full - no_mlp) * 1000:8.1f} ms")
     print(f"  qkvo      : {(proj_only - stem) * 1000:8.1f} ms")
-    print(f"  stem      : {stem * 1000:8.1f} ms")
     print(f"  full      : {full * 1000:8.1f} ms")
 
 
