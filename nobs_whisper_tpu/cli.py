@@ -158,7 +158,7 @@ def _default_batch(model: Optional[str]) -> int:
     resolve as large-v3 (knee 24, the HBM ceiling), not 'small' (knee
     48 would hard-OOM a 16 GB chip)."""
     name = os.path.basename((model or "").lower())
-    for key, knee in (("tiny", 128), ("base", 96), ("small", 48),
+    for key, knee in (("tiny", 192), ("base", 96), ("small", 48),
                       ("medium", 32), ("turbo", 40),
                       ("distil-large", 40), ("large", 24)):
         if key in name:

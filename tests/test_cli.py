@@ -162,7 +162,7 @@ def test_default_batch_per_model():
     assert _default_batch("small") == 48
     assert _default_batch("distil-small.en") == 48
     assert _default_batch("medium-q5_0") == 32
-    assert _default_batch("tiny.en") == 128
+    assert _default_batch("tiny.en") == 192  # measured 2026-08-19
     assert _default_batch("base.en") == 96   # measured 2026-08-19
     assert _default_batch(None) == 40
     assert _default_batch("/models/ggml-small.bin") == 48
