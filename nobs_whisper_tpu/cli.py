@@ -67,7 +67,8 @@ def cmd_transcribe(args):
         timestamps=not args.no_timestamps,
         word_timestamps=args.word_timestamps,
         speculative=max(args.speculative, 0),
-        draft_pool=max(args.draft_pool, 1))
+        draft_pool=(max(args.draft_pool, 1)
+                    if args.draft_pool is not None else 4))
     files = args.file
     batch = max(args.batch, 1)
     if batch > 1 and args.word_timestamps:
@@ -84,7 +85,7 @@ def cmd_transcribe(args):
         batched = BatchedEngine(engine, opts=opts,
                                 max_batch=min(batch, len(files)),
                                 speculative=max(args.speculative, 0),
-                                draft_pool=max(args.draft_pool, 1))
+                                draft_pool=args.draft_pool)
 
     def run_one(path):
         audio, rate = load_audio(path)
@@ -219,7 +220,7 @@ def cmd_serve(args):
                   file=sys.stderr)
         engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
                                mesh=mesh, speculative=args.speculative,
-                               draft_pool=max(args.draft_pool, 1),
+                               draft_pool=args.draft_pool,
                                draft_engine=draft_engine)
         if args.warmup:
             import time as _time
@@ -323,7 +324,7 @@ def main(argv=None):
     t.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="exact speculative greedy decode (K drafted "
                         "tokens/pass, token-identical output; 0 = off)")
-    t.add_argument("--draft-pool", type=int, default=4, metavar="P",
+    t.add_argument("--draft-pool", type=int, default=None, metavar="P",
                    help="cross-KV time-pooling of the self-draft "
                         "(--speculative). Heavier pooling = cheaper "
                         "draft passes but lower acceptance; the v5e "
@@ -359,7 +360,7 @@ def main(argv=None):
                         "drafted tokens/pass (token-identical output; "
                         "0 = off). Default draft = the model itself "
                         "over 4x time-pooled cross-KV")
-    s.add_argument("--draft-pool", type=int, default=4, metavar="P",
+    s.add_argument("--draft-pool", type=int, default=None, metavar="P",
                    help="cross-KV time-pooling of the self-draft "
                         "(--speculative); see transcribe --draft-pool")
     s.add_argument("--draft-model", default=None, metavar="ID|PATH",

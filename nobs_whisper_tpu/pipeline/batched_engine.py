@@ -34,7 +34,7 @@ class BatchedEngine:
 
     def __init__(self, engine, opts: Optional[DecodeOptions] = None,
                  max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None,
-                 speculative: int = 0, draft_pool: int = 4,
+                 speculative: int = 0, draft_pool: Optional[int] = None,
                  draft_engine=None):
         self.engine = engine
         self.opts = opts or DecodeOptions()

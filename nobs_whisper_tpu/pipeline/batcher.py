@@ -73,7 +73,8 @@ class WindowBatcher:
                  max_wait_ms: float = 5.0, compute_dtype=jnp.float32,
                  encode_fn=None, mesh=None,
                  batch_deadline_s: Optional[float] = None,
-                 speculative: int = 0, draft_pool: int = 4, draft=None):
+                 speculative: int = 0, draft_pool: Optional[int] = None,
+                 draft=None):
         """``mesh``: a (dp, tp) jax.sharding.Mesh. When given, params are
         placed with tensor-parallel shardings and every window batch is
         sharded over dp — the SURVEY §2.3 "window batch over a mesh"
@@ -108,7 +109,9 @@ class WindowBatcher:
                 return default
         self.speculative = (speculative if speculative
                             else _env_int("NWT_SPECULATIVE", 0))
-        self.draft_pool = (draft_pool if draft_pool != 4
+        # None = unset (a real sentinel: an explicit draft_pool=4 must
+        # NOT be silently overridden by an exported NWT_DRAFT_POOL)
+        self.draft_pool = (draft_pool if draft_pool is not None
                            else _env_int("NWT_DRAFT_POOL", 4))
         # optional second-model draft (draft_params, draft_cfg) — the
         # distil pairing. Must share the vocab (acceptance compares

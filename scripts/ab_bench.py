@@ -39,16 +39,27 @@ OUT = os.path.join(REPO, "scripts",
 
 # every knob any config touches: cleared before each config is applied
 MATRIX_KNOBS = ("NWT_ATTN_FUSED", "NWT_STEM_FUSED", "NWT_ATTN_I8",
-                "NWT_ATTN_I8PV")
+                "NWT_ATTN_I8PV", "NWT_ATTN_BQ")
 
 KERNEL_CONFIGS = [
+    # NB env={} measures the CODE DEFAULTS, which moved on 2026-08-19
+    # (NWT_ATTN_FUSED now defaults to 1): headline_confirm records the
+    # production path; headline_unfused pins the pre-flip baseline so
+    # the matrix keeps an explicit fused-vs-unfused A/B.
     ("headline_confirm", {}),
+    ("headline_unfused", {"NWT_ATTN_FUSED": "0"}),
     ("bench_attn_fused", {"NWT_ATTN_FUSED": "1"}),
     ("bench_attn_fused_o", {"NWT_ATTN_FUSED": "2"}),
     ("bench_layer_fused", {"NWT_ATTN_FUSED": "3"}),
     ("bench_stem_fused", {"NWT_STEM_FUSED": "1"}),
     ("bench_all_fused", {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"}),
     ("bench_attn1_stem", {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "1"}),
+    # q-block sweep for the fused LN+QKV kernel (its VMEM/pipeline
+    # profile differs from the plain btd kernel that picked bq=256;
+    # NB since the 2026-08-19 default flip FUSED=1 is already on, so
+    # these two measure bq against the bench_attn_fused 1170.5 point)
+    ("bench_attn1_bq128", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_BQ": "128"}),
+    ("bench_attn1_bq512", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_BQ": "512"}),
     # accuracy-priced (excluded from apply_best auto-selection)
     ("bench_attn_i8pv", {"NWT_ATTN_I8PV": "1"}),
     ("bench_attn_i8_both", {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"}),
@@ -79,6 +90,12 @@ SPEC_CONFIGS = [  # (name, k, pool, env)
     ("speculative_k3_pool64", 3, 64, {}),
     ("speculative_k4_pool32", 4, 32, {}),
     ("speculative_k3_pool32_attn1", 3, 32, {"NWT_ATTN_FUSED": "1"}),
+    # asymptote check past pool64 (p32->p64 was +1%)
+    ("speculative_k3_pool128", 3, 128, {}),
+    # clean fused-default curve (the pre-flip pool rows measured the
+    # UNfused encoder; these pin pool64/256 under the shipping default)
+    ("speculative_k3_pool64_attn1", 3, 64, {"NWT_ATTN_FUSED": "1"}),
+    ("speculative_k3_pool256", 3, 256, {"NWT_ATTN_FUSED": "1"}),
 ]
 
 
@@ -297,9 +314,13 @@ def main():
             t_full, rtf = measure(
                 fn, (params, audio_j, pt, pl, si, tables), args.batch)
             passes = int(np.asarray(passes_box[0]))
+            # metric must be unique per CONFIG, not just per (k, pool):
+            # the _attn1 twins would otherwise collide with their plain
+            # rows for any metric-keyed consumer
+            spec_tag = name[len("speculative_"):]
             bank(name, t0, {
                 "metric": f"rtf_{args.model}_bfloat16_{args.quant}_"
-                          f"batch{args.batch}_spec{k}p{pool}",
+                          f"batch{args.batch}_spec_{spec_tag}",
                 "value": round(rtf, 2),
                 "unit": "audio_seconds_per_second_per_chip",
                 "vs_baseline": round(rtf / 50.0, 3)},

@@ -32,15 +32,17 @@ RESULTS = os.path.join(REPO, "scripts", "recovery_results.jsonl")
 OUT = os.path.join(REPO, "scripts", "best_flags.json")
 DEADLINE_S = int(os.environ.get("NWT_RECOVERY_DEADLINE_S", "600"))
 
-KERNEL_ENVS = {
-    "headline_confirm": {},
-    "bench_attn_fused": {"NWT_ATTN_FUSED": "1"},
-    "bench_attn_fused_o": {"NWT_ATTN_FUSED": "2"},
-    "bench_layer_fused": {"NWT_ATTN_FUSED": "3"},
-    "bench_stem_fused": {"NWT_STEM_FUSED": "1"},
-    "bench_all_fused": {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "3"},
-    "bench_attn1_stem": {"NWT_STEM_FUSED": "1", "NWT_ATTN_FUSED": "1"},
-}
+# single source of truth: the A/B runner's own config table (a
+# hand-duplicated dict here drifted the moment ab_bench grew configs —
+# a winning row apply_best didn't know about could never be selected).
+# The accuracy-priced NWT_ATTN_I8* rows stay excluded from
+# auto-selection (adopting those is a human call gated on the accuracy
+# sweep, docs/KNOBS.md).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ab_bench import KERNEL_CONFIGS  # noqa: E402
+
+KERNEL_ENVS = {name: env for name, env in KERNEL_CONFIGS
+               if not any(k.startswith("NWT_ATTN_I8") for k in env)}
 
 
 def _value(rec) -> float:
@@ -76,25 +78,32 @@ def main() -> int:
     best_env = dict(KERNEL_ENVS[best_name])
     best_val = _value(latest[best_name])
 
+    import re
     spec_args = []
-    spec = [(n, _value(r), (r.get("env") or {})) for n, r in latest.items()
-            if n.startswith("speculative_k")]
+    spec_env = {}
+    # only names the k/pool parser understands participate — an
+    # unparseable winner would otherwise crash the unattended chain
+    spec = []
+    for n, r in latest.items():
+        m = re.match(r"speculative_k(\d+)_pool(\d+)", n)
+        if m:
+            spec.append((n, _value(r), (r.get("env") or {}), m))
     if spec:
-        sn, sv, senv = max(spec, key=lambda t: t[1])
+        sn, sv, senv, m = max(spec, key=lambda t: t[1])
         if sv > base:
-            # name format speculative_k{K}_pool{P}[_suffix]
-            import re
-            m = re.match(r"speculative_k(\d+)_pool(\d+)", sn)
             spec_args = ["--speculative", m.group(1),
                          "--draft-pool", m.group(2)]
-            # a combined spec+kernel record's env folds into the pick
-            # (kernel dimension may be overridden below if it's better)
-            if senv:
-                best_env = {**best_env, **senv}
+            # a combined spec+kernel record's env is part of what that
+            # row measured — it folds into the CONFIRM env (recorded
+            # separately below; kernel_pick/kernel_rtf stay the pure
+            # kernel-dimension argmax)
+            spec_env = senv
 
+    confirm_env = {**best_env, **spec_env}
     summary = {"baseline_rtf": base, "kernel_pick": best_name,
                "kernel_env": best_env, "kernel_rtf": best_val,
-               "speculative_args": spec_args}
+               "speculative_args": spec_args,
+               "confirm_env": confirm_env}
     print(json.dumps(summary), file=sys.stderr)
     if best_name == "headline_confirm" and not spec_args:
         with open(OUT, "w") as f:
@@ -103,7 +112,7 @@ def main() -> int:
                       f, indent=1)
         return 0
 
-    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1", **best_env}
+    env = {**os.environ, "NWT_BENCH_NO_RETRY": "1", **confirm_env}
     t0 = time.time()
     try:
         r = subprocess.run([sys.executable, "bench.py", *spec_args],

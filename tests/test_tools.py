@@ -158,6 +158,9 @@ def test_apply_best_selection_logic(tmp_path):
     repo = tmp_path / "repo"
     (repo / "scripts").mkdir(parents=True)
     shutil.copy("scripts/apply_best.py", repo / "scripts" / "apply_best.py")
+    # apply_best imports the kernel-config table from ab_bench (single
+    # source of truth — a hand-duplicated dict drifted, review finding)
+    shutil.copy("scripts/ab_bench.py", repo / "scripts" / "ab_bench.py")
     rows = [
         {"name": "headline_confirm", "ok": True, "result": {"value": 1000.0}},
         {"name": "bench_attn_fused", "ok": True, "result": {"value": 1100.0}},
