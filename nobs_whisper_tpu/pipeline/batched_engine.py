@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -38,6 +39,19 @@ class BatchedEngine:
                  draft_engine=None):
         self.engine = engine
         self.opts = opts or DecodeOptions()
+        # observability: the temperature-fallback ladder multiplies device
+        # work invisibly (each retry is a full batched window decode) —
+        # count chunks vs submits so /stats and the live-fire bench can
+        # attribute serving cost (whisper.rs's analogous ladder is the
+        # dominant cost on low-confidence audio too). Scope: the
+        # single-window fast path only — i.e. every session VAD chunk on
+        # a real 30 s-window model (chunks are <=25 s); multi-window
+        # long-form files route through transcribe_mel and are not
+        # attributed here.
+        self._stats_lock = threading.Lock()
+        self.chunk_count = 0
+        self.fallback_retries = 0
+        self.tokens_emitted = 0
         self.batcher = WindowBatcher(
             engine.params, engine.cfg, engine.tokenizer, self.opts,
             max_batch=max_batch, max_wait_ms=max_wait_ms,
@@ -169,7 +183,9 @@ class BatchedEngine:
         from .longform import _temperature_ladder
 
         result, text = None, ""
+        attempts = 0
         for temp in _temperature_ladder(self.opts):
+            attempts += 1
             result = self.batcher.submit(
                 None, prompt, temperature=temp,
                 lang_slot=lang_slot, frames=frames).result(timeout=_submit_timeout())
@@ -185,6 +201,11 @@ class BatchedEngine:
                                   len(result.tokens), self.opts, text=text,
                                   no_speech_prob=result.no_speech_prob):
                 break
+
+        with self._stats_lock:
+            self.chunk_count += 1
+            self.fallback_retries += attempts - 1
+            self.tokens_emitted += len(result.tokens)
 
         final_lang = lang or result.language or "en"
         # no-speech gate: silent windows emit nothing, matching the

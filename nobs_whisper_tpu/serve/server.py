@@ -150,6 +150,14 @@ def make_handler(state: ServerState):
             if parts == ["stats"]:
                 from ..utils.profiling import GLOBAL_PROFILER
                 out = {"stages": GLOBAL_PROFILER.snapshot()}
+                if hasattr(state.engine, "chunk_count"):
+                    # fallback-ladder attribution: each retry is a full
+                    # batched window decode (BatchedEngine counters)
+                    out["decode"] = {
+                        "chunks": state.engine.chunk_count,
+                        "fallback_retries": state.engine.fallback_retries,
+                        "tokens_emitted": state.engine.tokens_emitted,
+                    }
                 batcher = getattr(state.engine, "batcher", None)
                 if batcher is not None:
                     sizes = batcher.batch_sizes[-100:]

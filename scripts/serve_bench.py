@@ -30,6 +30,24 @@ def main():
     p.add_argument("--audio-seconds", type=float, default=4.0)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", choices=["int8", "none"], default="none",
+                   help="int8 = the production serving default "
+                        "(cli.py serve); none = raw dtype (the CPU-"
+                        "friendly default here)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="exact speculative greedy decode (K drafted "
+                        "tokens/pass; 0 = off)")
+    p.add_argument("--draft-pool", type=int, default=None, metavar="P",
+                   help="cross-KV time-pooling of the self-draft")
+    p.add_argument("--no-fallback", action="store_true",
+                   help="disable the temperature fallback ladder "
+                        "(random weights fail every quality gate, so a "
+                        "random-checkpoint run otherwise decodes each "
+                        "chunk up to 6x)")
+    p.add_argument("--sample-len", type=int, default=None,
+                   help="cap decode steps per window (random weights "
+                        "rarely emit EOT, so the default n_text_ctx//2 "
+                        "cap is always hit)")
     p.add_argument("--mesh", default=None, metavar="DPxTP",
                    help="serve over a device mesh, e.g. 4x2; pair with "
                         "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
@@ -55,6 +73,8 @@ def main():
         model_path = os.path.join(tempfile.mkdtemp(), "ggml-tiny-random.bin")
         write_tiny_checkpoint(model_path)
     engine = WhisperEngine.from_ggml(model_path, dtype=dtype)
+    if args.quant == "int8":
+        engine = engine.quantize()
     mesh = None
     if args.mesh:
         from nobs_whisper_tpu.parallel.mesh import make_mesh
@@ -62,7 +82,19 @@ def main():
         mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
         print(f"# mesh: dp={dp} tp={tp or 1} over "
               f"{len(jax.devices())} devices", file=sys.stderr)
-    batched = BatchedEngine(engine, max_batch=args.batch, mesh=mesh)
+    opts = None
+    if args.no_fallback or args.sample_len:
+        import dataclasses
+        from nobs_whisper_tpu.decode.rules import DecodeOptions
+        opts = DecodeOptions()
+        if args.no_fallback:
+            opts = dataclasses.replace(opts, temperature_increment=0.0)
+        if args.sample_len:
+            opts = dataclasses.replace(opts, sample_len=args.sample_len)
+    batched = BatchedEngine(engine, opts=opts, max_batch=args.batch,
+                            mesh=mesh,
+                            speculative=max(args.speculative, 0),
+                            draft_pool=args.draft_pool)
 
     import socket
     with socket.socket() as s:
@@ -123,6 +155,11 @@ def main():
         "max_device_batch": max(batch_sizes, default=0),
         "mean_device_batch": round(sum(batch_sizes) /
                                    max(len(batch_sizes), 1), 2),
+        # fallback attribution: each retry is one more full batched
+        # window decode (see BatchedEngine counters)
+        "chunks": batched.chunk_count,
+        "fallback_retries": batched.fallback_retries,
+        "tokens_emitted": batched.tokens_emitted,
     }))
     httpd.shutdown()
     batched.close()

@@ -336,3 +336,36 @@ def test_no_speech_gate_matches_sequential(engines):
         assert len(silent.batcher.batch_sizes) == 1
     finally:
         silent.close()
+
+
+def test_fallback_counters(engines):
+    """Observability counters attribute fallback-ladder cost: each retry
+    is one more full batched window decode (the live-fire serving bench
+    reads these to explain random-weight throughput)."""
+    eng, batched = engines
+    c0, r0, t0 = (batched.chunk_count, batched.fallback_retries,
+                  batched.tokens_emitted)
+    audio = speech_like_audio(0.5, seed=21)
+    out = batched.transcribe(audio, language="en")
+    assert batched.chunk_count == c0 + 1
+    # gates are disabled in the module fixture: no retries ever
+    assert batched.fallback_retries == r0
+    assert batched.tokens_emitted >= t0 + len(out.segments[0].tokens
+                                              if out.segments else [])
+
+    # impossible-to-satisfy logprob gate (but a no-speech gate that never
+    # trips): every rung fails, the ladder runs to its end
+    ladder_opts = DecodeOptions(logprob_threshold=1e9,
+                                no_speech_threshold=1.1,
+                                entropy_threshold=0.0,
+                                compression_ratio_threshold=1e9)
+    from nobs_whisper_tpu.pipeline.longform import _temperature_ladder
+    ladder = BatchedEngine(eng, opts=ladder_opts, max_batch=4,
+                           max_wait_ms=5)
+    try:
+        ladder.transcribe(audio, language="en")
+        assert ladder.chunk_count == 1
+        assert ladder.fallback_retries == \
+            len(_temperature_ladder(ladder_opts)) - 1
+    finally:
+        ladder.close()
