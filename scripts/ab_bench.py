@@ -39,7 +39,8 @@ OUT = os.path.join(REPO, "scripts",
 
 # every knob any config touches: cleared before each config is applied
 MATRIX_KNOBS = ("NWT_ATTN_FUSED", "NWT_STEM_FUSED", "NWT_ATTN_I8",
-                "NWT_ATTN_I8PV", "NWT_ATTN_BQ")
+                "NWT_ATTN_I8PV", "NWT_ATTN_BQ", "NWT_MLP_BM",
+                "NWT_MLP_BF")
 
 KERNEL_CONFIGS = [
     # NB env={} measures the CODE DEFAULTS, which moved on 2026-08-19
@@ -60,6 +61,18 @@ KERNEL_CONFIGS = [
     # these two measure bq against the bench_attn_fused 1170.5 point)
     ("bench_attn1_bq128", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_BQ": "128"}),
     ("bench_attn1_bq512", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_BQ": "512"}),
+    # resident-MLP block sweep under the fused default (2026-08-19
+    # re-profile: MLP 147.4 ms in-context at B=40 vs ~131 ms int8
+    # compute floor — the last measurable encoder gap; bm=256/bf=2560
+    # were swept before FUSED=1 moved the surrounding schedule).
+    # bf=5120 = whole-FFN single chunk (no in-kernel pipeline);
+    # bf=1280 = 4 chunks (more overlap, more requant passes).
+    ("bench_mlp_bm512", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "512"}),
+    ("bench_mlp_bf1280", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BF": "1280"}),
+    ("bench_mlp_bf5120", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BF": "5120"}),
+    ("bench_mlp_bm512_bf5120", {"NWT_ATTN_FUSED": "1",
+                                "NWT_MLP_BM": "512",
+                                "NWT_MLP_BF": "5120"}),
     # accuracy-priced (excluded from apply_best auto-selection)
     ("bench_attn_i8pv", {"NWT_ATTN_I8PV": "1"}),
     ("bench_attn_i8_both", {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"}),
