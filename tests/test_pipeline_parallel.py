@@ -87,6 +87,29 @@ def test_pp_schedule_is_differentiable():
     np.testing.assert_allclose(g, g_ref, atol=1e-3, rtol=1e-3)
 
 
+def test_pp_grad_wrt_params_matches_single_device():
+    """Gradients w.r.t. the pp-sharded layer stack itself (the
+    fine-tuning case: cotangents flow back through ppermute into each
+    stage's local weights)."""
+    cfg = _cfg(layers=4)
+    params, mel = _inputs(cfg, batch=8)
+    mesh = make_pp_mesh(pp=4, dp=2)
+
+    def loss(params):
+        return jnp.sum(encode_pipelined(params, mel, cfg, mesh) ** 2)
+
+    def loss_ref(params):
+        return jnp.sum(encode(params, mel, cfg) ** 2)
+
+    g = jax.grad(loss)(params)["encoder"]
+    g_ref = jax.grad(loss_ref)(params)["encoder"]
+    for key in ("blocks", "conv1_w", "ln_post_g"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3),
+            g[key], g_ref[key])
+
+
 def test_sp_encode_matches_single_device():
     cfg = _cfg(layers=4)
     params, mel = _inputs(cfg, seed=2)
