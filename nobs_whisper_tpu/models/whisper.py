@@ -481,10 +481,16 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             chunked = bool(os.environ.get("NWT_MLP_CHUNKED"))
             mlp_fn = (encoder_mlp_int8 if chunked
                       else encoder_mlp_int8_resident)
+            # block defaults re-swept 2026-08-19 under the FUSED=1
+            # attention (scripts/recovery_results.jsonl bench_mlp_*):
+            # resident bm 256 -> 512 = 1172.8 -> 1176.5x (confirmed
+            # twice); bf 1280/5120 and bm512+bf5120 all measured below
+            # bm512+bf2560
             x = mlp_fn(
                 x.reshape(bsz * t, d), p["ln2_g"], p["ln2_b"],
                 p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
-                block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
+                block_m=(int(os.environ.get("NWT_MLP_BM", 0))
+                         or (256 if chunked else 512)),
                 block_f=(int(os.environ.get("NWT_MLP_BF", 0))
                          or (1280 if chunked else 2560)),
                 interpret=interp,

@@ -110,7 +110,8 @@ def main():
                 x = mlp_fn(
                     x.reshape(bsz * t, d), p["ln2_g"], p["ln2_b"],
                     p["fc1_w"], p["fc1_b"], p["fc2_w"], p["fc2_b"],
-                    block_m=int(os.environ.get("NWT_MLP_BM", 0)) or 256,
+                    block_m=(int(os.environ.get("NWT_MLP_BM", 0))
+                             or (256 if chunked else 512)),
                     block_f=(int(os.environ.get("NWT_MLP_BF", 0))
                              or (1280 if chunked else 2560)),
                 ).reshape(bsz, t, d)
