@@ -16,9 +16,9 @@ built the TPU-native way —
   reverse-differentiable, so the same code path serves inference and
   the pp training forward.
 
-pp composes with dp on the same mesh: the microbatch axis is sharded
-P('pp') is wrong — microbatches FLOW; the batch-within-microbatch axis
-shards over 'dp' while layer ownership shards over 'pp'.
+pp composes with dp on the same mesh: microbatches are never sharded
+over 'pp' (they FLOW through the stages); the batch axis WITHIN each
+microbatch shards over 'dp' while layer ownership shards over 'pp'.
 
 Whisper's encoder is small enough that one v5e chip fits every model,
 so pp is a capability axis (huge-model form factor, the driver's
@@ -58,22 +58,45 @@ def make_pp_mesh(pp: int, dp: int = 1, devices=None) -> Mesh:
                 axis_names=("dp", "pp"))
 
 
-def _plain_block(x: jnp.ndarray, p: Params, n_head: int,
-                 gelu) -> jnp.ndarray:
+def _plain_block(x: jnp.ndarray, p: Params, n_head: int, gelu,
+                 kv_map=None) -> jnp.ndarray:
     """One encoder block in the plain-XLA path's exact math
     (models/whisper.py::_encode else-branch: LN -> q/k/v -> attention ->
     o+residual -> LN -> fc1 -> gelu -> fc2+residual). Unquantized
     weights only — pp stages run the same program a single chip would
-    run for these dtypes."""
+    run for these dtypes.
+
+    ``kv_map`` (optional) is applied to the k/v projections BEFORE the
+    head split — the single hook sequence parallelism needs (all-gather
+    the full sequence's k/v while q stays sharded; parallel/
+    seqparallel.py) so the block math lives in exactly one place."""
     h = _layer_norm(x, p["ln1_g"], p["ln1_b"])
     q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)
-    k = _split_heads(h @ p["k_w"], n_head)
-    v = _split_heads(h @ p["v_w"] + p["v_b"], n_head)
+    kf = h @ p["k_w"]
+    vf = h @ p["v_w"] + p["v_b"]
+    if kv_map is not None:
+        kf, vf = kv_map(kf), kv_map(vf)
+    k = _split_heads(kf, n_head)
+    v = _split_heads(vf, n_head)
     a = _merge_heads(_attention(q, k, v, mask=None))
     x = x + (a @ p["o_w"] + p["o_b"])
     h = _layer_norm(x, p["ln2_g"], p["ln2_b"])
     h = gelu(h @ p["fc1_w"] + p["fc1_b"])
     return x + (h @ p["fc2_w"] + p["fc2_b"])
+
+
+def _require_unquantized(params: Params, who: str) -> None:
+    """pp/sp run the plain-XLA block math; int8 QTensor leaves (dict
+    pytrees) would fail deep inside scan tracing with an opaque
+    TypeError — raise the documented precondition instead."""
+    from ..ops.quant import is_quantized
+    blocks = params["encoder"]["blocks"]
+    if isinstance(blocks, dict) and any(
+            is_quantized(v) for v in blocks.values()):
+        raise ValueError(
+            f"{who} requires unquantized encoder params (the plain-XLA "
+            f"block math); got int8 QTensor leaves — keep a bf16/f32 "
+            f"copy for pp/sp (docs/SCALING.md)")
 
 
 def _stage_scan(blocks: Params, x: jnp.ndarray, n_head: int,
@@ -117,6 +140,15 @@ def pipeline_blocks(blocks: Params, x: jnp.ndarray, mesh: Mesh,
             f"microbatch size {mb} (batch {b} / n_micro {n_micro}) not "
             f"divisible by dp {mesh.shape['dp']}")
 
+    # shard the layer stack once; skip the device_put when the caller
+    # already placed it (blocks_shard_put) — re-placing GBs of weights
+    # per encode call is exactly what pp exists to avoid
+    leaf = jax.tree_util.tree_leaves(blocks)[0]
+    sh = getattr(leaf, "sharding", None)
+    if not (isinstance(sh, NamedSharding) and sh.mesh == mesh
+            and sh.spec == P(axis)):
+        blocks = blocks_shard_put(blocks, mesh, axis)
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis), P(None, "dp" if dp else None)),
@@ -154,7 +186,7 @@ def pipeline_blocks(blocks: Params, x: jnp.ndarray, mesh: Mesh,
         return jax.lax.psum(
             jnp.where(stage == last, outs, jnp.zeros_like(outs)), axis)
 
-    out = run(blocks_shard_put(blocks, mesh, axis), xm)
+    out = run(blocks, xm)
     return out.reshape(x.shape)
 
 
@@ -187,6 +219,7 @@ def encode_pipelined(params: Params, mel: jnp.ndarray,
         raise ValueError(
             f"n_audio_layer {cfg.n_audio_layer} not divisible by "
             f"pp {n_stages}")
+    _require_unquantized(params, "encode_pipelined")
     enc = params["encoder"]
     gelu = _gelu_fast if compute_dtype == jnp.bfloat16 else _gelu
     with _precision_scope(compute_dtype):

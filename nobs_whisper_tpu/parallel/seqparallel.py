@@ -2,18 +2,23 @@
 
 Fourth classic axis after dp/tp (parallel/mesh.py) and pp
 (parallel/pipeline.py): shard the encoder's TIME axis (1500 frames)
-across chips. Every per-row op (LayerNorm, projections, MLP, residual)
-is embarrassingly parallel over rows, so the only collective in a block
-is ONE all-gather of the k/v projections before attention (queries stay
-sharded; each chip attends its own query rows against the full
-sequence). Positional embeddings are sliced per shard by axis index.
+across chips. Every per-row op (LayerNorm, projections, MLP, residual,
+the positional-embedding add — which happens before sharding) is
+embarrassingly parallel over rows, so the only collectives in a block
+are the TWO all-gathers materializing the full-sequence k and v from
+the per-shard projections before attention (queries stay sharded; each
+chip attends its own query rows against the full sequence).
 
 This is the memory-scaling answer for sequence length: activations and
 the O(T^2) score matrices shard T-ways while weights stay replicated —
 complementary to tp (weights shard, activations replicated). Whisper's
 fixed T=1500 fits one chip, so like pp this is a capability/form-factor
-axis validated for numerics (tests/test_pipeline.py) and exercised by
-the driver dry-run, not a measured serving win.
+axis validated for numerics (tests/test_pipeline_parallel.py) and
+exercised by the driver dry-run (check 1e), not a measured serving win.
+
+The block math itself lives in parallel/pipeline.py::_plain_block —
+sp supplies only the k/v all-gather hook, so pp/sp/single-device can
+never drift apart numerically.
 
 EP (expert parallelism) is N/A for Whisper — no MoE layers exist in the
 model family (SURVEY.md §2.1 inventory).
@@ -30,9 +35,9 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import WhisperConfig
-from ..models.whisper import (_attention, _conv1d, _gelu, _gelu_fast,
-                              _layer_norm, _merge_heads,
-                              _precision_scope, _split_heads)
+from ..models.whisper import (_conv1d, _gelu, _gelu_fast, _layer_norm,
+                              _precision_scope)
+from .pipeline import _plain_block, _require_unquantized
 
 Params = Dict[str, Any]
 
@@ -49,13 +54,15 @@ def encode_seq_parallel(params: Params, mel: jnp.ndarray,
                         compute_dtype: jnp.dtype = jnp.float32,
                         axis: str = "sp") -> jnp.ndarray:
     """Sequence-parallel twin of models/whisper.py::encode (plain-XLA
-    path numerics). The conv stem runs replicated (K=3 convs have
-    one-frame halos across shard edges; the stem is ~3% of encoder
-    FLOPs), then the residual stream is sharded (B, T/sp, d) for the
-    whole block stack + ln_post. Requires T % sp == 0.
+    path numerics). The conv stem and positional add run replicated
+    (K=3 convs have one-frame halos across shard edges; the stem is
+    ~3% of encoder FLOPs), then the residual stream is sharded
+    (B, T/sp, d) for the whole block stack + ln_post. Requires
+    T % sp == 0 and unquantized params.
     """
     n = mesh.shape[axis]
     n_head = cfg.n_audio_head
+    _require_unquantized(params, "encode_seq_parallel")
     enc = params["encoder"]
     gelu = _gelu_fast if compute_dtype == jnp.bfloat16 else _gelu
 
@@ -68,6 +75,10 @@ def encode_seq_parallel(params: Params, mel: jnp.ndarray,
         if t % n:
             raise ValueError(f"T {t} not divisible by sp {n}")
 
+        def gather_seq(z):
+            # full-sequence k/v from the per-shard projections
+            return jax.lax.all_gather(z, axis, axis=1, tiled=True)
+
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(P(), P(None, axis)),
@@ -75,22 +86,8 @@ def encode_seq_parallel(params: Params, mel: jnp.ndarray,
             check_vma=False)
         def run(blocks, xs):
             def block(xs, p):
-                h = _layer_norm(xs, p["ln1_g"], p["ln1_b"])
-                q = _split_heads(h @ p["q_w"] + p["q_b"], n_head)
-                # the block's one collective: full-sequence k/v from
-                # the per-shard projections (2 all-gathers over ICI)
-                k = _split_heads(
-                    jax.lax.all_gather(h @ p["k_w"], axis,
-                                       axis=1, tiled=True), n_head)
-                v = _split_heads(
-                    jax.lax.all_gather(h @ p["v_w"] + p["v_b"], axis,
-                                       axis=1, tiled=True), n_head)
-                a = _merge_heads(_attention(q, k, v, mask=None))
-                xs = xs + (a @ p["o_w"] + p["o_b"])
-                h = _layer_norm(xs, p["ln2_g"], p["ln2_b"])
-                h = gelu(h @ p["fc1_w"] + p["fc1_b"])
-                return xs + (h @ p["fc2_w"] + p["fc2_b"]), None
-
+                return _plain_block(xs, p, n_head, gelu,
+                                    kv_map=gather_seq), None
             xs, _ = jax.lax.scan(block, xs, blocks)
             return _layer_norm(xs, enc["ln_post_g"], enc["ln_post_b"])
 

@@ -67,9 +67,18 @@ KERNEL_CONFIGS = [
     # were swept before FUSED=1 moved the surrounding schedule).
     # bf=5120 = whole-FFN single chunk (no in-kernel pipeline);
     # bf=1280 = 4 chunks (more overlap, more requant passes).
-    ("bench_mlp_bm512", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "512"}),
-    ("bench_mlp_bf1280", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BF": "1280"}),
-    ("bench_mlp_bf5120", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BF": "5120"}),
+    # MEASURED: bm512 1176.5/1176.6 vs bm256 1172.8 -> bm512 became the
+    # code DEFAULT (models/whisper.py); every row here pins BOTH knobs
+    # explicitly so the banked numbers stay reproducible across default
+    # flips (headline_confirm/bench_attn_fused re-banked post-flip).
+    ("bench_mlp_bm512", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "512",
+                         "NWT_MLP_BF": "2560"}),
+    ("bench_mlp_bm256", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "256",
+                         "NWT_MLP_BF": "2560"}),
+    ("bench_mlp_bf1280", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "256",
+                          "NWT_MLP_BF": "1280"}),
+    ("bench_mlp_bf5120", {"NWT_ATTN_FUSED": "1", "NWT_MLP_BM": "256",
+                          "NWT_MLP_BF": "5120"}),
     ("bench_mlp_bm512_bf5120", {"NWT_ATTN_FUSED": "1",
                                 "NWT_MLP_BM": "512",
                                 "NWT_MLP_BF": "5120"}),

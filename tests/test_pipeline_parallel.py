@@ -120,6 +120,19 @@ def test_sp_encode_matches_single_device():
     np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
 
 
+def test_pp_sp_reject_quantized_params():
+    """int8 QTensor leaves would die deep inside scan tracing; the
+    entry guard raises the documented precondition instead."""
+    from nobs_whisper_tpu.ops.quant import quantize_encoder_params
+    cfg = _cfg(layers=4)
+    params, mel = _inputs(cfg)
+    qparams = quantize_encoder_params(params)
+    with pytest.raises(ValueError, match="unquantized"):
+        encode_pipelined(qparams, mel, cfg, make_pp_mesh(pp=4, dp=2))
+    with pytest.raises(ValueError, match="unquantized"):
+        encode_seq_parallel(qparams, mel, cfg, make_sp_mesh(sp=8))
+
+
 def test_sp_rejects_indivisible_t():
     cfg = WhisperConfig(
         name="sp-odd", n_mels=80, n_vocab=1024, n_audio_ctx=30,
