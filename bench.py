@@ -68,6 +68,13 @@ def main():
     p.add_argument("--draft-pool", type=int, default=4,
                    help="cross-KV time-pooling factor for the "
                         "self-draft (--speculative)")
+    p.add_argument("--audio-ctx", type=int, default=0, metavar="N",
+                   help="truncated encoder context for the --latency "
+                        "p50 path only (whisper.cpp wparams.audio_ctx "
+                        "analog; the 5 s utterance runs through an "
+                        "N-position window instead of 1500). The "
+                        "headline batch metric always uses full 30 s "
+                        "windows. 0 = full context")
     args = p.parse_args()
     if args.xattn_kernel:
         os.environ["NWT_XATTN_KERNEL"] = "1"
@@ -244,10 +251,19 @@ def main():
     # (encode_decode_window_jit, full rules + scoring), i.e. exactly what
     # a single lightly-loaded session dispatches.
     if args.latency:
+        import dataclasses as _dc
+
         from nobs_whisper_tpu.audio.mel import frame_window_np
         from nobs_whisper_tpu.decode.greedy import (
             frames_encode_decode_window_jit)
         ut_audio = np.asarray(speech_like_audio(5.0, seed=99))
+        # --audio-ctx: the truncated-context window (engine
+        # .with_audio_ctx analog). 5 s of audio needs >= 250 positions.
+        lat_cfg = cfg
+        lat_frames = None   # frame_window_np default (full window)
+        if args.audio_ctx:
+            lat_cfg = _dc.replace(cfg, n_audio_ctx=args.audio_ctx)
+            lat_frames = 2 * args.audio_ctx
         pt1, pl1 = pad_prompts(
             [[cfg.sot, cfg.lang_base, cfg.transcribe]], cfg.eot)
         pt1, pl1 = jnp.asarray(pt1), jnp.asarray(pl1)
@@ -268,10 +284,12 @@ def main():
             def p_lat():
                 # the serving fast path end to end: host framing (the
                 # session's strided memcpy) + ONE fused device program
-                fr = jnp.asarray(frame_window_np(ut_audio)[None])
+                fr = frame_window_np(ut_audio) if lat_frames is None \
+                    else frame_window_np(ut_audio, n_frames=lat_frames)
+                fr = jnp.asarray(fr[None])
                 _, _, slp, _ = frames_encode_decode_window_jit(
                     params, fr, pt1, pl1, si1, tables,
-                    jnp.zeros((1,), jnp.float32), rng, cfg, 48, dtype,
+                    jnp.zeros((1,), jnp.float32), rng, lat_cfg, 48, dtype,
                     xattn_bf16=kt_xattn_default(dtype), sampling=False)
                 return slp
 

@@ -168,6 +168,30 @@ class WhisperEngine:
             params = quantize_encoder_params(params)
         return dataclasses.replace(self, params=params)
 
+    def with_audio_ctx(self, audio_ctx: int) -> "WhisperEngine":
+        """Return an engine with a TRUNCATED encoder context (whisper.cpp's
+        ``wparams.audio_ctx``, a capability of the reference's inference
+        core that its app never sets): every window becomes
+        ``audio_ctx * 0.02`` seconds, the encoder runs on the first
+        ``2*audio_ctx`` mel frames with the first ``audio_ctx`` rows of
+        the position table, and decode reads proportionally less
+        cross-KV. A latency/throughput lever for short-utterance serving,
+        priced in accuracy (the model was trained on 30 s windows) —
+        strictly opt-in, default full context.
+
+        Engine-level rather than per-request: static shapes are the TPU
+        contract, and one context per engine keeps every compiled program
+        and the window batcher's packing uniform."""
+        self._require_model()
+        n_pos = self.params["encoder"]["pos"].shape[0]
+        if not (0 < audio_ctx <= n_pos):
+            raise ValueError(
+                f"audio_ctx must be in (0, {n_pos}], got {audio_ctx}")
+        if audio_ctx == self.cfg.n_audio_ctx:
+            return self
+        return dataclasses.replace(
+            self, cfg=dataclasses.replace(self.cfg, n_audio_ctx=audio_ctx))
+
     @classmethod
     def from_random(cls, model: str = "tiny", dtype=jnp.bfloat16,
                     seed: int = 0) -> "WhisperEngine":

@@ -31,7 +31,8 @@ def _apply_platform(platform: Optional[str]) -> None:
         jax.config.update("jax_platforms", platform)
 
 
-def _load_engine(model: Optional[str], dtype: str = "bfloat16"):
+def _load_engine(model: Optional[str], dtype: str = "bfloat16",
+                 audio_ctx: int = 0):
     import jax.numpy as jnp
 
     from .api import WhisperEngine
@@ -46,7 +47,10 @@ def _load_engine(model: Optional[str], dtype: str = "bfloat16"):
     path = model
     if not model.endswith(".bin"):
         path = str(model_path(model))
-    return WhisperEngine.from_ggml(path, dtype=dt)
+    engine = WhisperEngine.from_ggml(path, dtype=dt)
+    if audio_ctx:
+        engine = engine.with_audio_ctx(audio_ctx)
+    return engine
 
 
 def cmd_transcribe(args):
@@ -54,7 +58,8 @@ def cmd_transcribe(args):
     from .audio.resample import resample
     from .decode.rules import DecodeOptions
 
-    engine = _load_engine(args.model, args.dtype)
+    engine = _load_engine(args.model, args.dtype,
+                          audio_ctx=getattr(args, "audio_ctx", 0))
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
         best_of=max(args.best_of, 1),
@@ -171,72 +176,93 @@ def cmd_serve(args):
     from .serve.config import ConfigManager
     from .serve.server import serve
 
-    engine = _load_engine(args.model, args.dtype)
-    if args.quant == "int8":
-        # serving default = the benchmarked config: int8 decoder weights +
-        # dynamic-int8 encoder on the int8 MXU
-        engine = engine.quantize()
     cm = ConfigManager()
-    if args.batch == 0:
-        args.batch = _default_batch(args.model or cm.config.selected_model)
+    explicit_batch = args.batch       # 0 = auto (per-model measured knee)
     mesh = None
     if args.mesh:
         from .parallel.mesh import make_mesh
         dp, _, tp = args.mesh.partition("x")
         mesh = make_mesh(dp=int(dp), tp=int(tp or 1))
-        # the batcher requires max_batch % dp == 0; round the (possibly
-        # default) batch down to a dp multiple rather than failing at
-        # startup for dp values like 8 that don't divide the default 40.
-        # batch<=1 means sequential mode (no BatchedEngine) — leave it.
-        dp_n = int(dp)
-        if args.batch > 1 and args.batch % dp_n:
-            adj = max((args.batch // dp_n) * dp_n, dp_n)
-            print(f"rounding --batch {args.batch} -> {adj} "
-                  f"(must be divisible by dp={dp_n})", file=sys.stderr)
-            args.batch = adj
-    if args.batch > 1:
-        from .decode.rules import DecodeOptions
-        from .pipeline.batched_engine import BatchedEngine
-        # decode strategy from the persisted config (whisper.rs:88
-        # analog); sessions can still override per-request
-        app = cm.config
-        opts = DecodeOptions(
-            beam_size=app.beam_size if app.beam_size > 1 else None,
-            best_of=max(app.best_of, 1),
-            temperature=float(app.temperature),
-            task=str(getattr(app, "task", None) or "transcribe"))
-        if args.speculative and (app.beam_size or 1) > 1:
-            print("--speculative applies to greedy batches only; the "
-                  "configured beam strategy routes batches through the "
-                  "beam path — ignoring", file=sys.stderr)
-            args.speculative = 0
-        draft_engine = None
-        if args.speculative and args.draft_model:
-            draft_engine = _load_engine(args.draft_model, args.dtype)
-            if args.quant == "int8":
-                draft_engine = draft_engine.quantize()
-        elif args.draft_model:
-            print("--draft-model needs --speculative; ignoring",
-                  file=sys.stderr)
-        engine = BatchedEngine(engine, opts=opts, max_batch=args.batch,
-                               mesh=mesh, speculative=args.speculative,
-                               draft_pool=args.draft_pool,
-                               draft_engine=draft_engine)
-        if args.warmup:
-            import time as _time
-            t0 = _time.perf_counter()
-            print("warming serving programs (every padded batch size)…",
-                  file=sys.stderr)
-            sizes = engine.warmup()
-            print(f"warmup done: sizes {sizes} in "
-                  f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    elif args.warmup or args.speculative:
-        flags = " ".join(f for f, on in
-                         (("--warmup", args.warmup),
-                          ("--speculative", args.speculative)) if on)
-        print(f"{flags} applies to batched serving (--batch > 1); "
-              "ignoring", file=sys.stderr)
-    serve(engine, host=args.host, port=args.port, config_manager=cm)
+
+    def build_engine(model_id, warmup=False):
+        """model id/path -> ready serving engine, mirroring the startup
+        construction (quant, audio_ctx, batch wrapping, speculative).
+        Also the /config hot-swap factory (config.rs:138-164 analog) —
+        a selected_model change rebuilds through the same path, with the
+        new model's measured batch knee when --batch was auto."""
+        engine = _load_engine(model_id, args.dtype,
+                              audio_ctx=getattr(args, "audio_ctx", 0))
+        if args.quant == "int8":
+            # serving default = the benchmarked config: int8 decoder
+            # weights + dynamic-int8 encoder on the int8 MXU
+            engine = engine.quantize()
+        batch = explicit_batch or _default_batch(
+            model_id or cm.config.selected_model)
+        if mesh is not None:
+            # the batcher requires max_batch % dp == 0; round the
+            # (possibly default) batch down to a dp multiple rather than
+            # failing for dp values like 8 that don't divide the default
+            # 40. batch<=1 = sequential mode (no BatchedEngine) — leave.
+            dp_n = mesh.shape["dp"]
+            if batch > 1 and batch % dp_n:
+                adj = max((batch // dp_n) * dp_n, dp_n)
+                print(f"rounding --batch {batch} -> {adj} "
+                      f"(must be divisible by dp={dp_n})", file=sys.stderr)
+                batch = adj
+        if batch > 1:
+            from .decode.rules import DecodeOptions
+            from .pipeline.batched_engine import BatchedEngine
+            # decode strategy from the persisted config (whisper.rs:88
+            # analog); sessions can still override per-request
+            app = cm.config
+            opts = DecodeOptions(
+                beam_size=app.beam_size if app.beam_size > 1 else None,
+                best_of=max(app.best_of, 1),
+                temperature=float(app.temperature),
+                task=str(getattr(app, "task", None) or "transcribe"))
+            speculative = args.speculative
+            if speculative and (app.beam_size or 1) > 1:
+                print("--speculative applies to greedy batches only; the "
+                      "configured beam strategy routes batches through "
+                      "the beam path — ignoring", file=sys.stderr)
+                speculative = 0
+            draft_engine = None
+            if speculative and args.draft_model:
+                # the draft decodes against the TARGET's encoder states,
+                # so its window geometry must match the target's
+                draft_engine = _load_engine(
+                    args.draft_model, args.dtype,
+                    audio_ctx=getattr(args, "audio_ctx", 0))
+                if args.quant == "int8":
+                    draft_engine = draft_engine.quantize()
+            elif args.draft_model:
+                print("--draft-model needs --speculative; ignoring",
+                      file=sys.stderr)
+            engine = BatchedEngine(engine, opts=opts, max_batch=batch,
+                                   mesh=mesh, speculative=speculative,
+                                   draft_pool=args.draft_pool,
+                                   draft_engine=draft_engine)
+            if warmup:
+                import time as _time
+                t0 = _time.perf_counter()
+                print("warming serving programs (every padded batch "
+                      "size)…", file=sys.stderr)
+                sizes = engine.warmup()
+                print(f"warmup done: sizes {sizes} in "
+                      f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        elif warmup or args.speculative:
+            flags = " ".join(f for f, on in
+                             (("--warmup", warmup),
+                              ("--speculative", args.speculative)) if on)
+            print(f"{flags} applies to batched serving (--batch > 1); "
+                  "ignoring", file=sys.stderr)
+        return engine
+
+    # startup-only warmup: a hot-swapped model compiles lazily instead
+    # of blocking the /config POST for the full warmup sweep
+    engine = build_engine(args.model, warmup=args.warmup)
+    serve(engine, host=args.host, port=args.port, config_manager=cm,
+          engine_factory=build_engine)
 
 
 def cmd_route(args):
@@ -336,6 +362,11 @@ def main(argv=None):
                    default=None)
     t.add_argument("--output", default=None)
     t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--audio-ctx", type=int, default=0, metavar="N",
+                   help="truncate the encoder context to N positions "
+                        "(whisper.cpp wparams.audio_ctx; windows become "
+                        "N*0.02 s). Accuracy-priced latency lever for "
+                        "short utterances; 0 = full context")
     t.add_argument("--json", action="store_true")
     t.set_defaults(fn=cmd_transcribe)
 
@@ -368,6 +399,10 @@ def main(argv=None):
                         "distil-large-v3 drafting large-v3; must share "
                         "the vocab and encoder width). Single-chip "
                         "serving only — mesh serving self-drafts")
+    s.add_argument("--audio-ctx", type=int, default=0, metavar="N",
+                   help="truncate the encoder context to N positions "
+                        "(whisper.cpp wparams.audio_ctx) for every "
+                        "session/window; 0 = full context")
     s.add_argument("--warmup", action="store_true",
                    help="pre-compile the serving programs for every "
                         "padded batch size before accepting traffic "

@@ -297,7 +297,10 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                            or interp)
                       and bool(os.environ.get("NWT_STEM_FUSED"))
                       and enc["conv1_w"].shape[-1] % 128 == 0
-                      and mel.shape[-1] % 2 == 0)
+                      and mel.shape[-1] % 2 == 0
+                      # the stem kernel streams the full pos table; a
+                      # truncated audio_ctx window takes the plain path
+                      and enc["pos"].shape[0] * 2 == mel.shape[-1])
     if use_fused_stem:
         import math
         from ..ops.conv_stem import encoder_stem_fused
@@ -317,7 +320,11 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
         x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)  # (B,T,mels)
         x = gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], stride=1))
         x = gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], stride=2))
-        x = x + enc["pos"].astype(compute_dtype)
+        # audio_ctx truncation (whisper.cpp wparams.audio_ctx analog): a
+        # shortened mel window uses the FIRST T rows of the position
+        # table — a static slice, free under jit. Full-length windows
+        # slice [:1500] == identity.
+        x = x + enc["pos"][: x.shape[1]].astype(compute_dtype)
         t_real = x.shape[1]
         if use_btd:
             tp_btd = -(-t_real // attn_bq) * attn_bq

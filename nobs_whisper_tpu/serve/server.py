@@ -34,12 +34,32 @@ log = logging.getLogger(__name__)
 class ServerState:
     """Shared state behind the handlers."""
 
-    def __init__(self, engine, config_manager: Optional[ConfigManager] = None):
+    def __init__(self, engine, config_manager: Optional[ConfigManager] = None,
+                 engine_factory=None):
         self.engine = engine
         self.config_manager = config_manager or ConfigManager()
         self.sessions: Dict[str, StreamingSession] = {}
         self.event_queues: Dict[str, list] = {}   # session -> [queue, ...]
         self._lock = threading.Lock()
+        # live model hot-swap (config.rs:138-164): when the CLI supplies
+        # an engine factory (model_id -> ready engine, mirroring its own
+        # startup construction incl. quantization/batching/audio_ctx),
+        # a /config change of selected_model rebuilds and swaps the
+        # serving engine. New sessions and one-shots use the new model;
+        # the old engine is drained and closed.
+        self._engine_factory = engine_factory
+        if (engine_factory is not None
+                and self.config_manager._engine_provider is None):
+            self.config_manager._engine_provider = self._hot_swap
+
+    def _hot_swap(self, model_id: str) -> None:
+        new = self._engine_factory(model_id)
+        with self._lock:
+            old, self.engine = self.engine, new
+        if old is not new:
+            close = getattr(old, "close", None)
+            if close is not None:
+                close()   # BatchedEngine.close() drains its queue first
 
     def create_session(self, cfg: SessionConfig) -> str:
         sid = uuid.uuid4().hex[:12]
@@ -50,7 +70,9 @@ class ServerState:
             for q in queues:
                 q.put(event)
 
-        session = StreamingSession(self.engine, cfg, on_event=fanout)
+        with self._lock:
+            engine = self.engine      # snapshot: hot-swap safe
+        session = StreamingSession(engine, cfg, on_event=fanout)
         with self._lock:
             self.sessions[sid] = session
             self.event_queues[sid] = []
@@ -574,8 +596,9 @@ def make_handler(state: ServerState):
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8777,
           config_manager: Optional[ConfigManager] = None,
-          background: bool = False) -> ThreadingHTTPServer:
-    state = ServerState(engine, config_manager)
+          background: bool = False,
+          engine_factory=None) -> ThreadingHTTPServer:
+    state = ServerState(engine, config_manager, engine_factory=engine_factory)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state  # for tests
     if background:
@@ -600,7 +623,9 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8777,
         try:
             httpd.serve_forever()
         finally:
-            close = getattr(engine, "close", None)
+            # state.engine, not the closure arg: a hot-swap may have
+            # replaced (and already closed) the startup engine
+            close = getattr(state.engine, "close", None)
             if close is not None:
                 close()
     return httpd

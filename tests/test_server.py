@@ -522,3 +522,50 @@ def test_session_delete_drops_event_queues(server):
     urllib.request.urlopen(req, timeout=30).read()
     assert sid not in httpd.state.event_queues
     assert sid not in httpd.state.sessions
+
+
+def test_config_hot_swap_live_server(tmp_path):
+    """POST /config with a new selected_model rebuilds the serving engine
+    through the CLI-supplied factory (the reference's live model
+    hot-swap, config.rs:138-164) and the server keeps serving on the new
+    engine; unrelated config changes do NOT rebuild."""
+    import socket
+
+    import jax.numpy as jnp
+
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.serve.server import serve
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+
+    p1 = str(tmp_path / "ggml-a.bin")
+    p2 = str(tmp_path / "ggml-b.bin")
+    write_tiny_checkpoint(p1)
+    write_tiny_checkpoint(p2, seed=1)
+
+    built = []
+
+    def factory(model_id):
+        built.append(model_id)
+        return WhisperEngine.from_ggml(model_id, dtype=jnp.float32)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(factory(p1), port=port, background=True,
+                  engine_factory=factory)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        first = httpd.state.engine
+        assert built == [p1]
+        _post(base, "/config", json.dumps({"selected_model": p2}).encode())
+        assert built == [p1, p2]
+        assert httpd.state.engine is not first
+        assert httpd.state.engine.model_path == p2
+        # unrelated change: no rebuild (reference semantics)
+        _post(base, "/config", json.dumps(
+            {"selected_model": p2, "language": "ja"}).encode())
+        assert built == [p1, p2]
+        # the server still answers on the swapped engine
+        assert _get(base, "/health")["loaded"]
+    finally:
+        httpd.shutdown()
