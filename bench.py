@@ -105,6 +105,14 @@ def main():
     from nobs_whisper_tpu.utils.testing import speech_like_audio
 
     cfg = get_config(args.model)
+    if args.audio_ctx and not (250 <= args.audio_ctx <= cfg.n_audio_ctx):
+        # <250 positions silently truncates the 5 s latency utterance
+        # (a bogus "speedup" that measured transcribing half the audio);
+        # >n_audio_ctx has no position-table rows and shape-errors deep
+        # inside the jitted program
+        raise SystemExit(
+            f"--audio-ctx must be in [250, {cfg.n_audio_ctx}] for the "
+            f"5 s latency utterance; got {args.audio_ctx}")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     if args.quant == "int8":

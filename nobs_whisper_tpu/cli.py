@@ -233,7 +233,22 @@ def cmd_serve(args):
                 draft_engine = _load_engine(
                     args.draft_model, args.dtype,
                     audio_ctx=getattr(args, "audio_ctx", 0))
-                if args.quant == "int8":
+                tc, dc = engine.cfg, draft_engine.cfg
+                if (tc.n_vocab != dc.n_vocab
+                        or tc.n_audio_state != dc.n_audio_state):
+                    # a /config hot-swap can re-pair the fixed draft with
+                    # any target — verify instead of shape-erroring at
+                    # decode time (the draft scores the target's encoder
+                    # states, so vocab and encoder width must agree)
+                    print(f"draft {args.draft_model} incompatible with "
+                          f"target {model_id or cm.config.selected_model} "
+                          f"(vocab {dc.n_vocab} vs {tc.n_vocab}, width "
+                          f"{dc.n_audio_state} vs {tc.n_audio_state}); "
+                          "disabling speculative decode for this engine",
+                          file=sys.stderr)
+                    draft_engine = None
+                    speculative = 0
+                elif args.quant == "int8":
                     draft_engine = draft_engine.quantize()
             elif args.draft_model:
                 print("--draft-model needs --speculative; ignoring",

@@ -73,6 +73,12 @@ class BatchedEngine:
     def loaded(self):
         return self.engine.loaded
 
+    @property
+    def model_path(self):
+        # /health reports the serving model (getattr on the engine);
+        # proxy it or a batched server always shows "model": null
+        return getattr(self.engine, "model_path", None)
+
     def close(self):
         self.batcher.close()
 

@@ -172,6 +172,11 @@ class WindowBatcher:
         path — see audio/mel.py::frame_window_np)."""
         if (mel_window is None) == (frames is None):
             raise ValueError("pass exactly one of mel_window / frames")
+        if not self._running:
+            # fail fast instead of parking the request in a queue no
+            # thread will ever drain (a session can hold a hot-swap-
+            # retired engine past its close)
+            raise RuntimeError("batcher closed")
         fut: Future = Future()
         self._q.put(_Request(
             mel=(None if mel_window is None
@@ -319,6 +324,15 @@ class WindowBatcher:
             pending = new_pending
         if pending is not None:
             self._finalize(pending)
+        # requests that raced past close() (queued after the shutdown
+        # sentinel) would otherwise hang their futures forever
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(RuntimeError("batcher closed"))
 
     def _finalize(self, pending):
         """Resolve one in-flight batch, under the watchdog deadline.

@@ -14,6 +14,7 @@ import dataclasses
 import json
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -112,22 +113,41 @@ class ConfigManager:
     def __init__(self, engine_provider=None):
         self.config = load_config()
         self._engine_provider = engine_provider  # callable(model_id) -> None
+        # serializes concurrent set_config calls: an engine rebuild takes
+        # minutes, and two racing POSTs must not leave the live engine
+        # disagreeing with the persisted selected_model
+        self._lock = threading.RLock()
+
+    def set_engine_provider(self, provider) -> bool:
+        """Install the hot-swap hook (public seam for the serving layer).
+        Refuses to displace a provider installed at construction time;
+        returns whether ``provider`` is now active."""
+        with self._lock:
+            if self._engine_provider is None:
+                self._engine_provider = provider
+            return self._engine_provider is provider
 
     def set_config(self, new: AppConfig) -> None:
         if new.task not in ("transcribe", "translate"):
             raise ValueError(
                 f"unknown task {new.task!r}; have transcribe, translate")
-        old = self.config
-        save_config(new)
-        self.config = new
-        # side effect: hot-swap the model if the selection changed
-        # (config.rs:138-164)
-        if (new.selected_model != old.selected_model
-                and self._engine_provider is not None
-                and new.selected_model):
-            log.info("model selection changed %s -> %s; hot-swapping",
-                     old.selected_model, new.selected_model)
-            self._engine_provider(new.selected_model)
+        with self._lock:
+            old = self.config
+            # side effect FIRST: hot-swap the model if the selection
+            # changed (config.rs:138-164). Running the provider before
+            # persisting keeps config and engine in agreement when the
+            # swap fails (model not downloaded, load error): nothing is
+            # saved, the caller sees the error, and re-POSTing the same
+            # selection retries the swap instead of short-circuiting on
+            # "unchanged".
+            if (new.selected_model != old.selected_model
+                    and self._engine_provider is not None
+                    and new.selected_model):
+                log.info("model selection changed %s -> %s; hot-swapping",
+                         old.selected_model, new.selected_model)
+                self._engine_provider(new.selected_model)
+            save_config(new)
+            self.config = new
 
     def update(self, **changes) -> AppConfig:
         self.set_config(dataclasses.replace(self.config, **changes))

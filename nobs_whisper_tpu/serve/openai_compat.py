@@ -222,11 +222,12 @@ def _handle_audio(handler, state, task: str) -> None:
         # persisted configuration, same as the native /transcribe route
         beam_size=(app.beam_size if (app.beam_size or 1) > 1 else None),
         best_of=max(app.best_of or 1, 1))
-    result = state.engine.transcribe(
-        audio, language=language,
-        vocabulary=app.custom_vocabulary or None,
-        context=_text_field(fields, "prompt"),
-        opts=opts)
+    with state.borrow_engine() as engine:
+        result = engine.transcribe(
+            audio, language=language,
+            vocabulary=app.custom_vocabulary or None,
+            context=_text_field(fields, "prompt"),
+            opts=opts)
 
     if fmt == "json":
         return _send(handler, {"text": result.text})

@@ -48,18 +48,74 @@ class ServerState:
         # serving engine. New sessions and one-shots use the new model;
         # the old engine is drained and closed.
         self._engine_factory = engine_factory
-        if (engine_factory is not None
-                and self.config_manager._engine_provider is None):
-            self.config_manager._engine_provider = self._hot_swap
+        if engine_factory is not None:
+            self.config_manager.set_engine_provider(self._hot_swap)
+        # engines displaced by a hot-swap but still referenced by live
+        # sessions or in-flight one-shots; closed (drained) once the
+        # last reference is gone, so a swap never strands an in-flight
+        # transcription on a dead batcher queue
+        self._retired: list = []
+        self._borrows: Dict[int, int] = {}   # id(engine) -> count
 
     def _hot_swap(self, model_id: str) -> None:
         new = self._engine_factory(model_id)
         with self._lock:
             old, self.engine = self.engine, new
-        if old is not new:
-            close = getattr(old, "close", None)
+            if old is new:
+                return
+            self._retired.append(old)
+            to_close = self._collect_unreferenced_locked()
+        self._close_engines(to_close)
+
+    def _collect_unreferenced_locked(self) -> list:
+        """Split self._retired into still-referenced (kept) and
+        closeable (returned). Caller holds self._lock and closes the
+        returned engines OUTSIDE the lock (close drains, which can
+        block on device work)."""
+        live = {id(s.engine) for s in self.sessions.values()}
+        live.update(eid for eid, n in self._borrows.items() if n > 0)
+        keep, close = [], []
+        for eng in self._retired:
+            (keep if id(eng) in live else close).append(eng)
+        self._retired = keep
+        return close
+
+    @staticmethod
+    def _close_engines(engines) -> None:
+        for eng in engines:
+            close = getattr(eng, "close", None)
             if close is not None:
                 close()   # BatchedEngine.close() drains its queue first
+
+    def reap_retired(self) -> None:
+        """Close retired engines that lost their last reference."""
+        with self._lock:
+            to_close = self._collect_unreferenced_locked()
+        self._close_engines(to_close)
+
+    def borrow_engine(self):
+        """Context manager pinning the current engine for a one-shot
+        transcription: a concurrent hot-swap retires but does not close
+        it until the borrow ends."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _borrow():
+            with self._lock:
+                eng = self.engine
+                self._borrows[id(eng)] = self._borrows.get(id(eng), 0) + 1
+            try:
+                yield eng
+            finally:
+                with self._lock:
+                    n = self._borrows.get(id(eng), 1) - 1
+                    if n:
+                        self._borrows[id(eng)] = n
+                    else:
+                        self._borrows.pop(id(eng), None)
+                    to_close = self._collect_unreferenced_locked()
+                self._close_engines(to_close)
+        return _borrow()
 
     def create_session(self, cfg: SessionConfig) -> str:
         sid = uuid.uuid4().hex[:12]
@@ -70,10 +126,13 @@ class ServerState:
             for q in queues:
                 q.put(event)
 
+        # construct AND register under one lock hold (construction is
+        # cheap — no device work): the engine snapshot and the session's
+        # visibility to _collect_unreferenced_locked are atomic, so a
+        # concurrent hot-swap can never close the engine this session
+        # just picked up
         with self._lock:
-            engine = self.engine      # snapshot: hot-swap safe
-        session = StreamingSession(engine, cfg, on_event=fanout)
-        with self._lock:
+            session = StreamingSession(self.engine, cfg, on_event=fanout)
             self.sessions[sid] = session
             self.event_queues[sid] = []
         return sid
@@ -411,6 +470,9 @@ def make_handler(state: ServerState):
                 state.event_queues.pop(parts[1], None)
                 if s:
                     s.cancel()
+                    # this may have been the last reference to a
+                    # hot-swap-retired engine
+                    state.reap_retired()
                 return self._json({"deleted": s is not None})
             self._error("not found", 404)
 
@@ -472,13 +534,14 @@ def make_handler(state: ServerState):
             # reference threads config.language and custom_vocabulary
             # into every call (whisper.rs:91-109)
             lang = q.get("language") or app.language
-            result = state.engine.transcribe(
-                audio,
-                language=None if lang in (None, "auto") else lang,
-                vocabulary=q.get("vocabulary",
-                                 app.custom_vocabulary or None),
-                context=q.get("context"),
-                opts=opts)
+            with state.borrow_engine() as engine:
+                result = engine.transcribe(
+                    audio,
+                    language=None if lang in (None, "auto") else lang,
+                    vocabulary=q.get("vocabulary",
+                                     app.custom_vocabulary or None),
+                    context=q.get("context"),
+                    opts=opts)
             if fmt != "json":
                 # subtitle/plain output straight from the serving layer
                 # (?format=srt|vtt|txt|tsv, validated above), same
@@ -624,8 +687,10 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8777,
             httpd.serve_forever()
         finally:
             # state.engine, not the closure arg: a hot-swap may have
-            # replaced (and already closed) the startup engine
-            close = getattr(state.engine, "close", None)
-            if close is not None:
-                close()
+            # replaced the startup engine; retired engines still pinned
+            # by sessions are closed here too
+            with state._lock:
+                engines = [state.engine] + state._retired
+                state._retired = []
+            state._close_engines(engines)
     return httpd

@@ -363,3 +363,14 @@ def test_warmup_compiles_schedule_sizes(engine):
         assert isinstance(res.tokens, list)
     finally:
         batcher.close()
+
+
+def test_submit_after_close_raises(engine):
+    opts = DecodeOptions()
+    batcher = WindowBatcher(engine.params, engine.cfg, engine.tokenizer,
+                            opts, max_batch=2, max_wait_ms=5)
+    batcher.close()
+    # a session holding a hot-swap-retired engine must fail fast, not
+    # park its request in a queue no thread will drain
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(None, [0], frames=np.zeros((10, 400), np.float32))

@@ -71,6 +71,41 @@ def test_set_config_hot_swaps_model(isolated_home):
     assert load_config().selected_model == "small"
 
 
+def test_set_config_swap_failure_not_persisted(isolated_home):
+    """A failed hot-swap (model not downloaded, load error) must leave
+    config and engine in agreement: nothing persisted, and re-POSTing
+    the same selection retries the swap instead of short-circuiting on
+    'unchanged' (config.rs:138-164 applies side effects before relying
+    on the new selection)."""
+    calls = []
+
+    def provider(model_id):
+        calls.append(model_id)
+        if len(calls) == 1:
+            raise RuntimeError("model not downloaded")
+
+    mgr = ConfigManager(engine_provider=provider)
+    with pytest.raises(RuntimeError):
+        mgr.update(selected_model="base")
+    assert mgr.config.selected_model is None       # live config unchanged
+    assert load_config().selected_model is None    # nothing persisted
+    # retry succeeds and persists
+    mgr.update(selected_model="base")
+    assert calls == ["base", "base"]
+    assert mgr.config.selected_model == "base"
+    assert load_config().selected_model == "base"
+
+
+def test_set_engine_provider_public_seam(isolated_home):
+    mgr = ConfigManager()
+    swaps = []
+    assert mgr.set_engine_provider(swaps.append)
+    # an installed provider is not displaced
+    assert not mgr.set_engine_provider(lambda m: None)
+    mgr.update(selected_model="base")
+    assert swaps == ["base"]
+
+
 # ---------------------------------------------------------------------------
 # model registry (model.rs semantics)
 # ---------------------------------------------------------------------------

@@ -569,3 +569,124 @@ def test_config_hot_swap_live_server(tmp_path):
         assert _get(base, "/health")["loaded"]
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# hot-swap engine lifecycle (deferred close while referenced)
+# ---------------------------------------------------------------------------
+
+class _FakeEngine:
+    loaded = True
+    model_path = "fake"
+
+    def __init__(self):
+        self.closed = False
+
+    def close(self):
+        self.closed = True
+
+
+def test_hot_swap_defers_close_while_session_holds_engine(isolated_home):
+    """A live session pins its engine snapshot across a hot-swap: the
+    displaced engine is retired, not closed, until the last session
+    referencing it is deleted — so in-flight work never lands on a dead
+    batcher queue."""
+    from nobs_whisper_tpu.pipeline.session import SessionConfig
+    from nobs_whisper_tpu.serve.server import ServerState
+
+    e1, e2 = _FakeEngine(), _FakeEngine()
+    st = ServerState(e1, engine_factory=lambda mid: e2)
+    sid = st.create_session(SessionConfig())
+    st._hot_swap("other")
+    assert st.engine is e2
+    assert not e1.closed                  # session still holds it
+    st.sessions.pop(sid)
+    st.reap_retired()
+    assert e1.closed
+
+
+def test_hot_swap_closes_unreferenced_old_engine(isolated_home):
+    from nobs_whisper_tpu.serve.server import ServerState
+
+    e1, e2 = _FakeEngine(), _FakeEngine()
+    st = ServerState(e1, engine_factory=lambda mid: e2)
+    st._hot_swap("other")                 # no sessions, no borrows
+    assert e1.closed
+    assert st._retired == []
+
+
+def test_borrow_engine_pins_one_shot_across_swap(isolated_home):
+    from nobs_whisper_tpu.serve.server import ServerState
+
+    e1, e2 = _FakeEngine(), _FakeEngine()
+    st = ServerState(e1, engine_factory=lambda mid: e2)
+    with st.borrow_engine() as eng:
+        assert eng is e1
+        st._hot_swap("other")
+        assert not e1.closed              # pinned by the borrow
+    assert e1.closed                      # released -> reaped
+    assert st._borrows == {}
+
+
+def test_hot_swap_mid_session_batched_engine(tmp_path):
+    """End-to-end deferred-close: a session opened on a BatchedEngine
+    keeps transcribing after a /config hot-swap retires that engine
+    (its batcher thread must stay alive), the new engine serves new
+    sessions, and deleting the old session finally closes the retired
+    engine."""
+    import socket
+
+    import jax.numpy as jnp
+
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+    from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
+    from nobs_whisper_tpu.serve.server import serve
+    from nobs_whisper_tpu.utils.testing import write_tiny_checkpoint
+
+    p1 = str(tmp_path / "ggml-a.bin")
+    p2 = str(tmp_path / "ggml-b.bin")
+    write_tiny_checkpoint(p1)
+    write_tiny_checkpoint(p2, seed=1)
+
+    def factory(model_id):
+        eng = WhisperEngine.from_ggml(model_id, dtype=jnp.float32)
+        return BatchedEngine(eng, opts=DecodeOptions(), max_batch=2,
+                             max_wait_ms=5)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(factory(p1), port=port, background=True,
+                  engine_factory=factory)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        first = httpd.state.engine
+        sid = _post(base, "/sessions", json.dumps(
+            {"language": "en", "sample_rate": 16000}).encode())["session"]
+        assert _post(base, f"/sessions/{sid}/start")["started"]
+        # swap models while the session is recording
+        _post(base, "/config", json.dumps({"selected_model": p2}).encode())
+        assert httpd.state.engine is not first
+        assert first.batcher._running          # retired, NOT closed
+        # the old session still completes on its engine snapshot
+        rng = np.random.RandomState(3)
+        audio = (rng.randn(16000) * 0.2).astype(np.float32)
+        assert _post(base, f"/sessions/{sid}/audio", audio.tobytes())[
+            "buffered"]
+        out = _post(base, f"/sessions/{sid}/stop")
+        assert out["state"] == "idle" and isinstance(out["transcript"], str)
+        # a NEW session lands on the swapped engine
+        sid2 = _post(base, "/sessions", json.dumps(
+            {"language": "en", "sample_rate": 16000}).encode())["session"]
+        assert httpd.state.sessions[sid2].engine is httpd.state.engine
+        # deleting the old session releases the retired engine
+        req = urllib.request.Request(base + f"/sessions/{sid}",
+                                     method="DELETE")
+        urllib.request.urlopen(req, timeout=30).read()
+        assert not first.batcher._running      # drained and closed
+        with pytest.raises(RuntimeError, match="closed"):
+            first.batcher.submit(None, [0], frames=np.zeros(
+                (10, 400), np.float32))
+    finally:
+        httpd.shutdown()
