@@ -52,8 +52,9 @@ def main():
                    help="fused qkv projection (measured slower; see note)")
     p.add_argument("--q8-kv", action="store_true",
                    help="int8 cross-KV in the serving loop (A/B "
-                        "experiment; NWT_Q8_KV_XLA=1 picks the "
-                        "XLA-dequant variant over the Pallas kernel)")
+                        "experiment; reads via the XLA fused "
+                        "dequant-einsum — NWT_Q8_KV_PALLAS=1 picks the "
+                        "slower Pallas kernel variant)")
     p.add_argument("--xattn-kernel", action="store_true",
                    help="use the Pallas single-query cross-attention "
                         "kernel instead of the default packed-layout XLA "

@@ -107,11 +107,13 @@ def decode_window_impl(
     """Returns (tokens (B, sample_len), n_sampled (B,), sum_logprob (B,),
     no_speech_prob (B,))."""
     b, p_max = prompt_tokens.shape
-    cross_kv = precompute_cross_kv(params, xa, cfg)
     if q8_kv:
-        from ..ops.attention_pallas import quantize_cross_kv
-        cross_kv = quantize_cross_kv(cross_kv)
+        # fused per-layer projection+quantization: the full fp stack
+        # never materializes (models/whisper.py::precompute_cross_kv_q8)
+        from ..models.whisper import precompute_cross_kv_q8
+        cross_kv = precompute_cross_kv_q8(params, xa, cfg)
     elif xattn_bf16:
+        cross_kv = precompute_cross_kv(params, xa, cfg)
         # Packed (Dh, T) K layout, DEFAULT on the bf16 TPU serving path:
         # the per-step scores contraction runs over the sublane Dh axis
         # with no per-step transpose of K. Measured (B=24 turbo, v5e):
@@ -120,6 +122,8 @@ def decode_window_impl(
         # the f32 oracle path keeps the plain layout.
         from ..ops.attention_pallas import pack_cross_kv_bf16
         cross_kv = pack_cross_kv_bf16(cross_kv)
+    else:
+        cross_kv = precompute_cross_kv(params, xa, cfg)
     # Right-sized cache: the loop never writes past p_max + sample_len, so
     # don't make every step's self-attention read a full 448-slot buffer.
     # (Rounded to the sublane quantum; measured ~0.2 ms/step on v5e turbo.)

@@ -23,7 +23,7 @@ the MXU directly.
 
 Env knobs (NWT_NO_FLASH, NWT_LIB_FLASH, NWT_ATTN_BQ,
 NWT_NO_INT8_MLP, NWT_INT8_QKV, NWT_XATTN_KERNEL,
-NWT_Q8_KV_XLA, NWT_DEEP_DECODER, the *_BM/*_BF/*_BQ/*_BK block sizes,
+NWT_Q8_KV_PALLAS, NWT_DEEP_DECODER, the *_BM/*_BF/*_BQ/*_BK block sizes,
 NWT_Q8_KERNEL_MIN_BYTES) are A/B experiment toggles read at TRACE time
 inside jitted callers and are NOT part of any jit cache key: set them
 before the first call of the process (bench.py does), or call
@@ -542,6 +542,39 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     return xk, xv
 
 
+def precompute_cross_kv_q8(params: Params, xa: jnp.ndarray,
+                           cfg: WhisperConfig):
+    """Fused per-layer cross-KV projection + int8 quantization.
+
+    Same math as ``quantize_cross_kv(precompute_cross_kv(…))`` —
+    quantization is per position, independent of layer stacking (the
+    only observed deviation is 1-ulp scale drift from cross-program
+    matmul reassociation on XLA:CPU; see test_attention_pallas) — but
+    the full-precision (L, B, H, T, Dh) stack NEVER materializes: each
+    scan step holds ONE layer's fp K/V (245 MB/window/layer at large-v3)
+    and emits int8 + scales. This halves the dominant term in the
+    decoder's HBM footprint and is what lifts the batch cap on large-v3
+    (B=32 OOMs at 17.8 GB with bf16 cross-KV; docs/ROADMAP.md round-3
+    batch-knee log). Returns the same ({"q","s"}, {"q","s"}) pair the
+    int8 cross-attention read path consumes.
+    """
+    from ..ops.attention_pallas import quant_kv_padded
+    dec = params["decoder"]["blocks"]
+    n_head = cfg.n_text_head
+
+    def per_layer(_, p):
+        k = _split_heads(_dense(xa, p["xk_w"]), n_head)
+        v = _split_heads(_dense(xa, p["xv_w"], p["xv_b"]), n_head)
+        kq, ks = quant_kv_padded(k)
+        vq, vs = quant_kv_padded(v)
+        return None, (jnp.swapaxes(kq, -1, -2), ks, vq, vs)
+
+    with _precision_scope(xa.dtype):
+        _, (kq, ks, vq, vs) = jax.lax.scan(per_layer, None, dec)
+    return ({"q": kq, "s": ks},    # (L, B, H, Dh, T_pad)
+            {"q": vq, "s": vs})    # (L, B, H, T_pad, Dh)
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int,
                   dtype: jnp.dtype = jnp.float32,
                   t_ctx: Optional[int] = None) -> Tuple[jnp.ndarray,
@@ -721,7 +754,12 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
             from ..ops.attention_pallas import (
                 cross_attention_decode_q8, cross_attention_dequant_reference)
             if (q.shape[-2] == 1 and jax.default_backend() == "tpu"
-                    and not os.environ.get("NWT_Q8_KV_XLA")):
+                    and os.environ.get("NWT_Q8_KV_PALLAS")):
+                # opt-in: measured SLOWER than the XLA fused
+                # dequant-einsum on both decoder shapes (turbo B=16:
+                # 0.381 vs 0.339 s; large-v3 B=32: 161.9 vs 196.6x RTF
+                # — docs/ROADMAP.md round-2/round-3 logs), kept for
+                # re-tries
                 a = cross_attention_decode_q8(q, xk_l, xv_l)
             else:
                 a = cross_attention_dequant_reference(q, xk_l, xv_l)

@@ -35,6 +35,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def quant_kv_padded(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fp (..., T, Dh) -> (int8 (..., T_pad, Dh), scales (..., T_pad)).
+
+    Per-position absmax quantization; T padded to a multiple of 128 with
+    zero-scale (masked) positions. Leading-dim agnostic so the same
+    quantization runs on a full (L, B, H, ...) stack or one layer inside
+    a scan (precompute_cross_kv_q8)."""
+    t = x.shape[-2]
+    t_pad = _round_up(t, 128)
+    lead = [(0, 0)] * (x.ndim - 2)
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (...,T,1)
+    s = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    q = jnp.pad(q, lead + [(0, t_pad - t), (0, 0)])
+    s = jnp.pad(s[..., 0], lead + [(0, t_pad - t)])          # 0 = masked
+    return q, s
+
+
 def quantize_cross_kv(
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
 ) -> Tuple[QKV, QKV]:
@@ -45,21 +64,8 @@ def quantize_cross_kv(
     zero-scale (masked) positions.
     """
     xk, xv = cross_kv
-    l, b, h, t, dh = xk.shape
-    t_pad = _round_up(t, 128)
-
-    def quant(x):
-        x32 = x.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (...,T,1)
-        s = jnp.maximum(absmax / 127.0, 1e-12)
-        q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
-        pad = [(0, 0)] * 3 + [(0, t_pad - t), (0, 0)]
-        q = jnp.pad(q, pad)
-        s = jnp.pad(s[..., 0], [(0, 0)] * 3 + [(0, t_pad - t)])  # 0 = masked
-        return q, s
-
-    kq, ks = quant(xk)
-    vq, vs = quant(xv)
+    kq, ks = quant_kv_padded(xk)
+    vq, vs = quant_kv_padded(xv)
     return ({"q": jnp.swapaxes(kq, -1, -2), "s": ks},   # (L,B,H,Dh,Tp)
             {"q": vq, "s": vs})                          # (L,B,H,Tp,Dh)
 

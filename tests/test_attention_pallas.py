@@ -155,3 +155,32 @@ def test_kt_xla_layout_matches_reference():
     got = np.asarray(cross_attention_kt_xla(q, packed, 300))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 0.02
+
+
+def test_fused_q8_precompute_matches_unfused():
+    """precompute_cross_kv_q8 (per-layer fused projection+quantization,
+    the memory-lifting order) computes the same math as
+    quantize_cross_kv(precompute_cross_kv(...)). The two are separately
+    compiled programs, so XLA may reassociate the K/V projection matmul
+    differently (measured: 1-ulp scale drift on ~2.5% of positions on
+    XLA:CPU, bit-identical on the TPU) — quantized VALUES must match
+    exactly, scales to 1 ulp."""
+    import jax
+
+    from nobs_whisper_tpu.models.whisper import (init_params,
+                                                 precompute_cross_kv,
+                                                 precompute_cross_kv_q8)
+    from nobs_whisper_tpu.utils.testing import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    xa = jax.random.normal(jax.random.PRNGKey(1),
+                           (2, cfg.n_audio_ctx, cfg.n_audio_state),
+                           jnp.float32)
+    ref_k, ref_v = quantize_cross_kv(precompute_cross_kv(params, xa, cfg))
+    fus_k, fus_v = precompute_cross_kv_q8(params, xa, cfg)
+    for ref, fus in ((ref_k, fus_k), (ref_v, fus_v)):
+        np.testing.assert_array_equal(np.asarray(ref["q"]),
+                                      np.asarray(fus["q"]))
+        np.testing.assert_allclose(np.asarray(ref["s"]),
+                                   np.asarray(fus["s"]), rtol=1e-6)

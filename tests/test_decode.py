@@ -410,3 +410,25 @@ def test_no_speech_gate():
     assert is_no_speech(0.9, -1.5, opts)
     assert not is_no_speech(0.9, -0.1, opts)   # confident text wins
     assert not is_no_speech(0.3, -1.5, opts)
+
+
+def test_q8_cross_kv_decode_runs_and_respects_rules(setup):
+    """The int8 cross-KV decode path (DecodeOptions.q8_cross_kv, now via
+    the fused per-layer projection+quantization) produces a rule-valid
+    decode. Quantization is accuracy-priced so token parity with the fp
+    path is NOT asserted — numeric equivalence of the fused order is
+    pinned in test_attention_pallas."""
+    model, hf_cfg, cfg, params, sp = setup
+    rng = np.random.RandomState(17)
+    mel = rng.randn(1, 80, 128).astype(np.float32)
+    prompt = [sp["sot"], sp["lang0"], sp["transcribe"]]
+    opts = DecodeOptions(q8_cross_kv=True)
+    tables = build_rule_tables(cfg, opts)
+    xa = encode(params, jnp.asarray(mel), cfg)
+    res = decode_window(params, xa, [prompt], cfg, tables, opts)[0]
+    assert len(res.tokens) > 0
+    assert np.isfinite(res.avg_logprob)
+    # timestamp rule: a timestamped decode opens with an early timestamp
+    assert res.tokens[0] >= sp["ts_begin"]
+    for t in res.tokens:
+        assert t not in _suppress_ids(cfg)
