@@ -133,10 +133,13 @@ def read_pcm_f32(path_or_bytes: Union[str, bytes],
 
 
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
-    """Dispatch on extension: .wav or raw .pcm/.f32."""
+    """Dispatch on extension: .wav, .flac, or raw .pcm/.f32."""
     lower = path.lower()
     if lower.endswith(".wav"):
         return read_wav(path)
+    if lower.endswith(".flac"):
+        from .flac import read_flac
+        return read_flac(path)
     if lower.endswith((".pcm", ".f32", ".raw")):
         return read_pcm_f32(path)
     raise ValueError(f"unsupported audio format: {path}")

@@ -241,7 +241,12 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # shard_map serving path (parallel/spmd.py) re-enables the kernel
     # per shard via kernel_override("tpu").)
     use_int8_mlp = (((jax.default_backend() == "tpu"
-                      and (jax.device_count() == 1 or ko == "tpu"))
+                      and (jax.device_count() == 1 or ko == "tpu")
+                      # the kernels' m/f tiles assume a lane-aligned
+                      # model width (every real Whisper size: 384..1280,
+                      # all 128-multiples); tiny-random test models
+                      # (d=64) take the XLA path on a real TPU
+                      and cfg.n_audio_state % 128 == 0)
                      or interp)
                     and not os.environ.get("NWT_NO_INT8_MLP"))
     # experiment flag (trace-time): fused int8 QKV + residual-o kernels.
@@ -261,6 +266,13 @@ def _encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     # NWT_ATTN_BHTD=1 falls back to the per-head (B, H, T, dh) kernel.
     use_btd = (use_flash and not use_lib_flash and not use_int8_qkv
                and n_head % 2 == 0
+               # the head-pair blocks are 2*dh lanes wide — Mosaic needs
+               # exactly 128 (every real Whisper size has dh=64; odd
+               # custom models fall back to the per-head kernel, whose
+               # full-dh minor blocks lower for any dh). interpret mode
+               # is exempt: the CPU test path runs tiny-random models
+               # (dh=16) through these kernels for coverage.
+               and (2 * (cfg.n_audio_state // n_head) == 128 or interp)
                and not os.environ.get("NWT_ATTN_BHTD"))
     attn_bq = int(os.environ.get("NWT_ATTN_BQ", 0)) or 256
     # experiment knob (trace-time, like the others): int8 QK^T inside the

@@ -485,13 +485,19 @@ def make_handler(state: ServerState):
                                   keep_blank_values=True))
 
         def _transcribe(self):
-            """One-shot: body = raw f32 little-endian PCM or a WAV blob."""
+            """One-shot: body = raw f32 LE PCM, a WAV blob, or a FLAC blob
+            (magic-sniffed, like the CLI's extension dispatch)."""
             q = self._query()
             body = self._body()
             if body[:4] == b"RIFF":
                 from ..audio.io import read_wav
                 from ..audio.resample import resample
                 audio, rate = read_wav(body)
+                audio = resample(audio, rate)
+            elif body[:4] == b"fLaC":
+                from ..audio.flac import read_flac
+                from ..audio.resample import resample
+                audio, rate = read_flac(body)
                 audio = resample(audio, rate)
             else:
                 rate = int(q.get("sample_rate", 16000))

@@ -97,6 +97,19 @@ def test_one_shot_transcribe_wav(server):
     assert "text" in out
 
 
+def test_one_shot_transcribe_flac(server):
+    """FLAC bodies are magic-sniffed like WAV; same text as the identical
+    raw-PCM upload (16-bit quantization tolerated by the tiny model)."""
+    base, _ = server
+    import io
+    from nobs_whisper_tpu.audio.flac import write_flac
+    audio = (np.random.RandomState(2).randn(8000) * 0.2).astype(np.float32)
+    buf = io.BytesIO()
+    write_flac(buf, audio, 16000)
+    out = _post(base, "/transcribe?language=en", buf.getvalue())
+    assert "text" in out and out["language"] == "en"
+
+
 def test_session_lifecycle_with_events(server):
     base, _ = server
     sid = _post(base, "/sessions", json.dumps(
