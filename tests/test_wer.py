@@ -53,11 +53,20 @@ def test_eval_harness_pairs(tmp_path):
     (tmp_path / "u1.txt").write_text("hello world")
     write_wav(str(tmp_path / "sp-ch-u2.wav"), np.zeros(1600, np.float32))
     (tmp_path / "sp-ch.trans.txt").write_text("sp-ch-u2 SECOND UTTERANCE\n")
+    # LibriSpeech-shaped: speaker/chapter dir, .flac audio, shared
+    # chapter .trans.txt (the real-weight eval target's exact layout)
+    from nobs_whisper_tpu.audio.flac import write_flac
+    chap = tmp_path / "19" / "198"
+    chap.mkdir(parents=True)
+    write_flac(str(chap / "19-198-0000.flac"),
+               np.zeros(1600, np.float32), 16000)
+    (chap / "19-198.trans.txt").write_text("19-198-0000 THIRD UTTERANCE\n")
     pairs = find_pairs(tmp_path)
-    assert len(pairs) == 2
+    assert len(pairs) == 3
     texts = {p.stem: t for p, t in pairs}
     assert texts["u1"] == "hello world"
     assert texts["sp-ch-u2"] == "SECOND UTTERANCE"
+    assert texts["19-198-0000"] == "THIRD UTTERANCE"
 
 
 def test_eval_harness_batched_matches_sequential(tmp_path):
