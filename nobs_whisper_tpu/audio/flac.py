@@ -26,6 +26,12 @@ round-trip tests to exercise every decoder path.
 
 Hot loops (rice stop-bit scan, LPC recurrence) are NumPy-assisted;
 fixed-predictor reconstruction is an exact-integer iterated cumsum.
+
+Memory note: the decoder unpacks the whole file to a bit array plus an
+int64 index of every 1-bit (~40 bytes of RAM per input byte). That is
+fine for utterance-scale inputs (LibriSpeech files are <5 MB) but a
+100 MB FLAC needs ~4 GB — decode_max_bytes (default 64 MB) guards
+against accidental album-scale inputs; raise it explicitly if needed.
 """
 
 from __future__ import annotations
@@ -97,6 +103,8 @@ class _BitReader:
         if n == 0:
             return 0
         p = self.p
+        if p + n > len(self.bits):
+            raise ValueError("FLAC bitstream truncated")
         v = int(self.bits[p:p + n].astype(np.int64) @ _POW2[n])
         self.p = p + n
         return v
@@ -296,6 +304,8 @@ def _read_residual(r: _BitReader, block_size: int, order: int) -> np.ndarray:
     n_parts = 1 << part_order
     if block_size % n_parts:
         raise ValueError("FLAC: partition order doesn't divide block size")
+    if block_size // n_parts < order:
+        raise ValueError("FLAC: partition size smaller than predictor order")
     out = []
     for p in range(n_parts):
         m = block_size // n_parts - (order if p == 0 else 0)
@@ -418,14 +428,39 @@ def _read_frame(r: _BitReader, info: FlacInfo,
     return out
 
 
+def _md5_pcm(pcm: np.ndarray, bits: int) -> Optional[bytes]:
+    """MD5 of decoded PCM as libFLAC defines it: interleaved channels,
+    little-endian signed, bits//8 bytes per sample. Returns None when
+    bits is not byte-aligned (MD5 layout is sub-byte-packed there; rare
+    and not worth the complexity — verification is skipped)."""
+    if bits % 8:
+        return None
+    width = bits // 8
+    flat = pcm.reshape(-1).astype(np.int64)
+    b = np.empty((flat.size, width), np.uint8)
+    for i in range(width):
+        b[:, i] = (flat >> (8 * i)) & 0xFF
+    return hashlib.md5(b.tobytes()).digest()
+
+
 def read_flac_raw(path_or_bytes: Union[str, bytes], *,
-                  verify: bool = False) -> Tuple[np.ndarray, FlacInfo]:
+                  verify: bool = False,
+                  decode_max_bytes: int = 64 * 1024 * 1024,
+                  ) -> Tuple[np.ndarray, FlacInfo]:
     """FLAC -> ((n_samples, n_channels) int64 PCM, FlacInfo).
 
-    ``verify=True`` additionally checks every frame's CRC-8/CRC-16.
+    ``verify=True`` additionally checks every frame's CRC-8/CRC-16 and,
+    when STREAMINFO carries a nonzero MD5, the whole-stream PCM MD5 —
+    so the first real libFLAC-encoded file is an end-to-end validation
+    of the decoder, not just of this codec against its own encoder.
     """
     blob = (path_or_bytes if isinstance(path_or_bytes, bytes)
             else open(path_or_bytes, "rb").read())
+    if len(blob) > decode_max_bytes:
+        raise ValueError(
+            f"FLAC input is {len(blob)} bytes > decode_max_bytes="
+            f"{decode_max_bytes}; the decoder needs ~40x the file size "
+            "in RAM — pass a larger decode_max_bytes to proceed")
     if blob[:4] != b"fLaC":
         raise ValueError("not a FLAC file (no fLaC marker)")
     pos = 4
@@ -467,6 +502,11 @@ def read_flac_raw(path_or_bytes: Union[str, bytes], *,
            else np.zeros((0, info.channels), np.int64))
     if info.total_samples:
         pcm = pcm[:info.total_samples]
+    if verify and info.md5 != b"\x00" * 16:
+        digest = _md5_pcm(pcm, info.bits)
+        if digest is not None and digest != info.md5:
+            raise ValueError("FLAC: decoded PCM MD5 mismatch "
+                             "(stream corrupt or decoder bug)")
     return pcm, info
 
 

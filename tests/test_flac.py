@@ -355,3 +355,78 @@ def test_fixed_orders_exact():
             pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
             x.append(int(r) + pred)
         np.testing.assert_array_equal(got, np.asarray(x, np.int64))
+
+
+# --------------------------------------------------------------------------
+# round-3 advisor hardening: MD5 verify, truncation, bad partitions, size cap
+
+def test_md5_mismatch_detected():
+    """A sample-value corruption that keeps every CRC valid is caught by
+    the whole-stream PCM MD5 (STREAMINFO md5 vs decoded interleave)."""
+    x = _sine_speechish(4000)
+    buf = io.BytesIO()
+    write_flac(buf, x)
+    blob = bytearray(buf.getvalue())
+    # STREAMINFO md5 lives at bytes 8+18 .. 8+34 of the file
+    # (4 fLaC + 4 block header + 18 into the 34-byte STREAMINFO body).
+    blob[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5 mismatch"):
+        read_flac_raw(bytes(blob), verify=True)
+    # without verify, decode still succeeds (md5 unchecked)
+    pcm, _ = read_flac_raw(bytes(blob), verify=False)
+    assert pcm.shape[0] == 4000
+
+
+def test_md5_verified_on_roundtrip():
+    """verify=True actually walks the MD5 path on encoder output
+    (nonzero STREAMINFO md5) and passes."""
+    x = _sine_speechish(3000)
+    buf = io.BytesIO()
+    write_flac(buf, x)
+    _, info = read_flac_raw(buf.getvalue(), verify=True)
+    assert info.md5 != b"\x00" * 16
+
+
+def test_truncated_bitstream_clean_error():
+    """Cutting the file mid-frame raises a ValueError, not a numpy shape
+    error (advisor round-3 low finding)."""
+    x = _sine_speechish(8000)
+    buf = io.BytesIO()
+    write_flac(buf, x)
+    blob = buf.getvalue()
+    for cut in (len(blob) - 7, len(blob) // 2, 60):
+        with pytest.raises(ValueError):
+            read_flac_raw(blob[:cut], verify=False)
+
+
+def test_partition_order_vs_predictor_order_clean_error():
+    """A partition whose size is smaller than the predictor order is a
+    clean ValueError instead of a numpy IndexError."""
+    # FIXED order-4 subframe, block 16, partition order 3 -> part size 2 < 4
+    def build(w):
+        w.write(0, 1)
+        w.write(8 | 4, 6)                       # FIXED order 4
+        w.write(0, 1)
+        for _ in range(4):
+            w.write(0, 16)                      # warmup
+        w.write(0, 2)                           # method RICE
+        w.write(3, 4)                           # partition order 3
+        w.write(0, 4)                           # rice k for part 0
+        # (whatever follows, the decoder must bail before indexing)
+        w.write(0, 32)
+
+    blob = _file_with_frame(build, 16, 1, 16, ch_code=0)
+    with pytest.raises(ValueError, match="smaller than predictor order"):
+        read_flac_raw(blob, verify=False)
+
+
+def test_decode_max_bytes_guard():
+    x = _sine_speechish(2000)
+    buf = io.BytesIO()
+    write_flac(buf, x)
+    blob = buf.getvalue()
+    with pytest.raises(ValueError, match="decode_max_bytes"):
+        read_flac_raw(blob, decode_max_bytes=100)
+    # explicit raise works
+    pcm, _ = read_flac_raw(blob, decode_max_bytes=len(blob))
+    assert pcm.shape[0] == 2000
