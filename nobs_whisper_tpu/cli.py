@@ -275,7 +275,18 @@ def cmd_serve(args):
 
     # startup-only warmup: a hot-swapped model compiles lazily instead
     # of blocking the /config POST for the full warmup sweep
-    engine = build_engine(args.model, warmup=args.warmup)
+    if args.model or cm.config.selected_model:
+        engine = build_engine(args.model, warmup=args.warmup)
+    else:
+        # model-less first launch (lib.rs:26-42: preload only IF a model
+        # is configured; the settings UI handles download + selection).
+        # Serve /, /models, downloads and /config with an unloaded
+        # engine; the first selection builds via the hot-swap factory,
+        # and transcription verbs answer 409 until then.
+        print("no model selected; serving in setup mode — pick a model "
+              "in the web UI or POST /config {\"selected_model\": ...}",
+              file=sys.stderr)
+        engine = None
     serve(engine, host=args.host, port=args.port, config_manager=cm,
           engine_factory=build_engine)
 

@@ -24,6 +24,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ..api import NoModelError
 from ..pipeline.session import SessionConfig, SessionEvent, StreamingSession
 from .config import AppConfig, ConfigManager
 from . import models as model_registry
@@ -61,7 +62,10 @@ class ServerState:
         new = self._engine_factory(model_id)
         with self._lock:
             old, self.engine = self.engine, new
-            if old is new:
+            if old is new or old is None:
+                # old is None = model-less first launch (lib.rs:26-42
+                # analog: serve starts unloaded, the first selection
+                # builds the engine) — nothing to retire
                 return
             self._retired.append(old)
             to_close = self._collect_unreferenced_locked()
@@ -103,6 +107,10 @@ class ServerState:
         def _borrow():
             with self._lock:
                 eng = self.engine
+                if eng is None:
+                    raise NoModelError(
+                        "no model loaded; select one via POST /config "
+                        '{"selected_model": ...} or the web UI')
                 self._borrows[id(eng)] = self._borrows.get(id(eng), 0) + 1
             try:
                 yield eng
@@ -132,6 +140,10 @@ class ServerState:
         # concurrent hot-swap can never close the engine this session
         # just picked up
         with self._lock:
+            if self.engine is None:
+                raise NoModelError(
+                    "no model loaded; select one via POST /config "
+                    '{"selected_model": ...} or the web UI')
             session = StreamingSession(self.engine, cfg, on_event=fanout)
             self.sessions[sid] = session
             self.event_queues[sid] = []
@@ -182,6 +194,10 @@ def make_handler(state: ServerState):
                 return fn()
             except KeyError as e:
                 return self._error(str(e), 404)
+            except NoModelError as e:
+                # model-less launch: transcription verbs 409 until the
+                # first selection builds an engine (lib.rs:26-42)
+                return self._error(str(e), 409)
             except ValueError as e:
                 return self._error(str(e), 400)
             except Exception as e:
@@ -212,7 +228,8 @@ def make_handler(state: ServerState):
                 return self._json({
                     "ok": True,
                     "model": getattr(state.engine, "model_path", None),
-                    "loaded": getattr(state.engine, "loaded", False)})
+                    "loaded": (state.engine is not None
+                               and getattr(state.engine, "loaded", True))})
             if parts == ["config"]:
                 return self._json(state.config_manager.config.to_dict())
             if parts == ["models"]:
@@ -446,6 +463,8 @@ def make_handler(state: ServerState):
 
                     threading.Thread(target=dl, daemon=True).start()
                     return self._json({"started": mid})
+            except NoModelError as e:
+                return self._error(str(e), 409)
             except ValueError as e:
                 # bad input (e.g. an unknown task in /config) is the
                 # client's fault, not a server failure

@@ -703,3 +703,135 @@ def test_hot_swap_mid_session_batched_engine(tmp_path):
                 (10, 400), np.float32))
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# model-less first launch (lib.rs:26-42: preload only IF configured; the
+# settings UI downloads + selects). serve boots with engine=None, serves
+# management surfaces, 409s transcription, and builds the engine on first
+# selection through the hot-swap factory.
+# ---------------------------------------------------------------------------
+
+def _status_of(base, path, method="POST", data=b""):
+    import urllib.error
+    req = urllib.request.Request(base + path, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_model_less_first_launch_download_select_transcribe(
+        tmp_path, monkeypatch):
+    import io
+    import socket
+
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.serve import models as model_registry
+    from nobs_whisper_tpu.serve.config import ConfigManager
+    from nobs_whisper_tpu.serve.server import serve
+    from nobs_whisper_tpu.utils.testing import (sine_audio,
+                                                write_tiny_checkpoint)
+
+    # the "download server": any registry URL serves tiny-random GGML bytes
+    blob = io.BytesIO()
+    ckpt = tmp_path / "payload.bin"
+    write_tiny_checkpoint(str(ckpt))
+    payload = ckpt.read_bytes()
+
+    class FakeResponse:
+        headers = {"Content-Length": str(len(payload))}
+
+        def __init__(self):
+            self._buf = io.BytesIO(payload)
+
+        def read(self, n):
+            return self._buf.read(n)
+
+    real_download = model_registry.download_model
+    monkeypatch.setattr(
+        model_registry, "download_model",
+        lambda mid, **kw: real_download(
+            mid, _opener=lambda url: FakeResponse(), **kw))
+
+    built = []
+
+    def factory(model_id, warmup=False):
+        # the cmd_serve build path: id -> registry path -> engine
+        path = model_id if model_id.endswith(".bin") \
+            else str(model_registry.model_path(model_id))
+        built.append(model_id)
+        return WhisperEngine.from_ggml(path, dtype=jnp.float32)
+
+    cm = ConfigManager()
+    assert cm.config.selected_model is None     # truly empty first launch
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(None, port=port, background=True, config_manager=cm,
+                  engine_factory=factory)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # management surfaces are up before any model exists
+        h = _get(base, "/health")
+        assert h["ok"] and not h["loaded"] and h["model"] is None
+        assert len(_get(base, "/models")) >= 12
+        assert _get(base, "/config")["selected_model"] is None
+        with urllib.request.urlopen(base + "/", timeout=30) as r:
+            assert b"<html" in r.read()[:200].lower()
+
+        # transcription verbs refuse cleanly (409, JSON error body)
+        code, body = _status_of(base, "/transcribe",
+                                data=np.zeros(1600, "<f4").tobytes())
+        assert code == 409 and "no model loaded" in body["error"]
+        code, body = _status_of(base, "/sessions", data=b"{}")
+        assert code == 409 and "no model loaded" in body["error"]
+
+        # first-run flow: download via the injected opener, then select
+        code, body = _status_of(base, "/models/tiny/download")
+        assert code == 200
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = next(m for m in _get(base, "/models")
+                      if m["id"] == "tiny")["status"]
+            if st == "downloaded":
+                break
+            time.sleep(0.05)
+        assert st == "downloaded"
+
+        code, body = _status_of(
+            base, "/config",
+            data=json.dumps({"selected_model": "tiny"}).encode())
+        assert code == 200 and built == ["tiny"]
+        assert _get(base, "/health")["loaded"]
+
+        # and transcription now works end-to-end on the downloaded model
+        audio = sine_audio(1.0)
+        out = _post(base, "/transcribe", audio.astype("<f4").tobytes())
+        assert "text" in out and "segments" in out
+    finally:
+        httpd.shutdown()
+
+
+def test_cmd_serve_boots_without_model(tmp_path, monkeypatch):
+    """The CLI serve verb no longer exits(2) on an empty config — it
+    passes engine=None plus the factory to serve()."""
+    import argparse
+
+    from nobs_whisper_tpu import cli as climod
+
+    captured = {}
+
+    def fake_serve(engine, host, port, config_manager, engine_factory):
+        captured["engine"] = engine
+        captured["factory"] = engine_factory
+
+    monkeypatch.setattr("nobs_whisper_tpu.serve.server.serve", fake_serve)
+    args = argparse.Namespace(
+        model=None, host="127.0.0.1", port=0, batch=1, mesh=None,
+        dtype="float32", quant="none", warmup=False, speculative=0,
+        draft_pool=None, draft_model=None, audio_ctx=0)
+    climod.cmd_serve(args)
+    assert captured["engine"] is None
+    assert callable(captured["factory"])
