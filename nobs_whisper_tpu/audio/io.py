@@ -29,7 +29,10 @@ def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
             n_ch = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
-    except wave.Error:
+    except (wave.Error, EOFError):
+        # EOFError: the stdlib module raises it on files truncated
+        # mid-header; fall through to the RIFF parser, which reports a
+        # clean ValueError
         # stdlib wave rejects WAVE_FORMAT_IEEE_FLOAT (format tag 3,
         # e.g. ffmpeg -c:a pcm_f32le output) — parse the RIFF chunks
         # ourselves for that case
@@ -74,6 +77,8 @@ def _read_float_wav(blob: bytes) -> Tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
         body = blob[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_body = body
         elif cid == b"data":

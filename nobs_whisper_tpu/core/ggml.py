@@ -279,7 +279,9 @@ def _tensor_nbytes(ttype: int, n_elems: int) -> int:
         return 4 * n_elems
     if ttype == GGML_TYPE_F16:
         return 2 * n_elems
-    bb = _BLOCK_BYTES[ttype]
+    bb = _BLOCK_BYTES.get(ttype)
+    if bb is None:
+        raise ValueError(f"GGML: unknown tensor type {ttype}")
     if n_elems % QK:
         raise ValueError(f"quantized tensor with {n_elems} elems not /{QK}")
     return (n_elems // QK) * bb
@@ -295,60 +297,90 @@ def read_ggml(path: str) -> GGMLCheckpoint:
     # tensor held simultaneously tripled transient host RAM on large-v3
     # (~10 GB); the mmap pages in per tensor and the OS drops cold
     # pages. Same reason core/hf.py memmaps safetensors.
-    data = np.memmap(path, dtype=np.uint8, mode="r")
+    try:
+        data = np.memmap(path, dtype=np.uint8, mode="r")
+    except ValueError:
+        raise ValueError(f"{path}: empty or unreadable GGML file")
+    size = len(data)
     off = 0
 
-    def u32() -> int:
+    # every length/count below is validated against the file size before
+    # use: a corrupt or truncated upload must yield a clean ValueError,
+    # never a struct.error, a hang (negative length walking the cursor
+    # backwards), or an unbounded allocation (fuzz hardening; the
+    # reference's analogous hygiene is partial-download cleanup,
+    # src-tauri/src/model.rs:287)
+    def u32(what: str = "field") -> int:
         nonlocal off
+        if off + 4 > size:
+            raise ValueError(f"GGML: truncated file (reading {what})")
         (v,) = struct.unpack_from("<i", data, off)
         off += 4
         return v
 
+    def take(n: int, what: str) -> np.ndarray:
+        nonlocal off
+        if n < 0:
+            raise ValueError(f"GGML: negative {what} length {n}")
+        if off + n > size:
+            raise ValueError(f"GGML: truncated file (reading {what})")
+        raw = data[off:off + n]
+        off += n
+        return raw
+
+    if size < 4:
+        raise ValueError(f"{path}: not a GGML file (too short)")
     magic = struct.unpack_from("<I", data, 0)[0]
     off = 4
     if magic != GGML_MAGIC:
         raise ValueError(f"{path}: bad magic {magic:#x}")
 
-    hp = [u32() for _ in range(11)]
+    hp = [u32("hparams") for _ in range(11)]
     (n_vocab, n_audio_ctx, n_audio_state, n_audio_head, n_audio_layer,
      n_text_ctx, n_text_state, n_text_head, n_text_layer, n_mels,
      _ftype) = hp
+    if any(v < 0 for v in hp[:10]) or any(v > (1 << 24) for v in hp[:10]):
+        raise ValueError(f"GGML: implausible hparams {hp[:10]}")
     cfg = config_from_hparams(
         n_vocab, n_audio_ctx, n_audio_state, n_audio_head, n_audio_layer,
         n_text_ctx, n_text_state, n_text_head, n_text_layer, n_mels)
 
     # mel filterbank
-    f_mels = u32()
-    f_fft = u32()
-    nbytes = 4 * f_mels * f_fft
-    mel = np.frombuffer(data, dtype="<f4", count=f_mels * f_fft,
-                        offset=off).reshape(f_mels, f_fft).copy()
-    off += nbytes
+    f_mels = u32("mel dims")
+    f_fft = u32("mel dims")
+    if f_mels < 0 or f_fft < 0:
+        raise ValueError("GGML: negative mel filterbank dims")
+    raw = take(4 * f_mels * f_fft, "mel filterbank")
+    mel = np.frombuffer(raw, dtype="<f4").reshape(f_mels, f_fft).copy()
 
     # vocab: file may contain fewer tokens than header n_vocab
     # (multilingual checkpoints); whisper.cpp pads the tail.
-    n_tok = u32()
+    n_tok = u32("vocab size")
+    if n_tok < 0 or n_tok * 4 > size:
+        raise ValueError(f"GGML: implausible vocab size {n_tok}")
     vocab: List[bytes] = []
     for _ in range(n_tok):
-        ln = u32()
-        vocab.append(bytes(data[off:off + ln]))
-        off += ln
+        ln = u32("token length")
+        vocab.append(bytes(take(ln, "token")))
     for i in range(n_tok, n_vocab):
         vocab.append(f"[_extra_token_{i}]".encode())
 
     tensors: Dict[str, np.ndarray] = {}
     ttypes: Dict[str, int] = {}
-    while off < len(data):
-        n_dims = u32()
-        name_len = u32()
-        ttype = u32()
-        ne = [u32() for _ in range(n_dims)]
-        name = bytes(data[off:off + name_len]).decode("utf-8")
-        off += name_len
-        n_elems = int(np.prod(ne))
+    while off < size:
+        n_dims = u32("tensor dims")
+        name_len = u32("tensor name length")
+        ttype = u32("tensor type")
+        if not 1 <= n_dims <= 4:
+            raise ValueError(f"GGML: implausible tensor rank {n_dims}")
+        ne = [u32("tensor shape") for _ in range(n_dims)]
+        if any(d < 0 for d in ne):
+            raise ValueError(f"GGML: negative tensor dim in {ne}")
+        name = bytes(take(name_len, "tensor name")).decode(
+            "utf-8", errors="replace")
+        n_elems = int(np.prod(ne, dtype=np.int64))
         nbytes = _tensor_nbytes(ttype, n_elems)
-        raw = data[off:off + nbytes]
-        off += nbytes
+        raw = take(nbytes, f"tensor {name!r}")
         if ttype == GGML_TYPE_F32:
             arr = np.frombuffer(raw, dtype="<f4").astype(np.float32)
         elif ttype == GGML_TYPE_F16:
