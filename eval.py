@@ -56,10 +56,31 @@ def main():
                         "shared window batcher (windows pack cross-file "
                         "into device batches; 1 = sequential)")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 = the serving default (int8 decoder weights "
+                        "+ dynamic-int8 encoder)")
+    p.add_argument("--audio-ctx", type=int, default=0,
+                   help="truncated encoder context (the opt-in latency "
+                        "knob priced by the real-weight gate)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="speculative greedy decode, K draft tokens/pass "
+                        "(needs --batch > 1); summary gains "
+                        "speculative_emitted_per_pass")
+    p.add_argument("--draft-pool", type=int, default=None, metavar="P",
+                   help="cross-KV time-pooling for the self-draft")
+    p.add_argument("--dump-hyp", default=None, metavar="PATH",
+                   help="write one JSON line per utterance "
+                        "({path, ref, hyp}) for transcript-parity diffs")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu for mocked runs; "
+                        "set via config.update AFTER import — env vars "
+                        "are no-ops under this box's sitecustomize)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -70,13 +91,19 @@ def main():
     from nobs_whisper_tpu.decode.rules import DecodeOptions
     from nobs_whisper_tpu.utils.wer import corpus_wer, word_error_rate
 
-    engine = _load_engine(args.model, args.dtype)
+    engine = _load_engine(args.model, args.dtype, audio_ctx=args.audio_ctx)
+    if args.quant == "int8":
+        engine = engine.quantize()
     pairs = find_pairs(Path(args.dir))
     if args.limit:
         pairs = pairs[: args.limit]
     if not pairs:
         print("no (audio, transcript) pairs found", file=sys.stderr)
         sys.exit(2)
+    if args.speculative and args.batch <= 1:
+        print("--speculative needs --batch > 1 (the batched serving "
+              "path); ignoring", file=sys.stderr)
+        args.speculative = 0
 
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
@@ -88,7 +115,9 @@ def main():
         # run their window chain through the batcher)
         from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
         runner = BatchedEngine(engine, opts=opts,
-                               max_batch=min(args.batch, len(pairs)))
+                               max_batch=min(args.batch, len(pairs)),
+                               speculative=max(args.speculative, 0),
+                               draft_pool=args.draft_pool)
 
     def run_one(item):
         audio_path, ref = item
@@ -125,6 +154,23 @@ def main():
         "wall_seconds": round(wall, 2),
         "rtf": round(total_audio_s / wall, 2),
     }
+    if args.speculative:
+        # acceptance as served: emitted tokens per (pass x row) from the
+        # batcher's rolling window — the number the k/pool default
+        # decision needs on real speech (docs/ROADMAP.md: random-weight
+        # acceptance is pool-independent, so only THIS number can gate)
+        sp = getattr(runner.batcher, "spec_stats", [])
+        passes_rows = sum(p * rows for p, rows, _ in sp)
+        emitted = sum(e for _, _, e in sp)
+        summary["speculative_emitted_per_pass"] = round(
+            emitted / max(passes_rows, 1), 3)
+        summary["speculative_k"] = args.speculative
+        summary["speculative_pool"] = args.draft_pool
+    if args.dump_hyp:
+        with open(args.dump_hyp, "w") as f:
+            for path, ref, hyp, _ in results:
+                f.write(json.dumps(
+                    {"path": path, "ref": ref, "hyp": hyp}) + "\n")
     if args.json:
         print(json.dumps(summary))
     else:
