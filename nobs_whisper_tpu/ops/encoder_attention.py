@@ -205,10 +205,22 @@ def _make_scores(q_get, k2, lane_lo, key_pad, scale, block_q,
     """Build the per-q-block scores(jb) -> (s0, s1) closure shared by
     the flat and fused kernels. ``q_get(jb)`` returns the jb-th
     (block_q, 128) f32 pre-scale q block (from an operand ref or an
-    in-kernel projection); ``k2`` is the (T, 128) bf16 k tile."""
+    in-kernel projection); ``k2`` is the (T, 128) bf16 k tile.
+
+    NWT_ATTN_S1=1 (trace-time, like every kernel knob — docs/KNOBS.md)
+    swaps the two masked-q dots for ONE (bq, 128) x (128, 2T) dot
+    against a lane-split K copy (rows 0..T-1 = head-0 lanes of k2,
+    rows T.. = head-1 lanes): each output column contracts only its
+    own head's lanes, so no q masking is needed at all. Same MXU MACs
+    (the 2x dh=64-in-128 lane cost is structural for separated heads
+    in bf16 — see the round-4 accounting in docs/ROADMAP.md), but one
+    dot issue instead of two and two fewer (bq, 128) VPU mask passes
+    per block. bf16 path only; ignored under int8 scores."""
+    import os
     dims = (((1,), (1,)), ((), ()))                # contract lanes
     neg = jnp.float32(-1e30)
     zero = jnp.zeros((), jnp.bfloat16)
+    onedot = bool(os.environ.get("NWT_ATTN_S1")) and not int8_scores
 
     if int8_scores:
         kf = k2.astype(jnp.float32)
@@ -244,6 +256,22 @@ def _make_scores(q_get, k2, lane_lo, key_pad, scale, block_q,
                 out.append(jnp.where(key_pad, neg, s)
                            if key_pad is not None else s)
             return tuple(out)
+    elif onedot:
+        zb = jnp.zeros((), k2.dtype)
+        k_cat = jnp.concatenate([jnp.where(lane_lo, k2, zb),
+                                 jnp.where(lane_lo, zb, k2)],
+                                axis=0)            # (2T, 128)
+
+        def scores(jb):
+            qj = (q_get(jb) * scale).astype(jnp.bfloat16)   # (bq, 128)
+            s = jax.lax.dot_general(qj, k_cat, dims,
+                                    preferred_element_type=jnp.float32)
+            s0 = s[:, :t]
+            s1 = s[:, t:]
+            if key_pad is not None:
+                s0 = jnp.where(key_pad, neg, s0)
+                s1 = jnp.where(key_pad, neg, s1)
+            return s0, s1
     else:
         def scores(jb):
             qj = (q_get(jb) * scale).astype(jnp.bfloat16)   # (bq, 128)
@@ -263,8 +291,17 @@ def _make_scores(q_get, k2, lane_lo, key_pad, scale, block_q,
 
 def _make_pv(v2, lane_lo, n_real, t, int8_pv):
     """Build pv(s01) -> lane-merged normalized (bq, 128) f32 output for
-    the fused kernels. ``v2``: (T, 128) bf16."""
+    the fused kernels. ``v2``: (T, 128) bf16.
+
+    NWT_ATTN_PV1=1 (trace-time): ONE block-diagonal (bq, 2T) x (2T, 128)
+    dot instead of two full-V dots — the concatenated probs multiply a
+    lane-split V copy whose zero blocks kill the cross-head terms, so
+    the lane select disappears (each head's lanes are exact) and one
+    dot issue replaces two. Same MXU MACs (see _make_scores). bf16
+    path only; ignored under int8 probs@V."""
+    import os
     mm = (((1,), (0,)), ((), ()))                  # plain matmul
+    onedot = bool(os.environ.get("NWT_ATTN_PV1")) and not int8_pv
 
     if int8_pv:
         vf = v2.astype(jnp.float32)
@@ -298,6 +335,23 @@ def _make_pv(v2, lane_lo, n_real, t, int8_pv):
                     pq, vq, mm, preferred_element_type=jnp.int32)
                 o01.append(o.astype(jnp.float32) / lq)
             return jnp.where(lane_lo, o01[0], o01[1]) * sv_lane
+    elif onedot:
+        zb = jnp.zeros((), v2.dtype)
+        v_cat = jnp.concatenate([jnp.where(lane_lo, v2, zb),
+                                 jnp.where(lane_lo, zb, v2)],
+                                axis=0)            # (2T, 128)
+
+        def pv(s01):
+            ps, ls = [], []
+            for s in s01:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                ps.append(p)
+                ls.append(jnp.sum(p, axis=-1, keepdims=True))
+            p_cat = jnp.concatenate(ps, axis=1)    # (bq, 2T)
+            o = jnp.dot(p_cat.astype(jnp.bfloat16), v_cat,
+                        preferred_element_type=jnp.float32)  # (bq, 128)
+            return o / jnp.where(lane_lo, ls[0], ls[1])
     else:
         def pv(s01):
             o01 = []

@@ -40,7 +40,7 @@ OUT = os.path.join(REPO, "scripts",
 # every knob any config touches: cleared before each config is applied
 MATRIX_KNOBS = ("NWT_ATTN_FUSED", "NWT_STEM_FUSED", "NWT_ATTN_I8",
                 "NWT_ATTN_I8PV", "NWT_ATTN_BQ", "NWT_MLP_BM",
-                "NWT_MLP_BF")
+                "NWT_MLP_BF", "NWT_ATTN_S1", "NWT_ATTN_PV1")
 
 KERNEL_CONFIGS = [
     # NB env={} measures the CODE DEFAULTS, which moved on 2026-08-19
@@ -86,6 +86,24 @@ KERNEL_CONFIGS = [
     ("bench_attn_i8pv", {"NWT_ATTN_I8PV": "1"}),
     ("bench_attn_i8_both", {"NWT_ATTN_I8": "1", "NWT_ATTN_I8PV": "1"}),
     ("bench_attn_fused_o_i8", {"NWT_ATTN_FUSED": "2", "NWT_ATTN_I8": "1"}),
+    # round-4: the last measured encoder headroom (VERDICT item 1).
+    # (a) int8 scores/PV re-swept INSIDE the FUSED=1 default — the
+    # session-5 i8 rejects predate the fused default flip, and int8's
+    # 2x MXU rate is the only lever against the structural 2x
+    # dh=64-in-128 lane cost of separated heads (accuracy-priced:
+    # excluded from auto-selection pending the real-weight gate);
+    # (b) the new one-dot lane-split formulations (NWT_ATTN_S1/_PV1):
+    # same MACs, fewer dot issues + fewer VPU mask passes — exact,
+    # so adoptable on speed alone if they win.
+    ("r4_attn1_i8", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1"}),
+    ("r4_attn1_i8pv", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8PV": "1"}),
+    ("r4_attn1_i8_both", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1",
+                          "NWT_ATTN_I8PV": "1"}),
+    ("r4_attn1_s1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_S1": "1"}),
+    ("r4_attn1_pv1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_PV1": "1"}),
+    ("r4_attn1_s1_pv1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_S1": "1",
+                         "NWT_ATTN_PV1": "1"}),
+    ("r4_headline_confirm", {}),
 ]
 
 SPEC_CONFIGS = [  # (name, k, pool, env)

@@ -285,3 +285,55 @@ def test_fused_o_many_pairs_accumulation():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+# --------------------------------------------------------------------------
+# round-4 one-dot lane-split variants (NWT_ATTN_S1 / NWT_ATTN_PV1)
+
+@pytest.mark.parametrize("knobs", [
+    {"NWT_ATTN_S1": "1"},
+    {"NWT_ATTN_PV1": "1"},
+    {"NWT_ATTN_S1": "1", "NWT_ATTN_PV1": "1"},
+])
+@pytest.mark.parametrize("n_real", [256, 119])
+def test_btd_onedot_variants_match_reference(knobs, n_real, monkeypatch):
+    """The single-dot lane-split score/PV formulations are exact
+    reformulations (zero blocks kill cross-head terms) — bf16-tolerance
+    parity with the per-head reference, padding included."""
+    b, h, t, dh = 2, 4, 256, 64
+    q, k, v = _qkv(b, h, t, dh, seed=11)
+    sm = float(dh) ** -0.5
+    for env, val in knobs.items():
+        monkeypatch.setenv(env, val)
+
+    def flat(z):
+        return jnp.swapaxes(z, 1, 2).reshape(b, t, h * dh)
+
+    got = encoder_attention_btd(flat(q), flat(k), flat(v), n_real, sm,
+                                h, block_q=128, interpret=True)
+    ref = flat(encoder_attention_reference(q, k, v, n_real, sm))
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_real], np.float32),
+        np.asarray(ref[:, :n_real], np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_fused_qkv_onedot_matches_unfused_path(monkeypatch):
+    """Both one-dot knobs inside the fused LN+QKV kernel."""
+    monkeypatch.setenv("NWT_ATTN_S1", "1")
+    monkeypatch.setenv("NWT_ATTN_PV1", "1")
+    b, h, t, d = 2, 4, 256, 256
+    x, ln_g, ln_b, wq, bq, wk, wv, bv = _fused_setup(b, h, t, d, seed=12)
+    sm = float(d // h) ** -0.5
+    got = encoder_attention_fused_qkv(x, ln_g, ln_b, wq, bq, wk, wv, bv,
+                                      256, sm, h, block_q=128,
+                                      interpret=True)
+    # reference computed with the knobs CLEARED (the default two-dot
+    # path) — the variants must be numerically equivalent formulations
+    monkeypatch.delenv("NWT_ATTN_S1")
+    monkeypatch.delenv("NWT_ATTN_PV1")
+    ref = _fused_reference(x, ln_g, ln_b, wq, bq, wk, wv, bv, 256,
+                           sm, h, block_q=128)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
