@@ -104,6 +104,14 @@ KERNEL_CONFIGS = [
     ("r4_attn1_s1_pv1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_S1": "1",
                          "NWT_ATTN_PV1": "1"}),
     ("r4_headline_confirm", {}),
+    # composition probe: i8 scores (the +2% winner) + one-dot PV
+    ("r4_attn1_i8_pv1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1",
+                         "NWT_ATTN_PV1": "1"}),
+    # second readings for the default decision (run with --force)
+    ("r4_confirm2_headline", {}),
+    ("r4_confirm2_s1_pv1", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_S1": "1",
+                            "NWT_ATTN_PV1": "1"}),
+    ("r4_confirm2_i8", {"NWT_ATTN_FUSED": "1", "NWT_ATTN_I8": "1"}),
 ]
 
 SPEC_CONFIGS = [  # (name, k, pool, env)
