@@ -209,9 +209,31 @@ def beam_decode_window_jit(
         max_ts = jnp.take_along_axis(s["max_ts"], src, axis=1)
         max_ts = jnp.where(tok >= tb, jnp.maximum(max_ts, tok), max_ts)
 
-        # cache reorder: gather along the flattened beam axis
+        # cache reorder along the flattened beam axis. A permutation is
+        # also a matmul with a one-hot matrix — and on this TPU the
+        # whole-cache gather runs at ~119 GB/s effective while the
+        # (BK, BK) one-hot contraction rides the MXU at ~330 GB/s
+        # (scripts/beam_reorder_probe.py, round 4: 2.31 -> 0.84 ms per
+        # application on the beam5 B=8 turbo cache — the reorder was
+        # ~45% of the measured 5.16 ms step). Exact: each output row is
+        # 1.0 * one source row accumulated in f32, so values round-trip
+        # bit-identically in both bf16 and f32 caches (test_beam pins
+        # token equality). NWT_BEAM_GATHER_REORDER=1 reverts (trace
+        # time, like every knob — docs/KNOBS.md).
+        import os
         flat_src = (jnp.arange(b)[:, None] * k + src).reshape(bk)
-        cache = jax.tree.map(lambda t: t[:, flat_src], s["cache"])
+        if os.environ.get("NWT_BEAM_GATHER_REORDER"):
+            cache = jax.tree.map(lambda t: t[:, flat_src], s["cache"])
+        else:
+            def perm(t):
+                onehot = jax.nn.one_hot(flat_src, bk, dtype=t.dtype)
+                moved = jnp.moveaxis(t, 1, -1)            # (..., BK)
+                out = jax.lax.dot_general(
+                    moved, onehot,
+                    (((moved.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return jnp.moveaxis(out.astype(t.dtype), -1, 1)
+            cache = jax.tree.map(perm, s["cache"])
 
         logits_next, cache = decoder_forward(
             params, tok.reshape(bk, 1), p_max + step, pad_rep, cache,
