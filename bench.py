@@ -308,8 +308,35 @@ def main():
             t0 = time.perf_counter()
             np.asarray(p_lat())
             lats.append(time.perf_counter() - t0)
+        # dispatch pedestal: this box's remote-dispatch + transfer
+        # overhead (~27.5 ms when healthy) rides on EVERY p50 sample and
+        # swings with tunnel health, making raw p50 incomparable across
+        # sessions (ROADMAP r3: 85.9..137.9 ms for identical code).
+        # Measure it alongside by timing a near-empty device program
+        # with the same dispatch+tiny-transfer pattern, and report
+        # {p50, pedestal, p50_net} so any two runs can be compared on
+        # p50_net without tunnel-health archaeology.
+        import jax as _jax
+
+        @_jax.jit
+        def _pedestal_prog(x):
+            return x + 1.0
+
+        np.asarray(_pedestal_prog(jnp.float32(0.0)))
+        peds = []
+        for _ in range(max(args.repeats * 3, 5)):
+            t0 = time.perf_counter()
+            np.asarray(_pedestal_prog(jnp.float32(0.0)))
+            peds.append(time.perf_counter() - t0)
+        p50 = float(np.median(lats)) * 1000
+        ped = float(np.median(peds)) * 1000
         print(f"# p50 utterance latency (5s audio, 48 tokens, batch 1, "
-              f"serving loop): {float(np.median(lats)) * 1000:.1f} ms",
+              f"serving loop): {p50:.1f} ms "
+              f"(dispatch pedestal {ped:.1f} ms, p50_net {p50 - ped:.1f} "
+              f"ms)", file=sys.stderr)
+        print(json.dumps({"latency_ms": {"p50": round(p50, 1),
+                                         "pedestal": round(ped, 1),
+                                         "p50_net": round(p50 - ped, 1)}}),
               file=sys.stderr)
 
     audio_seconds = b * 30.0
