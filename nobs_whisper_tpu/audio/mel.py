@@ -265,14 +265,27 @@ def frame_window_np(audio: np.ndarray,
 
 
 def log_mel_from_frames(frames: jnp.ndarray,
-                        n_mels: int = 80) -> jnp.ndarray:
+                        n_mels: int = 80,
+                        n_frames: Optional[int] = None) -> jnp.ndarray:
     """(B, N_FRAMES, N_FFT) pre-framed windows -> (B, n_mels, N_FRAMES)
     normalized log-mel. Jit-inlinable device half of the framed fast path;
     numerically identical to ``log_mel_longform``'s first window for
     <=30 s chunks (the zero-pad frames sit at the log floor, so the
     per-window max equals the longform global max). Shares the DFT core
     with the longform path (:func:`_log10_mel_windows`) and adds only
-    the per-window clamp/normalize."""
+    the per-window clamp/normalize.
+
+    ``n_frames``: target frame count; inputs with FEWER rows are
+    zero-padded on device before the DFT. Bit-identical to host-padded
+    full windows (frame_window_np's right tail is exactly zero), and the
+    reason callers may transfer only a bucketed real-frame prefix — this
+    box's TPU client LEAKS host RSS on every transfer
+    (scripts/transfer_leak_probe.py), and short session chunks were
+    paying a full 4.8 MB padded-window transfer each."""
+    if n_frames is not None and frames.shape[-2] < n_frames:
+        pad = [(0, 0)] * frames.ndim
+        pad[-2] = (0, n_frames - frames.shape[-2])
+        frames = jnp.pad(frames, pad)
     log_spec = _log10_mel_windows(frames, n_mels)     # (B, n_mels, T)
     mx = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, mx - 8.0)
@@ -280,7 +293,21 @@ def log_mel_from_frames(frames: jnp.ndarray,
 
 
 log_mel_from_frames_jit = jax.jit(log_mel_from_frames,
-                                  static_argnames=("n_mels",))
+                                  static_argnames=("n_mels", "n_frames"))
+
+
+def n_real_frames(n_samples: int, n_frames: int = N_FRAMES) -> int:
+    """Number of leading :func:`frame_window_np` rows that can be
+    nonzero for an ``n_samples`` chunk; every later row is exactly zero
+    (the right tail is zero padding), so only this prefix needs to
+    cross host->device — the jitted programs zero-pad back on device
+    (``log_mel_from_frames(n_frames=...)``), bit-identically. Transfer
+    reduction matters twice on this box: smaller per-chunk dispatches,
+    and the TPU client's per-transfer host-RSS leak
+    (scripts/transfer_leak_probe.py) scales with transferred bytes."""
+    pad = N_FFT // 2
+    n = min(max(n_samples, pad + 1), (n_frames - 1) * HOP_LENGTH + N_FFT)
+    return int(min(n_frames, (pad + n - 1) // HOP_LENGTH + 2))
 
 
 def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:

@@ -163,8 +163,12 @@ class BatchedEngine:
         # mel -> encode -> decode — no per-chunk jitted-mel dispatch.
         # frame_window_np + log_mel_from_frames reproduce
         # log_mel_longform's first window exactly (test_mel.py).
-        from ..audio.mel import frame_window_np
+        from ..audio.mel import frame_window_np, n_real_frames
         frames = frame_window_np(audio, n_frames=window_frames)
+        # transfer only the real-frame prefix (rows past the audio tail
+        # are exactly zero); the batcher buckets the batch to a common
+        # length and the device program zero-pads back bit-identically
+        frames = frames[: n_real_frames(len(audio), window_frames)]
 
         lang = language if language not in (None, "auto") else None
         prompt: List[int] = []

@@ -159,6 +159,10 @@ class WindowBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self.batch_sizes: List[int] = []    # observability
+        # host->device bytes dispatched (audio/mel payloads): /stats
+        # observability, and the denominator for judging this box's
+        # per-transfer platform RSS leak (scripts/transfer_leak_probe.py)
+        self.transferred_bytes: int = 0
         self.spec_stats: List[tuple] = []   # (passes, rows, emitted)
         self._thread.start()
 
@@ -244,10 +248,16 @@ class WindowBatcher:
                 break
             for n in todo:
                 for prompt, lang_slot in variants:
-                    futs = [self.submit(None, prompt, lang_slot=lang_slot,
-                                        frames=frames) for _ in range(n)]
-                    for f in futs:
-                        f.result(timeout=timeout_s)
+                    # warm both frame buckets live traffic produces: the
+                    # full window AND the short-chunk 512 bucket
+                    # (submitters send real-frame prefixes; see
+                    # _dispatch's pad_rows)
+                    for fr in (frames, frames[:512]):
+                        futs = [self.submit(None, prompt,
+                                            lang_slot=lang_slot,
+                                            frames=fr) for _ in range(n)]
+                        for f in futs:
+                            f.result(timeout=timeout_s)
         log.info("batcher warmup compiled sizes %s", sizes)
         return sizes
 
@@ -397,17 +407,42 @@ class WindowBatcher:
         # heterogeneous callers share one batcher) degrades to the mel
         # path: framed rows get their mel from one jitted call here
         all_frames = all(r.frames is not None for r in batch)
+
+        def pad_rows(fr_rows):
+            """Submitters send only the real-frame prefix (rows past the
+            audio tail are exactly zero — audio/mel.py::n_real_frames);
+            pad the batch to a common 512-frame bucket so jit sees a few
+            static shapes, and let the device program zero-pad back to
+            the full window bit-identically. Transferred (= platform-
+            leaked, scripts/transfer_leak_probe.py) bytes drop ~6-10x
+            for short session chunks."""
+            nf_full = 2 * self.cfg.n_audio_ctx
+            n_real = max(r.shape[0] for r in fr_rows)
+            bucket = min(nf_full, -(-max(n_real, 512) // 512) * 512)
+            return [r if r.shape[0] == bucket else
+                    (r[:bucket] if r.shape[0] > bucket else
+                     np.concatenate(
+                         [r, np.zeros((bucket - r.shape[0], r.shape[1]),
+                                      np.float32)]))
+                    for r in fr_rows]
+
         if not all_frames and any(r.frames is not None for r in batch):
+            # a batch mixing framed and mel requests (heterogeneous
+            # callers sharing one batcher) degrades to the mel path:
+            # framed rows get their mel from one jitted call here
             from ..audio.mel import log_mel_from_frames_jit
-            mixed = np.stack([r.frames for r in batch
-                              if r.frames is not None])
+            mixed = np.stack(pad_rows([r.frames for r in batch
+                                       if r.frames is not None]))
             mixed_mels = iter(np.asarray(log_mel_from_frames_jit(
-                jnp.asarray(mixed), n_mels=self.cfg.n_mels)))
+                jnp.asarray(mixed), n_mels=self.cfg.n_mels,
+                n_frames=2 * self.cfg.n_audio_ctx)))
             for r in batch:
                 if r.frames is not None:
                     r.mel = next(mixed_mels)
 
         rows = [(r.frames if all_frames else r.mel) for r in batch]
+        if all_frames:
+            rows = pad_rows(rows)
         prompts = [list(r.prompt) for r in batch]
         temps = [r.temperature for r in batch]
         while len(rows) < padded_n:       # replicate a real row
@@ -417,6 +452,7 @@ class WindowBatcher:
         self.batch_sizes.append(n)
 
         stacked = np.stack(rows)
+        self.transferred_bytes += stacked.nbytes
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
             stacked = jax.device_put(stacked, batch_sharding(self.mesh))

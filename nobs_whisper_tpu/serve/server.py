@@ -266,6 +266,13 @@ def make_handler(state: ServerState):
                         "max_batch": max(sizes, default=0),
                         "watchdog_trips": getattr(batcher,
                                                   "watchdog_trips", 0),
+                        # host->device payload bytes since start: on
+                        # this box the TPU client leaks ~this much host
+                        # RSS (scripts/transfer_leak_probe.py), so the
+                        # gauge is the restart-planning input
+                        "transferred_mb": round(
+                            getattr(batcher, "transferred_bytes", 0)
+                            / 1e6, 1),
                     }
                     sp = getattr(batcher, "spec_stats", [])[-100:]
                     if sp:

@@ -94,3 +94,71 @@ def test_framed_fast_path_matches_longform_window():
         got = np.asarray(log_mel_from_frames(
             jnp.asarray(frames)[None], n_mels=80))[0]
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_real_frame_prefix_is_exact():
+    """Rows past n_real_frames are exactly zero for any chunk length,
+    and device-padding the prefix back (log_mel_from_frames n_frames=)
+    is bit-identical to the full host-padded window — the contract the
+    bucketed transfer path (pipeline/batcher.py pad_rows) rests on."""
+    import numpy as np
+
+    from nobs_whisper_tpu.audio.mel import (frame_window_np,
+                                            log_mel_from_frames,
+                                            n_real_frames)
+
+    rng = np.random.default_rng(3)
+    for secs in (0.05, 0.4, 3.0, 12.7, 29.99, 30.0):
+        n = int(16000 * secs)
+        audio = rng.standard_normal(n).astype(np.float32) * 0.1
+        frames = frame_window_np(audio)
+        k = n_real_frames(n)
+        assert not np.any(frames[k:]), secs      # tail exactly zero
+        full = np.asarray(log_mel_from_frames(frames[None]))
+        # simulate the batcher: 512-bucketed prefix, device pad-back
+        bucket = min(frames.shape[0], -(-max(k, 512) // 512) * 512)
+        pre = np.asarray(log_mel_from_frames(
+            frames[None, :bucket], n_frames=frames.shape[0]))
+        np.testing.assert_array_equal(full, pre)
+
+
+def test_batched_engine_prefix_transfer_token_exact():
+    """The end-to-end serving fast path emits identical transcripts for
+    a short chunk whether frames cross as the full padded window or as
+    the real-frame prefix (the production path)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from nobs_whisper_tpu.api import WhisperEngine
+    from nobs_whisper_tpu.decode.rules import DecodeOptions
+    from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
+    from nobs_whisper_tpu.utils.testing import (sine_audio,
+                                                write_tiny_checkpoint)
+    import tempfile
+    import os
+
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "m.bin")
+    write_tiny_checkpoint(p)
+    eng = WhisperEngine.from_ggml(p, dtype=jnp.float32)
+    opts = DecodeOptions(temperature_increment=0.0, sample_len=12)
+    audio = np.asarray(sine_audio(1.3), np.float32)
+
+    from nobs_whisper_tpu.audio.mel import frame_window_np, n_real_frames
+    wf = 2 * eng.cfg.n_audio_ctx
+    frames_full = frame_window_np(audio, n_frames=wf)
+    frames_pre = frames_full[: n_real_frames(len(audio), wf)]
+    prompt = list(eng.tokenizer.sot_sequence(language="en",
+                                             task="transcribe"))
+    be = BatchedEngine(eng, opts=opts, max_batch=2)
+    try:
+        res_full = be.batcher.submit(
+            None, prompt, temperature=0.0,
+            frames=frames_full).result(timeout=600)
+        res_pre = be.batcher.submit(
+            None, prompt, temperature=0.0,
+            frames=frames_pre).result(timeout=600)
+    finally:
+        be.close()
+    assert list(res_full.tokens) == list(res_pre.tokens)
