@@ -44,3 +44,19 @@ def _jax_cache_guard(request):
         jax.clear_caches()
     _last_module[0] = mod
     yield
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured-slow tests (tests/slow_tests.txt) so the dev
+    loop can run `-m "not slow"` in minutes while CI and end-of-round
+    runs stay full. The list is duration-data, not judgment — see the
+    file header for how to regenerate."""
+    slow_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "slow_tests.txt")
+    with open(slow_file) as f:
+        slow = {ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")}
+    for item in items:
+        name = item.nodeid.split("/")[-1]
+        if name in slow:
+            item.add_marker(pytest.mark.slow)
