@@ -172,6 +172,19 @@ def _default_batch(model: Optional[str]) -> int:
     return 40
 
 
+def _default_beam_batch(model: Optional[str], beam_size: int) -> int:
+    """Beam-strategy batch knee: the flattened row count (batch x beam)
+    is what the decode loop scales with, and its measured budget is
+    ~120 rows (turbo beam5 sweep, round 4: B=8/16/20/24/32 ->
+    299/337/521/578/419x — knee B=24 = BK 120, HBM-pressure cliff past
+    it). large-v3 measured at the same budget (ROADMAP round-4).
+    Clamped to the greedy knee (beam can never batch MORE windows than
+    greedy fits). Without this, a beam_size=5 server config batched at
+    the greedy knee (BK=200 at turbo) — past both the knee and the
+    HBM cliff."""
+    return max(1, min(_default_batch(model), 120 // max(beam_size, 1)))
+
+
 def cmd_serve(args):
     from .serve.config import ConfigManager
     from .serve.server import serve
@@ -196,8 +209,11 @@ def cmd_serve(args):
             # serving default = the benchmarked config: int8 decoder
             # weights + dynamic-int8 encoder on the int8 MXU
             engine = engine.quantize()
-        batch = explicit_batch or _default_batch(
-            model_id or cm.config.selected_model)
+        mid = model_id or cm.config.selected_model
+        beam_k = cm.config.beam_size or 1
+        batch = explicit_batch or (
+            _default_beam_batch(mid, beam_k) if beam_k > 1
+            else _default_batch(mid))
         if mesh is not None:
             # the batcher requires max_batch % dp == 0; round the
             # (possibly default) batch down to a dp multiple rather than

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     beam_size = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    model = sys.argv[3] if len(sys.argv) > 3 else "large-v3-turbo"
     n_steps = 160
 
     import jax
@@ -41,7 +42,7 @@ def main():
                                             quantize_encoder_params)
     from nobs_whisper_tpu.utils.testing import speech_like_audio
 
-    cfg = get_config("large-v3-turbo")
+    cfg = get_config(model)
     dtype = jnp.bfloat16
     params = quantize_encoder_params(quantize_decoder_params(
         init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)))
@@ -85,7 +86,7 @@ def main():
         ts.append(time.perf_counter() - t0)
     med = sorted(ts)[len(ts) // 2]
     rtf = batch * 30.0 / med
-    print(f"beam{beam_size} B={batch} turbo int8/bf16: "
+    print(f"beam{beam_size} B={batch} {model} int8/bf16: "
           f"{med:.3f} s/batch = {rtf:.1f}x RTF "
           f"({med / n_steps * 1e3:.2f} ms/step)")
 

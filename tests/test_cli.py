@@ -171,6 +171,49 @@ def test_default_batch_per_model():
     assert _default_batch("/data/smallville/ggml-large-v3.bin") == 24
 
 
+def test_default_beam_batch():
+    """A beam-configured server batches at the beam knee (~120 flattened
+    rows, round-4 sweep), not the greedy knee — greedy-knee batching at
+    beam5 meant BK=200 on turbo, past the measured HBM cliff."""
+    from nobs_whisper_tpu.cli import _default_beam_batch
+    assert _default_beam_batch("large-v3-turbo", 5) == 24
+    assert _default_beam_batch("large-v3", 5) == 24
+    assert _default_beam_batch("small", 5) == 24
+    assert _default_beam_batch("large-v3-turbo", 2) == 40  # greedy cap
+    assert _default_beam_batch("tiny", 10) == 12
+    assert _default_beam_batch(None, 200) == 1
+
+
+def test_cmd_serve_uses_beam_knee(tmp_path, monkeypatch):
+    """cmd_serve's auto batch routes through the beam knee when the
+    persisted config selects a beam strategy."""
+    import argparse
+
+    from nobs_whisper_tpu import cli as climod
+    from nobs_whisper_tpu.serve.config import ConfigManager
+
+    monkeypatch.setenv("NOBS_WHISPER_TPU_HOME", str(tmp_path))
+    ConfigManager().update(beam_size=5)
+    seen = {}
+
+    def fake_default_beam(mid, k):
+        seen["args"] = (mid, k)
+        return 1          # batch<=1 -> sequential mode, no engine build
+
+    monkeypatch.setattr(climod, "_default_beam_batch", fake_default_beam)
+    monkeypatch.setattr(
+        climod, "_load_engine",
+        lambda *a, **kw: type("E", (), {"quantize": lambda s: s})())
+    monkeypatch.setattr("nobs_whisper_tpu.serve.server.serve",
+                        lambda *a, **kw: None)
+    args = argparse.Namespace(
+        model="large-v3-turbo", host="127.0.0.1", port=0, batch=0,
+        mesh=None, dtype="float32", quant="none", warmup=False,
+        speculative=0, draft_pool=None, draft_model=None, audio_ctx=0)
+    climod.cmd_serve(args)
+    assert seen["args"] == ("large-v3-turbo", 5)
+
+
 def test_cli_transcribe_multi_file_batched(wav_and_model, tmp_path):
     """transcribe f1 f2 --batch 2: both files through one shared window
     batcher; per-file JSON records match the sequential single-file
