@@ -292,10 +292,16 @@ def main():
         else:
             def p_lat():
                 # the serving fast path end to end: host framing (the
-                # session's strided memcpy) + ONE fused device program
-                fr = frame_window_np(ut_audio) if lat_frames is None \
-                    else frame_window_np(ut_audio, n_frames=lat_frames)
-                fr = jnp.asarray(fr[None])
+                # session's strided memcpy) + ONE fused device program.
+                # Like production (pipeline/batcher.py pad_rows), only
+                # the bucketed real-frame prefix crosses the tunnel; the
+                # program zero-pads back on device (bit-identical)
+                from nobs_whisper_tpu.audio.mel import n_real_frames
+                nf = lat_frames or (2 * lat_cfg.n_audio_ctx)
+                fr = frame_window_np(ut_audio, n_frames=nf)
+                k = n_real_frames(len(ut_audio), nf)
+                bucket = min(nf, -(-max(k, 512) // 512) * 512)
+                fr = jnp.asarray(fr[None, :bucket])
                 _, _, slp, _ = frames_encode_decode_window_jit(
                     params, fr, pt1, pl1, si1, tables,
                     jnp.zeros((1,), jnp.float32), rng, lat_cfg, 48, dtype,
