@@ -310,6 +310,11 @@ def main(argv=None):
     p.add_argument("--language", default="en")
     p.add_argument("--audio-ctx-sweep", type=int, nargs="+",
                    default=[1000, 750])
+    p.add_argument("--spec-sweep", default=None, metavar="K:P,K:P",
+                   help="override the speculative (k, pool) grid, e.g. "
+                        "'3:8,3:32' (default: "
+                        + ",".join(f"{k}:{p_}" for k, p_ in SPEC_SWEEP)
+                        + ")")
     p.add_argument("--stages", default=",".join(STAGES),
                    help=f"comma list of {STAGES}")
     p.add_argument("--platform", default=None,
@@ -320,6 +325,10 @@ def main(argv=None):
     p.add_argument("--out", default="GATE.json")
     args = p.parse_args(argv)
 
+    if args.spec_sweep:
+        global SPEC_SWEEP
+        SPEC_SWEEP = [tuple(int(x) for x in kp.split(":"))
+                      for kp in args.spec_sweep.split(",") if kp]
     work = Path(args.work or (args.out + ".work"))
     work.mkdir(parents=True, exist_ok=True)
     wanted = [s for s in args.stages.split(",") if s]
