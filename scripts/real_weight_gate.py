@@ -292,6 +292,7 @@ STAGES = ["download", "baseline", "parity", "spec", "int8_attn",
 
 
 def main(argv=None):
+    global SPEC_SWEEP
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("corpus", help="LibriSpeech-layout directory "
@@ -326,7 +327,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.spec_sweep:
-        global SPEC_SWEEP
         SPEC_SWEEP = [tuple(int(x) for x in kp.split(":"))
                       for kp in args.spec_sweep.split(",") if kp]
     work = Path(args.work or (args.out + ".work"))
