@@ -289,7 +289,8 @@ def frames_encode_decode_window_impl(
     its ~27 ms tunnel round trip + host hop) disappears."""
     from ..audio.mel import log_mel_from_frames
     from ..models.whisper import encode
-    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels,
+                              n_frames=2 * cfg.n_audio_ctx)
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
     return decode_window_impl(params, xa, prompt_tokens, pad_lens, sot_idx,
                               tables, temperature, rng, cfg, sample_len,
@@ -473,7 +474,8 @@ def frames_encode_detect_impl(params, frames, cfg: WhisperConfig,
     stays on device and feeds decode_window_dispatch."""
     from ..audio.mel import log_mel_from_frames
     from ..models.whisper import encode
-    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels,
+                              n_frames=2 * cfg.n_audio_ctx)
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
     lang_idx, lang_probs = _detect_language(params, xa, cfg, compute_dtype)
     return xa, lang_idx, lang_probs
@@ -492,7 +494,8 @@ def frames_encode_impl(params, frames, cfg: WhisperConfig,
     detect forward would be pure waste (review finding round 3)."""
     from ..audio.mel import log_mel_from_frames
     from ..models.whisper import encode
-    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels,
+                              n_frames=2 * cfg.n_audio_ctx)
     return encode(params, mel, cfg, compute_dtype=compute_dtype)
 
 

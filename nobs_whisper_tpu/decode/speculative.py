@@ -401,7 +401,8 @@ def frames_encode_decode_speculative_impl(
     program (one tunnel dispatch per batch)."""
     from ..audio.mel import log_mel_from_frames
     from ..models.whisper import encode
-    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels)
+    mel = log_mel_from_frames(frames, n_mels=cfg.n_mels,
+                              n_frames=2 * cfg.n_audio_ctx)
     xa = encode(params, mel, cfg, compute_dtype=compute_dtype)
     return decode_window_speculative_impl(
         params, draft_params, xa, prompt_tokens, pad_lens, sot_idx,
