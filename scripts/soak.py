@@ -67,6 +67,10 @@ def main():
     p.add_argument("--speculative", type=int, default=2,
                    help="K for the odd-swap speculative engines "
                         "(0 disables the toggle)")
+    p.add_argument("--beam-size", type=int, default=0,
+                   help="soak the BEAM serving path (batcher beam "
+                        "routing) instead of greedy; disables the "
+                        "speculative toggle (greedy-only)")
     p.add_argument("--rss-slope-pct", type=float, default=10.0)
     p.add_argument("--platform-leak-factor", type=float, default=1.7,
                    help="rss growth up to this x the counted "
@@ -111,7 +115,11 @@ def main():
     # random weights never emit EOT and fail every quality gate: cap
     # decode length and disable the fallback ladder so a cycle is
     # seconds, like a real utterance, not 6x n_text_ctx//2 steps
-    opts = DecodeOptions(temperature_increment=0.0, sample_len=16)
+    opts = DecodeOptions(
+        temperature_increment=0.0, sample_len=16,
+        beam_size=args.beam_size if args.beam_size > 1 else None)
+    if args.beam_size > 1:
+        args.speculative = 0          # beam path is greedy-spec-free
     swap_count = [0]
 
     def factory(model_id: str):
