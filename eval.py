@@ -104,6 +104,14 @@ def main():
         print("--speculative needs --batch > 1 (the batched serving "
               "path); ignoring", file=sys.stderr)
         args.speculative = 0
+    if args.speculative and args.beam_size > 1:
+        # the beam path routes around the speculative programs; without
+        # this guard the summary would report a fabricated
+        # speculative_emitted_per_pass of 0.0 next to beam numbers
+        print("--speculative applies to greedy only; the --beam-size "
+              "run routes through the beam path — ignoring",
+              file=sys.stderr)
+        args.speculative = 0
 
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,

@@ -378,7 +378,17 @@ def read_ggml(path: str) -> GGMLCheckpoint:
             raise ValueError(f"GGML: negative tensor dim in {ne}")
         name = bytes(take(name_len, "tensor name")).decode(
             "utf-8", errors="replace")
-        n_elems = int(np.prod(ne, dtype=np.int64))
+        # Python-int product: an int64 np.prod silently WRAPS for
+        # hostile near-2^31 dims, which could alias a huge tensor to a
+        # small plausible byte count and land the cursor mid-stream
+        n_elems = 1
+        for d in ne:
+            n_elems *= d
+        if n_elems > 2 * size:
+            # even the densest packing (q4_0: 32 elems / 18 bytes) fits
+            # under 2 elements per file byte
+            raise ValueError(
+                f"GGML: implausible tensor size {n_elems} for {name!r}")
         nbytes = _tensor_nbytes(ttype, n_elems)
         raw = take(nbytes, f"tensor {name!r}")
         if ttype == GGML_TYPE_F32:

@@ -228,9 +228,20 @@ def beam_decode_window_jit(
             def perm(t):
                 onehot = jax.nn.one_hot(flat_src, bk, dtype=t.dtype)
                 moved = jnp.moveaxis(t, 1, -1)            # (..., BK)
+                # HIGHEST precision for f32 caches: the TPU's default
+                # matmul precision decomposes f32 dots into single bf16
+                # passes, which would round every cache value per step.
+                # Under HIGHEST the bf16-limb products of 1.0 x value
+                # recombine exactly, so the permutation stays
+                # bit-identical; bf16 caches are exact at default
+                # precision (bf16 inputs, f32 accumulation).
+                prec = (jax.lax.Precision.HIGHEST
+                        if t.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT)
                 out = jax.lax.dot_general(
                     moved, onehot,
                     (((moved.ndim - 1,), (1,)), ((), ())),
+                    precision=prec,
                     preferred_element_type=jnp.float32)
                 return jnp.moveaxis(out.astype(t.dtype), -1, 1)
             cache = jax.tree.map(perm, s["cache"])

@@ -166,6 +166,22 @@ class WindowBatcher:
         self.spec_stats: List[tuple] = []   # (passes, rows, emitted)
         self._thread.start()
 
+    def _frame_buckets(self) -> List[int]:
+        """The static frame-row shapes the batcher dispatches: a coarse
+        {512, 1024, 2048, full} ladder (capped at the engine window).
+        Coarse on purpose — every bucket is a separate remote compile
+        per padded batch size, so warmup() warms this exact set and
+        live traffic can never hit an unwarmed frames shape."""
+        nf_full = 2 * self.cfg.n_audio_ctx
+        return sorted({min(b, nf_full) for b in (512, 1024, 2048,
+                                                 nf_full)})
+
+    def _frame_bucket(self, n_real: int) -> int:
+        for b in self._frame_buckets():
+            if n_real <= b:
+                return b
+        return self._frame_buckets()[-1]
+
     # ------------------------------------------------------------------
     def submit(self, mel_window: Optional[np.ndarray], prompt: Sequence[int],
                temperature: float = 0.0,
@@ -248,14 +264,16 @@ class WindowBatcher:
                 break
             for n in todo:
                 for prompt, lang_slot in variants:
-                    # warm both frame buckets live traffic produces: the
-                    # full window AND the short-chunk 512 bucket
-                    # (submitters send real-frame prefixes; see
-                    # _dispatch's pad_rows)
-                    for fr in (frames, frames[:512]):
+                    # warm EVERY frame bucket live traffic can produce
+                    # (submitters send real-frame prefixes that
+                    # _dispatch pads to the _frame_buckets ladder — an
+                    # unwarmed bucket would pay its remote compile
+                    # inside a live request's latency budget)
+                    for b in self._frame_buckets():
                         futs = [self.submit(None, prompt,
                                             lang_slot=lang_slot,
-                                            frames=fr) for _ in range(n)]
+                                            frames=frames[:b])
+                                for _ in range(n)]
                         for f in futs:
                             f.result(timeout=timeout_s)
         log.info("batcher warmup compiled sizes %s", sizes)
@@ -411,20 +429,30 @@ class WindowBatcher:
         def pad_rows(fr_rows):
             """Submitters send only the real-frame prefix (rows past the
             audio tail are exactly zero — audio/mel.py::n_real_frames);
-            pad the batch to a common 512-frame bucket so jit sees a few
-            static shapes, and let the device program zero-pad back to
-            the full window bit-identically. Transferred (= platform-
+            pad the batch to a common bucket so jit sees a few static
+            shapes, and let the device program zero-pad back to the
+            full window bit-identically. Transferred (= platform-
             leaked, scripts/transfer_leak_probe.py) bytes drop ~6-10x
-            for short session chunks."""
-            nf_full = 2 * self.cfg.n_audio_ctx
-            n_real = max(r.shape[0] for r in fr_rows)
-            bucket = min(nf_full, -(-max(n_real, 512) // 512) * 512)
-            return [r if r.shape[0] == bucket else
-                    (r[:bucket] if r.shape[0] > bucket else
-                     np.concatenate(
-                         [r, np.zeros((bucket - r.shape[0], r.shape[1]),
-                                      np.float32)]))
-                    for r in fr_rows]
+            for short session chunks. The bucket set matches
+            _frame_buckets exactly so warmup() can pre-compile every
+            shape live traffic produces."""
+            bucket = self._frame_bucket(max(r.shape[0]
+                                            for r in fr_rows))
+            out = []
+            for r in fr_rows:
+                if r.shape[0] > bucket:
+                    # only possible for rows LONGER than the engine's
+                    # window (e.g. full 3000 frames submitted to an
+                    # audio_ctx-truncated engine) — a caller bug that
+                    # must fail loudly, never silently drop audio
+                    raise ValueError(
+                        f"frames row has {r.shape[0]} rows > the "
+                        f"engine window ({bucket}); frame with "
+                        "n_frames=2*cfg.n_audio_ctx")
+                out.append(r if r.shape[0] == bucket else np.concatenate(
+                    [r, np.zeros((bucket - r.shape[0], r.shape[1]),
+                                 np.float32)]))
+            return out
 
         if not all_frames and any(r.frames is not None for r in batch):
             # a batch mixing framed and mel requests (heterogeneous
@@ -490,8 +518,12 @@ class WindowBatcher:
             else:
                 if all_frames:
                     from ..audio.mel import log_mel_from_frames_jit
-                    mel = log_mel_from_frames_jit(stacked,
-                                                  n_mels=self.cfg.n_mels)
+                    # n_frames pad-back: stacked may be a bucketed
+                    # real-frame prefix (pad_rows), and the custom
+                    # encode_fn expects full-window mel
+                    mel = log_mel_from_frames_jit(
+                        stacked, n_mels=self.cfg.n_mels,
+                        n_frames=2 * self.cfg.n_audio_ctx)
                 else:
                     mel = stacked
                 xa = self._encode(mel)

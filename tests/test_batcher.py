@@ -374,3 +374,29 @@ def test_submit_after_close_raises(engine):
     # park its request in a queue no thread will drain
     with pytest.raises(RuntimeError, match="closed"):
         batcher.submit(None, [0], frames=np.zeros((10, 400), np.float32))
+
+
+def test_frame_buckets_and_oversize_rejection(engine):
+    """The bucket ladder is the warmed shape set; rows longer than the
+    engine window fail loudly instead of silently dropping audio
+    (round-4 review finding)."""
+    import numpy as np
+
+    from nobs_whisper_tpu.pipeline.batcher import WindowBatcher
+    b = WindowBatcher(engine.params, engine.cfg, engine.tokenizer,
+                      max_batch=2)
+    try:
+        nf_full = 2 * engine.cfg.n_audio_ctx
+        assert b._frame_buckets()[-1] == nf_full
+        assert b._frame_bucket(1) == b._frame_buckets()[0]
+        assert b._frame_bucket(nf_full) == nf_full
+        for k in b._frame_buckets():
+            assert b._frame_bucket(k) == k
+        prompt = list(engine.tokenizer.sot_sequence(language="en",
+                                                    task="transcribe"))
+        too_long = np.zeros((nf_full + 8, 400), np.float32)
+        fut = b.submit(None, prompt, frames=too_long)
+        with pytest.raises(Exception, match="engine window"):
+            fut.result(timeout=120)
+    finally:
+        b.close()
