@@ -304,14 +304,37 @@ def cmd_serve(args):
               file=sys.stderr)
         engine = None
     serve(engine, host=args.host, port=args.port, config_manager=cm,
-          engine_factory=build_engine)
+          engine_factory=build_engine,
+          rss_watermark_mb=getattr(args, "rss_watermark_mb", 0.0))
 
 
 def cmd_route(args):
-    from .serve.router import serve_router
+    from .serve.router import ManagedBackend, serve_router
 
-    backends = [b for b in args.backends.split(",") if b]
-    serve_router(backends, host=args.host, port=args.port)
+    urls = [b for b in args.backends.split(",") if b]
+    if args.manage and len(args.manage) != len(urls):
+        p_err = (f"--manage given {len(args.manage)} times for "
+                 f"{len(urls)} backends (must match, index-paired)")
+        raise SystemExit(p_err)
+    backends = []
+    for i, url in enumerate(urls):
+        if args.manage:
+            import shlex
+            log_path = (os.path.join(args.log_dir, f"backend-{i}.log")
+                        if args.log_dir else None)
+            if args.log_dir:
+                os.makedirs(args.log_dir, exist_ok=True)
+            backends.append(ManagedBackend(
+                url, shlex.split(args.manage[i]), log_path=log_path))
+        else:
+            backends.append(url)
+    kw = {}
+    if args.manage:
+        kw = dict(rss_watermark_mb=args.rss_watermark_mb,
+                  restart_interval_s=args.restart_interval_s,
+                  drain_timeout_s=args.drain_timeout_s,
+                  health_timeout_s=args.health_timeout_s)
+    serve_router(backends, host=args.host, port=args.port, **kw)
 
 
 def cmd_models(args):
@@ -451,6 +474,13 @@ def main(argv=None):
                         "(first-ever run: minutes of remote compile up "
                         "front; warm persistent cache: seconds — no "
                         "live request then ever pays a compile)")
+    s.add_argument("--rss-watermark-mb", type=float, default=0.0,
+                   help="self-drain when host RSS exceeds this (MB): "
+                        "new sessions 503, /stats reports draining, and "
+                        "a fronting `route --manage` restarts this "
+                        "backend once its sessions finish. Defense "
+                        "against this box's per-transfer host-RSS leak "
+                        "(scripts/transfer_leak_probe.py); 0 = off")
     s.set_defaults(fn=cmd_serve)
 
     r = sub.add_parser("route", help="multi-host fan-out front-end over "
@@ -460,6 +490,26 @@ def main(argv=None):
                         "http://host1:8777,http://host2:8777")
     r.add_argument("--host", default="127.0.0.1")
     r.add_argument("--port", type=int, default=8700)
+    r.add_argument("--manage", action="append", default=[],
+                   metavar="CMD",
+                   help="spawn + rolling-restart the i-th backend with "
+                        "this command (repeat once per backend, index-"
+                        "matched; shell-split). Turns the operator "
+                        "guidance for this box's TPU host-RSS leak into "
+                        "machinery: drain -> wait sessions -> SIGTERM "
+                        "-> respawn -> rejoin, one backend at a time, "
+                        "with requests queued through the gap")
+    r.add_argument("--rss-watermark-mb", type=float, default=0.0,
+                   help="roll a managed backend when its /stats RSS "
+                        "gauge exceeds this (MB); 0 = off")
+    r.add_argument("--restart-interval-s", type=float, default=0.0,
+                   help="also roll each managed backend every N "
+                        "seconds (time-based rolling; 0 = off)")
+    r.add_argument("--drain-timeout-s", type=float, default=180.0)
+    r.add_argument("--health-timeout-s", type=float, default=900.0)
+    r.add_argument("--log-dir", default=None,
+                   help="write each managed backend's stdout/stderr to "
+                        "<log-dir>/backend-<i>.log")
     r.set_defaults(fn=cmd_route)
 
     mdl = sub.add_parser("models", help="manage model files")

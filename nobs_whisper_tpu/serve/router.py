@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import logging
+import subprocess
 import threading
 import time
 import urllib.error
@@ -43,6 +44,8 @@ log = logging.getLogger(__name__)
 DOWN_COOLDOWN_S = 5.0
 REQUEST_TIMEOUT_S = 600.0   # transcription of a 600 s cap recording
 RECONCILE_INTERVAL_S = 60.0
+WAIT_PLACEABLE_S = 570.0    # max queue time through a rolling restart
+                            # (just under the client default timeout)
 
 
 class Backend:
@@ -52,9 +55,19 @@ class Backend:
         self.sessions = 0          # live sessions routed here; guarded by
                                    # RouterState._lock (a single lock keeps
                                    # affinity and the counters consistent)
+        # rolling-restart state: a draining backend is excluded from NEW
+        # placement but keeps relaying its existing sessions (affinity
+        # holds until the drain completes); restarts counts completed
+        # rolls, rss_mb mirrors the backend's last-seen /stats gauge
+        self.draining = False
+        self.restarts = 0
+        self.rss_mb = 0.0
 
     def healthy(self) -> bool:
         return time.monotonic() >= self.down_until
+
+    def placeable(self) -> bool:
+        return self.healthy() and not self.draining
 
     def mark_down(self) -> None:
         self.down_until = time.monotonic() + DOWN_COOLDOWN_S
@@ -62,16 +75,64 @@ class Backend:
                     DOWN_COOLDOWN_S)
 
 
+class ManagedBackend(Backend):
+    """A backend whose PROCESS this router owns: spawned at startup,
+    terminated + respawned by the rolling-restart manager. This is what
+    turns the operator guidance for this box's platform RSS leak
+    ("front with `cli route` and rolling-restart backends",
+    docs/ROADMAP.md round-4) into machinery: the manager watches the
+    backend's /stats RSS gauge and rolls it before the host runs out.
+    """
+
+    def __init__(self, base_url: str, spawn_cmd: List[str],
+                 env: Optional[dict] = None, log_path: Optional[str] = None):
+        super().__init__(base_url)
+        self.spawn_cmd = spawn_cmd
+        self.env = env
+        self.log_path = log_path
+        self.proc: Optional[subprocess.Popen] = None
+        self.spawned_at = 0.0
+
+    def spawn(self) -> None:
+        logf = (open(self.log_path, "ab", buffering=0)
+                if self.log_path else subprocess.DEVNULL)
+        self.proc = subprocess.Popen(
+            self.spawn_cmd, env=self.env, stdout=logf, stderr=logf,
+            stdin=subprocess.DEVNULL)
+        self.spawned_at = time.monotonic()
+        log.info("spawned backend %s (pid %d)", self.base_url,
+                 self.proc.pid)
+
+    def terminate(self, grace_s: float = 60.0) -> None:
+        """SIGTERM (serve drains its engine on it), SIGKILL after
+        grace. Never kills by pattern — the exact child PID only."""
+        if self.proc is None:
+            return
+        self.proc.terminate()
+        try:
+            self.proc.wait(timeout=grace_s)
+        except subprocess.TimeoutExpired:
+            log.warning("backend %s pid %d ignored SIGTERM; killing",
+                        self.base_url, self.proc.pid)
+            self.proc.kill()
+            self.proc.wait(timeout=10)
+        self.proc = None
+
+
 class RouterState:
-    def __init__(self, backends: List[str]):
+    def __init__(self, backends: List):
         if not backends:
             raise ValueError("router needs at least one backend")
-        self.backends = [Backend(b) for b in backends]
+        self.backends = [b if isinstance(b, Backend) else Backend(b)
+                         for b in backends]
         self.affinity: Dict[str, Backend] = {}   # session id -> backend
         self._rr = 0
         self._lock = threading.Lock()
+        self._placeable_cond = threading.Condition(self._lock)
         self._last_reconcile = time.monotonic()
         self._reconciling = False
+        self.restart_active = False   # one roll at a time, cluster-wide
+        self.manager: Optional["BackendManager"] = None
 
     # ---- selection ----------------------------------------------------
     def healthy_backends(self) -> List[Backend]:
@@ -80,17 +141,45 @@ class RouterState:
     def pick_least_loaded(self) -> Optional[Backend]:
         self.maybe_reconcile()
         with self._lock:
-            up = self.healthy_backends()
+            up = [b for b in self.backends if b.placeable()]
             return min(up, key=lambda b: b.sessions) if up else None
 
     def pick_round_robin(self) -> Optional[Backend]:
         with self._lock:
-            up = self.healthy_backends()
+            up = [b for b in self.backends if b.placeable()]
             if not up:
                 return None
             b = up[self._rr % len(up)]
             self._rr += 1
             return b
+
+    def notify_placeable(self) -> None:
+        with self._placeable_cond:
+            self._placeable_cond.notify_all()
+
+    def wait_placeable(self, timeout: float) -> bool:
+        """Block until some backend is placeable. Only waits while a
+        rolling restart / drain is the reason nothing is placeable —
+        with everything genuinely down (unmanaged outage) it returns
+        False immediately, preserving the fast-fail behavior.
+
+        This is what makes a single-backend rolling restart lossless:
+        during the window between SIGTERM and the respawn's first
+        healthy /health, new-session and one-shot requests queue here
+        instead of 502ing (zero failed requests through a restart)."""
+        deadline = time.monotonic() + timeout
+        with self._placeable_cond:
+            while True:
+                if any(b.placeable() for b in self.backends):
+                    return True
+                rolling = self.restart_active or any(
+                    b.draining for b in self.backends)
+                if not rolling:
+                    return False
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._placeable_cond.wait(timeout=min(remaining, 1.0))
 
     # ---- session bookkeeping (all under _lock) -------------------------
     def session_backend(self, sid: str) -> Optional[Backend]:
@@ -199,6 +288,161 @@ class RouterState:
             raise
 
 
+class BackendManager:
+    """Rolling-restart orchestrator for ManagedBackends.
+
+    Watches each managed backend's /stats host gauges and rolls it —
+    drain, wait for its sessions to finish, SIGTERM, respawn, wait
+    healthy, rejoin — when any trigger fires:
+      - the backend reports itself draining (its own --rss-watermark-mb
+        monitor tripped), or
+      - its RSS exceeds this manager's rss_watermark_mb, or
+      - restart_interval_s elapsed since its spawn (time-based rolling,
+        the deterministic trigger for CI).
+    One roll at a time cluster-wide; while the only backend is mid-roll
+    the request path queues on RouterState.wait_placeable instead of
+    failing. Bar: the reference runs all day
+    (src-tauri/src/state.rs:61-95) — on this box's leaking TPU client,
+    serving all day IS rolling restarts.
+    """
+
+    def __init__(self, state: RouterState,
+                 rss_watermark_mb: float = 0.0,
+                 restart_interval_s: float = 0.0,
+                 drain_timeout_s: float = 180.0,
+                 health_timeout_s: float = 900.0,
+                 poll_interval_s: float = 5.0):
+        self.state = state
+        self.rss_watermark_mb = rss_watermark_mb
+        self.restart_interval_s = restart_interval_s
+        self.drain_timeout_s = drain_timeout_s
+        self.health_timeout_s = health_timeout_s
+        self.poll_interval_s = poll_interval_s
+        self.rolls_failed = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def managed(self) -> List[ManagedBackend]:
+        return [b for b in self.state.backends
+                if isinstance(b, ManagedBackend)]
+
+    def start(self) -> None:
+        for b in self.managed:
+            if b.proc is None:
+                b.spawn()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="backend-manager")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        for b in self.managed:
+            b.terminate()
+
+    # ---- internals -----------------------------------------------------
+    def _stats_host(self, b: Backend) -> dict:
+        # direct urllib, NOT state.request: a failed background gauge
+        # poll (e.g. a fresh spawn that hasn't bound its socket yet)
+        # must not mark the backend down and break live placement
+        try:
+            with urllib.request.urlopen(b.base_url + "/stats",
+                                        timeout=5) as resp:
+                return json.loads(resp.read()).get("host", {})
+        except Exception:
+            return {}
+
+    def _should_roll(self, b: ManagedBackend) -> Optional[str]:
+        if b.proc is not None and b.proc.poll() is not None:
+            return f"process exited (rc={b.proc.returncode})"
+        host = self._stats_host(b)
+        b.rss_mb = float(host.get("rss_mb", b.rss_mb) or 0.0)
+        if host.get("draining"):
+            return "backend self-draining (its RSS watermark fired)"
+        if self.rss_watermark_mb > 0 and b.rss_mb > self.rss_watermark_mb:
+            return (f"rss {b.rss_mb:.0f} MB > watermark "
+                    f"{self.rss_watermark_mb:.0f} MB")
+        if (self.restart_interval_s > 0
+                and time.monotonic() - b.spawned_at
+                > self.restart_interval_s):
+            return f"interval {self.restart_interval_s:.0f}s elapsed"
+        return None
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_interval_s):
+            for b in self.managed:
+                reason = self._should_roll(b)
+                if reason is None:
+                    continue
+                log.info("rolling %s: %s", b.base_url, reason)
+                try:
+                    self._roll(b)
+                except Exception:
+                    self.rolls_failed += 1
+                    log.exception("roll of %s failed", b.base_url)
+                break   # at most one roll per poll cycle
+
+    def _roll(self, b: ManagedBackend) -> None:
+        with self.state._lock:
+            self.state.restart_active = True
+        b.draining = True
+        crashed = b.proc is not None and b.proc.poll() is not None
+        try:
+            if not crashed:
+                try:
+                    self.state.request(b, "POST", "/drain", b"",
+                                       timeout=10)
+                except Exception:
+                    pass   # unreachable: proceed to restart regardless
+                # wait for the backend's live sessions to finish (new
+                # ones are routed elsewhere / queued); count from the
+                # backend itself, falling back to router affinity
+                deadline = time.monotonic() + self.drain_timeout_s
+                while time.monotonic() < deadline:
+                    try:
+                        _, data = self.state.request(b, "GET", "/state",
+                                                     timeout=5)
+                        n = len(json.loads(data))
+                    except Exception:
+                        n = b.sessions
+                    if n == 0:
+                        break
+                    time.sleep(0.5)
+                else:
+                    log.warning("drain of %s timed out with sessions "
+                                "live; restarting anyway", b.base_url)
+            # out of rotation for the whole down window
+            b.down_until = time.monotonic() + 10 * self.health_timeout_s
+            b.terminate()
+            b.spawn()
+            deadline = time.monotonic() + self.health_timeout_s
+            while time.monotonic() < deadline:
+                if b.proc.poll() is not None:
+                    raise RuntimeError(
+                        f"respawned backend exited rc={b.proc.returncode}")
+                try:
+                    req = urllib.request.Request(b.base_url + "/health")
+                    with urllib.request.urlopen(req, timeout=5) as resp:
+                        if resp.status == 200:
+                            break
+                except Exception:
+                    pass
+                time.sleep(1.0)
+            else:
+                raise RuntimeError("respawned backend never got healthy")
+            b.down_until = 0.0
+            b.draining = False
+            b.restarts += 1
+            log.info("backend %s rejoined (restart #%d)", b.base_url,
+                     b.restarts)
+        finally:
+            with self.state._lock:
+                self.state.restart_active = False
+            self.state.notify_placeable()
+
+
 def make_handler(state: RouterState):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -251,7 +495,11 @@ def make_handler(state: RouterState):
             if parts == ["backends"]:
                 return self._json([{
                     "url": b.base_url, "healthy": b.healthy(),
-                    "sessions": b.sessions} for b in state.backends])
+                    "sessions": b.sessions, "draining": b.draining,
+                    "restarts": b.restarts,
+                    "rss_mb": round(b.rss_mb, 1),
+                    "managed": isinstance(b, ManagedBackend),
+                } for b in state.backends])
             if len(parts) == 3 and parts[0] == "sessions" \
                     and parts[2] == "events":
                 b = self._session_backend(parts[1])
@@ -425,6 +673,9 @@ def make_handler(state: RouterState):
 
         def _create_session(self, body: bytes):
             b = state.pick_least_loaded()
+            if b is None and state.wait_placeable(WAIT_PLACEABLE_S):
+                # a rolling restart is mid-flight: queue instead of 502
+                b = state.pick_least_loaded()
             if b is None:
                 return self._error("no healthy backends")
             try:
@@ -443,11 +694,20 @@ def make_handler(state: RouterState):
 
         def _transcribe(self, body: bytes, headers: Optional[dict] = None):
             """Round-robin with failover: a connection-level failure on
-            one backend retries the remaining healthy ones."""
+            one backend retries the remaining healthy ones. When a
+            rolling restart empties the pool, queue (wait_placeable)
+            once and retry — tried resets because the respawned backend
+            reuses its URL."""
             tried = set()
+            waited = False
             while True:
                 b = state.pick_round_robin()
                 if b is None or b.base_url in tried:
+                    if not waited and state.wait_placeable(
+                            WAIT_PLACEABLE_S):
+                        waited = True
+                        tried.clear()
+                        continue
                     return self._error("no healthy backends")
                 tried.add(b.base_url)
                 try:
@@ -493,15 +753,33 @@ def make_handler(state: RouterState):
     return Handler
 
 
-def serve_router(backends: List[str], host: str = "127.0.0.1",
+def serve_router(backends: List, host: str = "127.0.0.1",
                  port: int = 8700,
-                 background: bool = False) -> ThreadingHTTPServer:
+                 background: bool = False,
+                 manager: Optional[BackendManager] = None,
+                 **manager_kw) -> ThreadingHTTPServer:
+    """`backends` mixes plain URLs and ManagedBackend instances. When
+    any backend is managed (or an explicit `manager` is passed), the
+    rolling-restart manager spawns the managed processes and starts its
+    watch loop; `manager_kw` (rss_watermark_mb, restart_interval_s,
+    drain_timeout_s, health_timeout_s, poll_interval_s) configure it."""
     state = RouterState(backends)
+    if manager is None and (manager_kw
+                            or any(isinstance(b, ManagedBackend)
+                                   for b in state.backends)):
+        manager = BackendManager(state, **manager_kw)
+    if manager is not None:
+        state.manager = manager
+        manager.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state  # for tests
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     else:
         log.info("routing %d backends on %s:%d", len(backends), host, port)
-        httpd.serve_forever()
+        try:
+            httpd.serve_forever()
+        finally:
+            if manager is not None:
+                manager.stop()
     return httpd

@@ -18,6 +18,7 @@ import json
 import logging
 import queue
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -30,6 +31,23 @@ from .config import AppConfig, ConfigManager
 from . import models as model_registry
 
 log = logging.getLogger(__name__)
+
+
+def rss_mb() -> float:
+    """This process's resident set, MB (0.0 where /proc is absent)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+class DrainingError(RuntimeError):
+    """New-session creation refused: this backend is draining for a
+    restart (the RSS watermark fired, or the router asked)."""
 
 
 class ServerState:
@@ -57,6 +75,14 @@ class ServerState:
         # transcription on a dead batcher queue
         self._retired: list = []
         self._borrows: Dict[int, int] = {}   # id(engine) -> count
+        # rolling-restart support (this box's TPU client leaks host RSS
+        # on every host->device transfer — scripts/transfer_leak_probe
+        # .py — so long-running serving must drain + restart before the
+        # host runs out; the router orchestrates, serve self-reports):
+        # draining=True refuses NEW sessions (503) while existing
+        # sessions and one-shots keep working until they finish.
+        self.draining = False
+        self.rss_watermark_mb = 0.0
 
     def _hot_swap(self, model_id: str) -> None:
         new = self._engine_factory(model_id)
@@ -140,6 +166,10 @@ class ServerState:
         # concurrent hot-swap can never close the engine this session
         # just picked up
         with self._lock:
+            if self.draining:
+                raise DrainingError(
+                    "backend draining for restart; retry shortly "
+                    "(the router places new sessions elsewhere)")
             if self.engine is None:
                 raise NoModelError(
                     "no model loaded; select one via POST /config "
@@ -229,7 +259,8 @@ def make_handler(state: ServerState):
                     "ok": True,
                     "model": getattr(state.engine, "model_path", None),
                     "loaded": (state.engine is not None
-                               and getattr(state.engine, "loaded", True))})
+                               and getattr(state.engine, "loaded", True)),
+                    "draining": state.draining})
             if parts == ["config"]:
                 return self._json(state.config_manager.config.to_dict())
             if parts == ["models"]:
@@ -248,6 +279,16 @@ def make_handler(state: ServerState):
             if parts == ["stats"]:
                 from ..utils.profiling import GLOBAL_PROFILER
                 out = {"stages": GLOBAL_PROFILER.snapshot()}
+                # restart-planning gauges: this box's TPU client leaks
+                # host RSS per transfer, so the router watches rss_mb
+                # against the watermark and rolls the backend before
+                # the host runs out (serve/router.py BackendManager)
+                out["host"] = {
+                    "rss_mb": round(rss_mb(), 1),
+                    "rss_watermark_mb": state.rss_watermark_mb,
+                    "draining": state.draining,
+                    "sessions": len(state.sessions),
+                }
                 if hasattr(state.engine, "chunk_count"):
                     # fallback-ladder attribution: each retry is a full
                     # batched window decode (BatchedEngine counters)
@@ -430,6 +471,16 @@ def make_handler(state: ServerState):
         def do_POST(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             try:
+                if parts == ["drain"] or parts == ["undrain"]:
+                    # router-orchestrated rolling restart: drain stops
+                    # NEW session placement here (existing sessions and
+                    # one-shots run to completion); undrain re-opens
+                    # (tests / operator abort of a planned restart)
+                    state.draining = parts == ["drain"]
+                    log.info("draining" if state.draining
+                             else "drain cleared")
+                    return self._json({"draining": state.draining,
+                                       "sessions": len(state.sessions)})
                 if parts == ["config"]:
                     new = AppConfig.from_dict(json.loads(self._body()))
                     state.config_manager.set_config(new)
@@ -470,6 +521,9 @@ def make_handler(state: ServerState):
 
                     threading.Thread(target=dl, daemon=True).start()
                     return self._json({"started": mid})
+            except DrainingError as e:
+                # 503 + Retry-After: the canonical "try again shortly"
+                return self._error(str(e), 503)
             except NoModelError as e:
                 return self._error(str(e), 409)
             except ValueError as e:
@@ -692,10 +746,30 @@ def make_handler(state: ServerState):
 def serve(engine, host: str = "127.0.0.1", port: int = 8777,
           config_manager: Optional[ConfigManager] = None,
           background: bool = False,
-          engine_factory=None) -> ThreadingHTTPServer:
+          engine_factory=None,
+          rss_watermark_mb: float = 0.0) -> ThreadingHTTPServer:
     state = ServerState(engine, config_manager, engine_factory=engine_factory)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state  # for tests
+    if rss_watermark_mb > 0:
+        # self-defense against the platform's per-transfer host-RSS
+        # leak: past the watermark this backend flips to draining and
+        # stays there — the router (or operator) restarts it once its
+        # sessions finish. The flag is the signal; nothing is killed
+        # from inside (in-flight work must complete first).
+        state.rss_watermark_mb = float(rss_watermark_mb)
+
+        def _watch():
+            while True:
+                if not state.draining and rss_mb() > state.rss_watermark_mb:
+                    log.warning(
+                        "RSS %.0f MB over watermark %.0f MB: draining",
+                        rss_mb(), state.rss_watermark_mb)
+                    state.draining = True
+                time.sleep(5.0)
+
+        threading.Thread(target=_watch, daemon=True,
+                         name="rss-watermark").start()
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     else:

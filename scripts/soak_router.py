@@ -1,0 +1,285 @@
+"""Unattended serving survival on this box's leaking TPU platform:
+a soak THROUGH the router with rolling restarts firing live.
+
+The axon TPU client leaks the full transferred size in host RSS on
+every host->device transfer (scripts/transfer_leak_probe.py); even
+after the 15x bucketed-transfer mitigation a green 17.7-min soak grew
+1.2 -> 21.8 GB (scripts/soak_result.json). The reference's bar is an
+all-day lifecycle (src-tauri/src/state.rs:61-95). On this platform,
+all-day serving IS rolling restarts — so this harness proves the
+machinery: a managed backend (serve --rss-watermark-mb) behind
+`route --manage`, N continuous session workers (mixed WS + SSE)
+driving it, the router draining + SIGTERMing + respawning the backend
+every time its RSS crosses the watermark, and requests QUEUING through
+each restart gap instead of failing.
+
+Pass criteria (VERDICT round-4 item 1):
+  - zero failed worker requests across every restart
+  - >= --min-restarts restarts actually fired
+  - every backend RSS sample stays bounded: watermark x (1 + overshoot)
+    — the sawtooth never escapes (no leak allowance involved)
+  - zero failed rolls; p50 cycle latency stable
+
+Run (real chip, 60 min):
+  python scripts/soak_router.py --minutes 60 --sessions 8 --batch 8 \
+      --quant int8 --rss-watermark-mb 8000
+CI smoke (CPU, deterministic restart via the interval trigger):
+  python scripts/soak_router.py --minutes 1.2 --sessions 2 --batch 2 \
+      --platform cpu --restart-interval-s 25 --rss-watermark-mb 0
+
+This process is jax-free on the hot path (one TPU client at a time:
+the BACKEND owns the chip; this process only writes the tiny test
+checkpoint under a forced-CPU jax).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import socket
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--minutes", type=float, default=60.0)
+    p.add_argument("--sessions", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--quant", choices=["int8", "none"], default="none")
+    p.add_argument("--model", default=None,
+                   help="ggml .bin for the backend (default: tiny-random)")
+    p.add_argument("--audio-seconds", type=float, default=3.0)
+    p.add_argument("--platform", default=None,
+                   help="backend jax platform (cpu for the CI smoke)")
+    p.add_argument("--rss-watermark-mb", type=float, default=8000.0,
+                   help="backend self-drain + router roll trigger; 0 "
+                        "disables the RSS trigger")
+    p.add_argument("--restart-interval-s", type=float, default=0.0,
+                   help="time-based roll trigger (deterministic for CI)")
+    p.add_argument("--rss-overshoot-frac", type=float, default=0.35,
+                   help="allowed sawtooth overshoot past the watermark "
+                        "(drain lag: in-flight sessions keep "
+                        "transferring while the roll starts)")
+    p.add_argument("--drain-timeout-s", type=float, default=180.0)
+    p.add_argument("--health-timeout-s", type=float, default=900.0)
+    p.add_argument("--min-restarts", type=int, default=1)
+    p.add_argument("--out", default="scripts/soak_router_result.json")
+    args = p.parse_args()
+
+    # tiny checkpoint generation needs jax — force CPU FIRST so this
+    # process never becomes a second TPU client
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from nobs_whisper_tpu.client import Client
+    from nobs_whisper_tpu.serve.router import (BackendManager,
+                                               ManagedBackend,
+                                               serve_router)
+    from nobs_whisper_tpu.utils.testing import (speech_like_audio,
+                                                write_tiny_checkpoint)
+
+    tmp = tempfile.mkdtemp()
+    model = args.model or os.path.join(tmp, "ggml-a.bin")
+    if args.model is None:
+        write_tiny_checkpoint(model)
+
+    bport = free_port()
+    rport = free_port()
+    env = dict(os.environ)
+    env["NOBS_WHISPER_TPU_HOME"] = tmp
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   "/root/.cache/jax_compile_cache")
+    cmd = [sys.executable, "-m", "nobs_whisper_tpu.cli"]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    cmd += ["serve", "--port", str(bport), "--model", model,
+            "--quant", args.quant, "--batch", str(args.batch)]
+    if args.rss_watermark_mb > 0:
+        cmd += ["--rss-watermark-mb", str(args.rss_watermark_mb)]
+    # random weights never emit EOT: cap decode via the persisted config?
+    # no — the soak uses short audio; sample_len is bounded by the
+    # session path's utterance length on tiny models, which is fast.
+
+    backend = ManagedBackend(f"http://127.0.0.1:{bport}", cmd, env=env,
+                             log_path=os.path.join(tmp, "backend.log"))
+    router = serve_router(
+        [backend], port=rport, background=True,
+        rss_watermark_mb=args.rss_watermark_mb,
+        restart_interval_s=args.restart_interval_s,
+        drain_timeout_s=args.drain_timeout_s,
+        health_timeout_s=args.health_timeout_s)
+    state = router.state
+    base = f"http://127.0.0.1:{rport}"
+
+    # wait for the backend's first /health through the router
+    t0 = time.time()
+    while time.time() - t0 < args.health_timeout_s:
+        try:
+            with urllib.request.urlopen(
+                    backend.base_url + "/health", timeout=5) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(1.0)
+    else:
+        print("backend never became healthy; see backend.log:",
+              file=sys.stderr)
+        sys.exit(2)
+
+    client = Client(base, timeout=600)
+    stop = threading.Event()
+    deadline = time.time() + args.minutes * 60
+    lock = threading.Lock()
+    cycle_lat = []
+    errors = []
+    cycles = [0]
+
+    audio = np.asarray(speech_like_audio(args.audio_seconds, seed=7),
+                       np.float32)
+    chunk = 4000
+
+    def worker(i: int):
+        rng = random.Random(i)
+        while not stop.is_set() and time.time() < deadline:
+            use_ws = rng.random() < 0.5
+            t0 = time.perf_counter()
+            try:
+                with client.session(language="en") as s:
+                    if use_ws:
+                        sock = s.websocket()
+                        try:
+                            sock.send_json({"verb": "start"})
+                            sock.recv()
+                            for off in range(0, len(audio), chunk):
+                                sock.send_binary(
+                                    audio[off:off + chunk].tobytes())
+                            sock.send_json({"verb": "stop"})
+                            for _ in range(200):
+                                msg = sock.recv()
+                                if msg is None:
+                                    break
+                                _, payload = msg
+                                try:
+                                    row = json.loads(payload.decode())
+                                except Exception:
+                                    continue
+                                if row.get("reply") == "stop":
+                                    break
+                        finally:
+                            sock.close()
+                    else:
+                        s.start()
+                        ev = s.events()
+                        for off in range(0, len(audio), chunk):
+                            s.push_audio(audio[off:off + chunk])
+                        s.stop()
+                        for e in ev:
+                            if e.is_final:
+                                break
+                with lock:
+                    cycle_lat.append((time.time(),
+                                      time.perf_counter() - t0))
+                    cycles[0] += 1
+            except Exception as e:
+                with lock:
+                    errors.append(f"worker{i}: {type(e).__name__}: {e}")
+                time.sleep(0.5)
+
+    rss_series = []        # (t, rss_mb, restarts, draining)
+    def monitor():
+        while not stop.is_set() and time.time() < deadline:
+            try:
+                with urllib.request.urlopen(base + "/backends",
+                                            timeout=10) as r:
+                    rows = json.loads(r.read())
+                b = rows[0]
+                rss_series.append((round(time.time() - t_start, 1),
+                                   b["rss_mb"], b["restarts"],
+                                   b["draining"]))
+            except Exception:
+                pass
+            if stop.wait(5.0):
+                return
+
+    threads = ([threading.Thread(target=worker, args=(i,), daemon=True)
+                for i in range(args.sessions)]
+               + [threading.Thread(target=monitor, daemon=True)])
+    t_start = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=args.minutes * 60 + 900)
+    stop.set()
+    wall = time.time() - t_start
+
+    restarts = backend.restarts
+    rolls_failed = state.manager.rolls_failed if state.manager else 0
+    max_rss = max((r[1] for r in rss_series), default=0.0)
+    bound = (args.rss_watermark_mb * (1 + args.rss_overshoot_frac)
+             if args.rss_watermark_mb > 0 else float("inf"))
+
+    lats = sorted(l for _, l in cycle_lat)
+    half = [l for t, l in cycle_lat if t - t_start < wall / 2]
+    half2 = [l for t, l in cycle_lat if t - t_start >= wall / 2]
+    p50 = float(np.median(lats)) if lats else 0.0
+    p50_1 = float(np.median(half)) if half else 0.0
+    p50_2 = float(np.median(half2)) if half2 else 0.0
+
+    checks = {
+        "no_errors": not errors,
+        "restarts_fired": bool(restarts >= args.min_restarts),
+        "no_failed_rolls": bool(rolls_failed == 0),
+        # the sawtooth stays bounded: NOT a leak allowance — an absolute
+        # ceiling every sample must respect, sized by the watermark
+        "rss_bounded": bool(max_rss <= bound),
+        "p50_stable": bool(p50_2 <= max(p50_1 * 1.5, p50_1 + 0.5)
+                           or not half2),
+    }
+    result = {
+        "minutes": round(wall / 60, 2),
+        "sessions": args.sessions,
+        "cycles": cycles[0],
+        "restarts": restarts,
+        "rolls_failed": rolls_failed,
+        "rss_watermark_mb": args.rss_watermark_mb,
+        "rss_bound_mb": None if bound == float("inf") else bound,
+        "max_rss_mb": max_rss,
+        "p50_cycle_s": {"overall": round(p50, 3),
+                        "first_half": round(p50_1, 3),
+                        "second_half": round(p50_2, 3)},
+        "errors_first10": errors[:10],
+        # downsampled sawtooth evidence: (t_s, rss_mb, restarts, drain)
+        "rss_series": rss_series[::max(1, len(rss_series) // 400)],
+        "checks": checks,
+        "ok": all(checks.values()),
+    }
+
+    if state.manager:
+        state.manager.stop()
+    router.shutdown()
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "rss_series"}))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -246,3 +246,202 @@ def test_websocket_tunnels_to_owning_backend(cluster):
             assert isinstance(obj["transcript"], str)
         finally:
             sock.close()
+
+
+# ---- rolling restart machinery (round 5: VERDICT item 1) ---------------
+
+FAKE_BACKEND = r'''
+import json, os, sys, signal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+RSS_FILE = sys.argv[2]
+draining = [False]
+
+class H(BaseHTTPRequestHandler):
+    def log_message(self, *a): pass
+    def _json(self, obj, code=200):
+        b = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(b)))
+        self.end_headers()
+        self.wfile.write(b)
+    def do_GET(self):
+        if self.path == "/health":
+            return self._json({"ok": True, "draining": draining[0]})
+        if self.path == "/state":
+            return self._json({})
+        if self.path == "/stats":
+            try:
+                rss = float(open(RSS_FILE).read().strip())
+            except Exception:
+                rss = 100.0
+            return self._json({"host": {"rss_mb": rss,
+                                        "draining": draining[0],
+                                        "sessions": 0}})
+        self._json({"error": "nf"}, 404)
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        self.rfile.read(n)
+        if self.path == "/drain":
+            draining[0] = True
+            return self._json({"draining": True})
+        if self.path == "/sessions":
+            return self._json({"session": "fake" + str(os.getpid())})
+        self._json({"error": "nf"}, 404)
+
+httpd = ThreadingHTTPServer(("127.0.0.1", int(sys.argv[1])), H)
+signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
+httpd.serve_forever()
+'''
+
+
+@pytest.fixture
+def fake_managed(tmp_path):
+    """A ManagedBackend wrapping a spawnable fake backend whose
+    reported RSS the test controls through a file."""
+    import sys as sysmod
+    from nobs_whisper_tpu.serve.router import ManagedBackend
+
+    script = tmp_path / "fake_backend.py"
+    script.write_text(FAKE_BACKEND)
+    rss_file = tmp_path / "rss.txt"
+    rss_file.write_text("100.0")
+    port = _free_port()
+    b = ManagedBackend(
+        f"http://127.0.0.1:{port}",
+        [sysmod.executable, str(script), str(port), str(rss_file)],
+        log_path=str(tmp_path / "fake.log"))
+    yield b, rss_file
+    b.terminate(grace_s=5)
+
+
+def _wait(pred, timeout=30.0, interval=0.1):
+    import time
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def _http_ok(url):
+    try:
+        with urllib.request.urlopen(url, timeout=2) as r:
+            return r.status == 200
+    except Exception:
+        return False
+
+
+def test_managed_rolling_restart_on_rss(fake_managed):
+    """RSS over the manager watermark -> drain, SIGTERM, respawn,
+    rejoin; restart counter increments; new placement waits through
+    the gap instead of failing (single-backend lossless roll)."""
+    import threading
+    import urllib.request as ur
+    from nobs_whisper_tpu.serve.router import serve_router
+
+    b, rss_file = fake_managed
+    rport = _free_port()
+    router = serve_router([b], port=rport, background=True,
+                          rss_watermark_mb=500.0, poll_interval_s=0.3,
+                          drain_timeout_s=10.0, health_timeout_s=30.0)
+    try:
+        base = f"http://127.0.0.1:{rport}"
+        assert _wait(lambda: _http_ok(b.base_url + "/health"))
+        pid0 = b.proc.pid
+        assert _post(base, "/sessions", b"{}")["session"].startswith(
+            "fake")
+
+        # trip the watermark; fire a create DURING the roll — it must
+        # queue and land on the respawned process, not 502
+        results = {}
+
+        def create():
+            results["r"] = _post(base, "/sessions", b"{}")
+
+        rss_file.write_text("9000.0")
+        assert _wait(lambda: b.draining or b.restarts > 0, timeout=15)
+        t = threading.Thread(target=create)
+        t.start()
+        rss_file.write_text("100.0")   # respawn reports healthy rss
+        assert _wait(lambda: b.restarts >= 1, timeout=30)
+        t.join(timeout=30)
+        assert not t.is_alive()
+        assert results["r"]["session"].startswith("fake")
+        assert b.proc.pid != pid0
+        # a second roll can be mid-flight if the respawn raced the rss
+        # reset; settle before asserting the rejoined state
+        assert _wait(lambda: not b.draining and b.healthy(), timeout=30)
+
+        listing = _get(base, "/backends")[0]
+        assert listing["managed"] and listing["restarts"] >= 1
+    finally:
+        if router.state.manager:
+            router.state.manager.stop()
+        router.shutdown()
+
+
+def test_managed_restart_on_backend_self_drain(fake_managed):
+    """A backend that reports draining:true in /stats (its own
+    --rss-watermark-mb monitor fired) is rolled even when the router
+    has no watermark of its own."""
+    from nobs_whisper_tpu.serve.router import serve_router
+
+    b, rss_file = fake_managed
+    rport = _free_port()
+    router = serve_router([b], port=rport, background=True,
+                          poll_interval_s=0.3, drain_timeout_s=10.0,
+                          health_timeout_s=30.0)
+    try:
+        base = f"http://127.0.0.1:{rport}"
+        assert _wait(lambda: _http_ok(b.base_url + "/health"))
+        # make the fake report draining via its own /drain verb
+        _post(b.base_url, "/drain", b"")
+        assert _wait(lambda: b.restarts >= 1, timeout=30)
+        listing = _get(base, "/backends")[0]
+        assert listing["restarts"] >= 1 and not listing["draining"]
+    finally:
+        if router.state.manager:
+            router.state.manager.stop()
+        router.shutdown()
+
+
+def test_draining_backend_excluded_from_placement(tmp_path):
+    """A draining backend receives no NEW placement (sessions or
+    round-robin one-shot picks) while staying eligible for affinity
+    relays; clearing drain restores it."""
+    import sys as sysmod
+    from nobs_whisper_tpu.serve.router import (ManagedBackend,
+                                               RouterState)
+
+    script = tmp_path / "fake_backend.py"
+    script.write_text(FAKE_BACKEND)
+    rss = tmp_path / "rss.txt"
+    rss.write_text("100.0")
+    bs = []
+    for i in range(2):
+        port = _free_port()
+        b = ManagedBackend(
+            f"http://127.0.0.1:{port}",
+            [sysmod.executable, str(script), str(port), str(rss)])
+        b.spawn()
+        bs.append(b)
+    try:
+        for b in bs:
+            assert _wait(lambda b=b: _http_ok(b.base_url + "/health"))
+        state = RouterState(bs)
+        bs[0].draining = True
+        for _ in range(4):
+            assert state.pick_least_loaded() is bs[1]
+            assert state.pick_round_robin() is bs[1]
+        # affinity relays still resolve to the draining backend
+        state.add_session("s1", bs[0])
+        assert state.session_backend("s1") is bs[0]
+        bs[0].draining = False
+        picks = {state.pick_round_robin() for _ in range(4)}
+        assert picks == set(bs)
+    finally:
+        for b in bs:
+            b.terminate(grace_s=5)

@@ -823,7 +823,8 @@ def test_cmd_serve_boots_without_model(tmp_path, monkeypatch):
 
     captured = {}
 
-    def fake_serve(engine, host, port, config_manager, engine_factory):
+    def fake_serve(engine, host, port, config_manager, engine_factory,
+                   **kw):
         captured["engine"] = engine
         captured["factory"] = engine_factory
 
@@ -835,3 +836,67 @@ def test_cmd_serve_boots_without_model(tmp_path, monkeypatch):
     climod.cmd_serve(args)
     assert captured["engine"] is None
     assert callable(captured["factory"])
+
+
+def test_drain_verb_refuses_new_sessions(server):
+    """POST /drain: new sessions 503 (DrainingError), /stats + /health
+    report draining, existing machinery keeps working; /undrain
+    restores. The backend half of the rolling-restart protocol
+    (serve/router.py BackendManager)."""
+    import urllib.error
+    base, httpd = server
+    # a session created BEFORE the drain keeps working through it
+    sid = _post(base, "/sessions", json.dumps(
+        {"language": "en", "sample_rate": 16000}).encode())["session"]
+    try:
+        r = _post(base, "/drain")
+        assert r["draining"] is True
+        assert _get(base, "/stats")["host"]["draining"] is True
+        assert _get(base, "/health")["draining"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/sessions", b"{}")
+        assert e.value.code == 503
+        # pre-drain session still serves its verbs
+        assert "started" in _post(base, f"/sessions/{sid}/start")
+        assert "state" in _post(base, f"/sessions/{sid}/cancel")
+    finally:
+        r = _post(base, "/undrain")
+    assert r["draining"] is False
+    sid2 = _post(base, "/sessions", b"{}")["session"]
+    for s in (sid, sid2):
+        req = urllib.request.Request(base + f"/sessions/{s}",
+                                     method="DELETE")
+        urllib.request.urlopen(req, timeout=30).read()
+
+
+def test_stats_host_gauges(server):
+    """/stats carries the restart-planning gauges: a real RSS reading
+    and the watermark/draining flags."""
+    base, _ = server
+    host = _get(base, "/stats")["host"]
+    assert host["rss_mb"] > 10.0            # a live python process
+    assert host["draining"] is False
+    assert "rss_watermark_mb" in host
+    assert host["sessions"] >= 0
+
+
+def test_rss_watermark_monitor_drains(tmp_path_factory):
+    """serve(rss_watermark_mb=tiny) flips the backend to draining via
+    the monitor thread (real RSS is far above 1 MB)."""
+    import socket
+    from nobs_whisper_tpu.serve.server import serve
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = serve(None, port=port, background=True, rss_watermark_mb=1.0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        t0 = time.time()
+        while time.time() - t0 < 15:
+            if _get(base, "/stats")["host"]["draining"]:
+                break
+            time.sleep(0.5)
+        assert _get(base, "/stats")["host"]["draining"] is True
+    finally:
+        httpd.shutdown()

@@ -42,3 +42,28 @@ def test_soak_smoke_cpu(tmp_path):
     for k in ("watchdog_zero", "no_leaked_sessions",
               "no_leaked_engines", "no_errors", "swaps_applied"):
         assert d["checks"][k], (k, d)
+
+
+@pytest.mark.slow
+def test_soak_router_smoke_cpu(tmp_path):
+    """The ROUTER soak (scripts/soak_router.py): a short CPU run must
+    fire a real rolling restart (deterministic interval trigger) with
+    zero failed requests — the managed-backend machinery end to end:
+    spawn, drain, SIGTERM, respawn, rejoin, requests queued through
+    the gap."""
+    out = tmp_path / "soak_router.json"
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "soak_router.py"),
+         "--minutes", "1.0", "--sessions", "2", "--batch", "2",
+         "--platform", "cpu", "--restart-interval-s", "25",
+         "--rss-watermark-mb", "0", "--audio-seconds", "1.5",
+         "--health-timeout-s", "300", "--out", str(out)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    d = json.loads(out.read_text())
+    assert d["cycles"] > 0
+    assert d["restarts"] >= 1          # the roll actually fired
+    assert d["rolls_failed"] == 0
+    assert d["errors_first10"] == []   # zero failed requests through it
+    assert d["ok"], d["checks"]
