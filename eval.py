@@ -19,6 +19,8 @@ import time
 from pathlib import Path
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 
 def find_pairs(root: Path) -> List[Tuple[Path, str]]:
     """(audio_path, reference_text) pairs."""
@@ -68,6 +70,17 @@ def main():
                         "speculative_emitted_per_pass")
     p.add_argument("--draft-pool", type=int, default=None, metavar="P",
                    help="cross-KV time-pooling for the self-draft")
+    p.add_argument("--concat", type=int, default=0, metavar="N",
+                   help="group N consecutive utterances into one long-"
+                        "form stream (0.8 s silence gaps, refs joined) "
+                        "— the real-long-form input for the VAD "
+                        "chunk-boundary stage")
+    p.add_argument("--vad-chunked", action="store_true",
+                   help="transcribe via the reference's OFFLINE VAD "
+                        "path (find_silence_boundaries + 200 ms-overlap "
+                        "split + rolling-context chunk chain, "
+                        "state.rs:757-778) instead of the 30 s window "
+                        "longform path; batch is forced to 1")
     p.add_argument("--dump-hyp", default=None, metavar="PATH",
                    help="write one JSON line per utterance "
                         "({path, ref, hyp}) for transcript-parity diffs")
@@ -91,6 +104,9 @@ def main():
     from nobs_whisper_tpu.decode.rules import DecodeOptions
     from nobs_whisper_tpu.utils.wer import corpus_wer, word_error_rate
 
+    from nobs_whisper_tpu.decode.hallucination import (get_filter_stats,
+                                                       reset_filter_stats)
+
     engine = _load_engine(args.model, args.dtype, audio_ctx=args.audio_ctx)
     if args.quant == "int8":
         engine = engine.quantize()
@@ -100,6 +116,11 @@ def main():
     if not pairs:
         print("no (audio, transcript) pairs found", file=sys.stderr)
         sys.exit(2)
+    if args.vad_chunked and args.batch > 1:
+        print("--vad-chunked runs the sequential chunk chain; forcing "
+              "--batch 1", file=sys.stderr)
+        args.batch = 1
+    reset_filter_stats()
     if args.speculative and args.batch <= 1:
         print("--speculative needs --batch > 1 (the batched serving "
               "path); ignoring", file=sys.stderr)
@@ -113,6 +134,16 @@ def main():
               file=sys.stderr)
         args.speculative = 0
 
+    # --concat N: build long-form streams from N consecutive utterances
+    # (0.8 s gaps > the 700 ms min-silence, so the VAD finds the seams)
+    if args.concat > 1:
+        n = args.concat
+        items = [([p for p, _ in pairs[i:i + n]],
+                  " ".join(r for _, r in pairs[i:i + n]))
+                 for i in range(0, len(pairs) - len(pairs) % n, n)]
+    else:
+        items = [([p], r) for p, r in pairs]
+
     opts = DecodeOptions(
         beam_size=args.beam_size if args.beam_size > 1 else None,
         temperature_increment=max(args.temperature_increment, 0.0))
@@ -123,28 +154,45 @@ def main():
         # run their window chain through the batcher)
         from nobs_whisper_tpu.pipeline.batched_engine import BatchedEngine
         runner = BatchedEngine(engine, opts=opts,
-                               max_batch=min(args.batch, len(pairs)),
+                               max_batch=min(args.batch, len(items)),
                                speculative=max(args.speculative, 0),
                                draft_pool=args.draft_pool)
 
     def run_one(item):
-        audio_path, ref = item
-        audio, rate = load_audio(str(audio_path))
-        audio = resample(audio, rate)
-        out = runner.transcribe(audio, language=args.language, opts=opts)
-        r = word_error_rate(ref, out.text)
-        return (str(audio_path), ref, out.text, r, len(audio) / 16000)
+        paths, ref = item
+        gap = np.zeros(int(0.8 * 16000), np.float32)
+        parts = []
+        for p_ in paths:
+            audio, rate = load_audio(str(p_))
+            parts += [resample(audio, rate), gap]
+        audio = np.concatenate(parts[:-1]) if len(parts) > 1 else parts[0]
+        if args.vad_chunked:
+            # the reference's offline residue path (state.rs:757-778):
+            # adaptive-silence boundaries, 200 ms-overlap chunks,
+            # rolling-context sequential chain
+            from nobs_whisper_tpu.audio.vad import (
+                find_silence_boundaries, split_at_silences)
+            bounds = find_silence_boundaries(audio)
+            chunks = split_at_silences(audio, bounds)
+            text = runner.transcribe_chunked(chunks,
+                                             language=args.language,
+                                             opts=opts)
+        else:
+            text = runner.transcribe(audio, language=args.language,
+                                     opts=opts).text
+        r = word_error_rate(ref, text)
+        return (str(paths[0]), ref, text, r, len(audio) / 16000)
 
     t0 = time.perf_counter()
     if args.batch > 1:
         from concurrent.futures import ThreadPoolExecutor
         try:
             with ThreadPoolExecutor(max_workers=args.batch) as ex:
-                rows = list(ex.map(run_one, pairs))
+                rows = list(ex.map(run_one, items))
         finally:
             runner.close()
     else:
-        rows = [run_one(p) for p in pairs]
+        rows = [run_one(it) for it in items]
     wall = time.perf_counter() - t0
     results = [(path, ref, hyp, r) for path, ref, hyp, r, _ in rows]
     total_audio_s = sum(a for *_, a in rows)
@@ -174,6 +222,7 @@ def main():
             emitted / max(passes_rows, 1), 3)
         summary["speculative_k"] = args.speculative
         summary["speculative_pool"] = args.draft_pool
+    summary["hallucination_filter"] = get_filter_stats()
     if args.dump_hyp:
         with open(args.dump_hyp, "w") as f:
             for path, ref, hyp, _ in results:

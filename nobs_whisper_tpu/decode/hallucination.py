@@ -9,6 +9,7 @@ the reference applies it after ``state.full``.
 
 from __future__ import annotations
 
+import threading
 import unicodedata
 
 # Known hallucination phrases (EN/KO/JA/ZH + the bare "you"), matching the
@@ -49,14 +50,45 @@ def _is_punctish(ch: str) -> bool:
         unicodedata.category(ch).startswith(("P", "S"))
 
 
+# accept/reject accounting: the phrase table is a behavioral port whose
+# real-speech hit-rate has never been priced (the box is zero-egress) —
+# eval.py reports these counters so scripts/real_weight_gate.py's
+# hallucination stage can measure the false-drop rate the moment real
+# weights + real speech exist
+_stats_lock = threading.Lock()
+_stats = {"calls": 0, "dropped": 0, "dropped_texts": []}
+
+
+def reset_filter_stats() -> None:
+    with _stats_lock:
+        _stats.update(calls=0, dropped=0, dropped_texts=[])
+
+
+def get_filter_stats() -> dict:
+    with _stats_lock:
+        return {"calls": _stats["calls"], "dropped": _stats["dropped"],
+                "dropped_texts": list(_stats["dropped_texts"])}
+
+
+def _record(dropped: bool, text: str) -> None:
+    with _stats_lock:
+        _stats["calls"] += 1
+        if dropped:
+            _stats["dropped"] += 1
+            if len(_stats["dropped_texts"]) < 50:
+                _stats["dropped_texts"].append(text[:120])
+
+
 def filter_hallucinations(text: str) -> str:
     """Return '' if the text is a known hallucination, else the trimmed text."""
     trimmed = text.strip()
     if not trimmed:
+        _record(False, text)    # empty input is not a filter decision
         return ""
 
     # punctuation/music-symbol-only output (e.g. "...", "♪")
     if all(_is_punctish(c) for c in trimmed):
+        _record(True, trimmed)
         return ""
 
     lower = trimmed.lower()
@@ -64,5 +96,7 @@ def filter_hallucinations(text: str) -> str:
                             r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
     for phrase in HALLUCINATION_PHRASES:
         if stripped == phrase.lower():
+            _record(True, trimmed)
             return ""
+    _record(False, trimmed)
     return trimmed

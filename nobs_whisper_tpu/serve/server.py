@@ -182,6 +182,12 @@ class ServerState:
     def subscribe(self, sid: str) -> "queue.Queue[SessionEvent]":
         q: "queue.Queue[SessionEvent]" = queue.Queue()
         with self._lock:
+            # atomic with session existence: a subscribe racing the
+            # session's DELETE would otherwise setdefault a fresh
+            # event_queues entry for a dead session and leak it
+            # forever (found by the soak's hostile-WS worker)
+            if sid not in self.sessions:
+                raise KeyError(f"no session {sid}")
             self.event_queues.setdefault(sid, []).append(q)
         return q
 
@@ -349,7 +355,16 @@ def make_handler(state: ServerState):
             if not wsmod.is_upgrade_request(self.headers):
                 return self._error("expected a websocket upgrade", 400)
             sock = wsmod.upgrade(self)
-            q = state.subscribe(sid)
+            try:
+                q = state.subscribe(sid)
+            except KeyError:
+                # the session was deleted between the existence check
+                # and the subscribe; we're already in RFC 6455 land, so
+                # answer on the SOCKET (a raised KeyError would make
+                # _guarded write HTTP 404 into the upgraded stream)
+                sock.send_json({"error": f"no session {sid}"})
+                sock.close()
+                return
             stop_pump = threading.Event()
 
             def pump_events():

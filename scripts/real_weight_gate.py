@@ -18,6 +18,13 @@ Stages (each independently skippable via --stages):
   parity     - transcript exact-match vs a directory of whisper.cpp
                greedy outputs (--cpp-transcripts DIR with <utt>.txt
                files), the reference-fidelity bar from BASELINE.md
+  beam       - beam5 WER/RTF (a headline serving path at 578x; oracle
+               parity is synthetic-only until here)
+  hallucination - false-drop rate of the ported phrase filter on real
+               speech (reads the baseline stage's counters)
+  vad_boundary - chunk-boundary WER on real long-form: VAD 200 ms-
+               overlap chain vs the 30 s-window path on identical
+               concatenated streams
   spec       - speculative k/pool acceptance sweep ON REAL SPEECH; the
                offline finding (acceptance pool-independent on random
                weights, ROADMAP session-6) cannot gate the default —
@@ -59,6 +66,17 @@ THRESHOLDS = {
     "max_wer_delta_abs": 0.002,
     # transcript fidelity bar vs whisper.cpp greedy (BASELINE.md row)
     "parity_min_exact": 0.90,
+    # beam5 (a headline serving path at 578x) must not cost more than
+    # 1% absolute WER vs greedy on real speech, or something is wrong
+    # with the beam semantics port (it should HELP)
+    "beam_max_wer_delta_abs": 0.01,
+    # the ported hallucination phrase table must not eat real content:
+    # false-drop rate on real (reference-transcribed) speech
+    "hallucination_max_drop_rate": 0.01,
+    # the VAD 200 ms-overlap chunk chain vs the 30 s-window longform
+    # path on the SAME long-form audio: the join must not cost >1.5%
+    # absolute WER (duplicated/lost words at chunk seams)
+    "vad_boundary_max_wer_delta_abs": 0.015,
 }
 
 SPEC_SWEEP = [(3, 2), (3, 8), (3, 32), (3, 64), (4, 32)]
@@ -287,8 +305,83 @@ def stage_audio_ctx(args, work: Path) -> dict:
             "sweep": out}
 
 
-STAGES = ["download", "baseline", "parity", "spec", "int8_attn",
-          "audio_ctx"]
+def stage_beam(args, work: Path) -> dict:
+    """beam5 WER/RTF on real speech (beam is a headline serving path at
+    578x RTF — its accuracy has only HF-oracle synthetic coverage)."""
+    base = json.loads((work / "baseline.json").read_text()) \
+        if (work / "baseline.json").exists() else None
+    if base is None or "error" in base:
+        return {"ok": False, "error": "baseline stage required first"}
+    extra = ["--batch", str(args.batch), "--limit", str(args.limit),
+             "--quant", args.quant, "--language", args.language,
+             "--beam-size", "5",
+             "--dump-hyp", str(work / "beam5_hyp.jsonl")]
+    s = run_eval(args.corpus, args.model, work / "beam5.json",
+                 extra=extra, platform=args.platform)
+    if "error" in s:
+        return {"ok": False, "error": s["error"]}
+    delta = round(s["wer"] - base["wer"], 4)
+    return {"ok": delta <= THRESHOLDS["beam_max_wer_delta_abs"],
+            "wer": s["wer"], "baseline_wer": base["wer"],
+            "wer_delta_abs": delta, "rtf": s.get("rtf"),
+            "threshold_wer_delta_abs":
+                THRESHOLDS["beam_max_wer_delta_abs"]}
+
+
+def stage_hallucination(args, work: Path) -> dict:
+    """False-drop rate of the ported phrase filter on real speech
+    (whisper.rs:202-260 behavior, priced at last): every utterance in
+    the corpus HAS real content, so every filter drop here is a false
+    positive. Reads the baseline stage's counters — no extra eval."""
+    base = json.loads((work / "baseline.json").read_text()) \
+        if (work / "baseline.json").exists() else None
+    if base is None or "error" in base:
+        return {"ok": False, "error": "baseline stage required first"}
+    stats = base.get("hallucination_filter")
+    if not stats or not stats.get("calls"):
+        return {"ok": False,
+                "error": "baseline carries no hallucination_filter "
+                         "counters (re-run the baseline stage with "
+                         "current eval.py)"}
+    rate = stats["dropped"] / stats["calls"]
+    return {"ok": rate <= THRESHOLDS["hallucination_max_drop_rate"],
+            "calls": stats["calls"], "dropped": stats["dropped"],
+            "false_drop_rate": round(rate, 4),
+            "dropped_texts": stats.get("dropped_texts", [])[:20],
+            "threshold": THRESHOLDS["hallucination_max_drop_rate"]}
+
+
+def stage_vad_boundary(args, work: Path) -> dict:
+    """Chunk-boundary WER on real long-form: concatenate utterances
+    into >30 s streams (0.8 s gaps) and run BOTH long-form paths —
+    the VAD 200 ms-overlap chunk chain (audio.rs:111-156 +
+    state.rs:757-778) and the 30 s-window seek path — on identical
+    audio. The delta prices the overlap join."""
+    concat = ["--concat", str(args.vad_concat), "--limit",
+              str(args.limit), "--quant", args.quant,
+              "--language", args.language, "--batch", "1"]
+    chunked = run_eval(args.corpus, args.model,
+                       work / "vad_chunked.json",
+                       extra=concat + ["--vad-chunked"],
+                       platform=args.platform)
+    control = run_eval(args.corpus, args.model,
+                       work / "vad_control.json",
+                       extra=concat, platform=args.platform)
+    if "error" in chunked or "error" in control:
+        return {"ok": False,
+                "error": chunked.get("error") or control.get("error")}
+    delta = round(chunked["wer"] - control["wer"], 4)
+    return {"ok": delta <= THRESHOLDS["vad_boundary_max_wer_delta_abs"],
+            "streams": chunked.get("utterances"),
+            "wer_vad_chunked": chunked["wer"],
+            "wer_longform_control": control["wer"],
+            "wer_delta_abs": delta,
+            "threshold_wer_delta_abs":
+                THRESHOLDS["vad_boundary_max_wer_delta_abs"]}
+
+
+STAGES = ["download", "baseline", "parity", "beam", "hallucination",
+          "vad_boundary", "spec", "int8_attn", "audio_ctx"]
 
 
 def main(argv=None):
@@ -311,6 +404,10 @@ def main(argv=None):
     p.add_argument("--language", default="en")
     p.add_argument("--audio-ctx-sweep", type=int, nargs="+",
                    default=[1000, 750])
+    p.add_argument("--vad-concat", type=int, default=5,
+                   help="utterances concatenated per long-form stream "
+                        "in the vad_boundary stage (5 LibriSpeech "
+                        "utterances ~ 40-60 s: several VAD seams each)")
     p.add_argument("--spec-sweep", default=None, metavar="K:P,K:P",
                    help="override the speculative (k, pool) grid, e.g. "
                         "'3:8,3:32' (default: "
@@ -343,6 +440,9 @@ def main(argv=None):
         "download": lambda: stage_download(args),
         "baseline": lambda: stage_baseline(args, work),
         "parity": lambda: stage_parity(args, work),
+        "beam": lambda: stage_beam(args, work),
+        "hallucination": lambda: stage_hallucination(args, work),
+        "vad_boundary": lambda: stage_vad_boundary(args, work),
         "spec": lambda: stage_spec(args, work),
         "int8_attn": lambda: stage_int8_attn(args, work),
         "audio_ctx": lambda: stage_audio_ctx(args, work),

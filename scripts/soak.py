@@ -90,6 +90,14 @@ def main():
                         "host-RSS transfer leak) and use the configured "
                         "--platform-leak-factor instead")
     p.add_argument("--platform", default=None)
+    p.add_argument("--hostile", type=int, default=1,
+                   help="hostile-client workers hammering the WS "
+                        "surface with the fuzz corpus (bad handshakes, "
+                        "length lies, truncated frames, junk verbs, "
+                        "RST disconnects) throughout the soak; their "
+                        "own failures are expected — the pass signal "
+                        "is the REAL workers staying error-free "
+                        "alongside them. 0 disables")
     p.add_argument("--out", default="scripts/soak_result.json")
     args = p.parse_args()
 
@@ -255,6 +263,100 @@ def main():
                 with lock:
                     errors.append(f"swap: {type(e).__name__}: {e}")
 
+    hostile_attacks = [0]
+
+    def hostile_worker(i: int):
+        """One attack per iteration from the WS fuzz corpus
+        (tests/test_fuzz_ws.py) against a live session's WS endpoint.
+        Attack outcomes are irrelevant (errors expected); the real
+        workers running clean NEXT TO this is the robustness signal."""
+        import socket as sm
+        import struct
+
+        rng = random.Random(1000 + i)
+
+        def masked(op, payload, fin=True):
+            head = bytearray([(0x80 if fin else 0) | op])
+            n = len(payload)
+            if n < 126:
+                head.append(0x80 | n)
+            elif n < (1 << 16):
+                head.append(0x80 | 126)
+                head += struct.pack(">H", n)
+            else:
+                head.append(0x80 | 127)
+                head += struct.pack(">Q", n)
+            mask = b"\x01\x02\x03\x04"
+            head += mask
+            return bytes(head) + bytes(
+                b ^ mask[j % 4] for j, b in enumerate(payload))
+
+        def attack():
+            sess = client.session(language="en")
+            sid = sess.id
+            try:
+                s = sm.create_connection(("127.0.0.1", port), timeout=10)
+                s.settimeout(10)
+                try:
+                    kind = rng.randrange(6)
+                    if kind == 0:          # handshake without key
+                        s.sendall((f"GET /sessions/{sid}/ws HTTP/1.1"
+                                   "\r\nHost: h\r\nUpgrade: websocket"
+                                   "\r\nConnection: Upgrade\r\n\r\n"
+                                   ).encode())
+                        s.recv(4096)
+                        return
+                    s.sendall((f"GET /sessions/{sid}/ws HTTP/1.1\r\n"
+                               "Host: h\r\nUpgrade: websocket\r\n"
+                               "Connection: Upgrade\r\n"
+                               "Sec-WebSocket-Key: aGFja2F0dGFjaw==\r\n"
+                               "\r\n").encode())
+                    head = b""
+                    while b"\r\n\r\n" not in head:
+                        c = s.recv(4096)
+                        if not c:
+                            return
+                        head += c
+                    if kind == 1:          # 64-bit length lie
+                        s.sendall(bytes([0x82, 0xFF])
+                                  + struct.pack(">Q", 1 << 61)
+                                  + b"\x00" * 4)
+                        s.recv(4096)
+                    elif kind == 2:        # truncated frame + vanish
+                        s.sendall(masked(0x2, b"\x00" * 4000)[:50])
+                    elif kind == 3:        # junk verbs
+                        for p_ in (b"not json", b"[1]",
+                                   b'{"verb": "explode"}'):
+                            s.sendall(masked(0x1, p_))
+                            s.recv(4096)
+                    elif kind == 4:        # garbage bytes
+                        s.sendall(rng.randbytes(1024))
+                        s.recv(4096)
+                    else:                  # RST mid-recording
+                        s.sendall(masked(0x1, b'{"verb": "start"}'))
+                        s.sendall(masked(
+                            0x2, np.zeros(2000, "<f4").tobytes()))
+                        s.setsockopt(sm.SOL_SOCKET, sm.SO_LINGER,
+                                     struct.pack("ii", 1, 0))
+                finally:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+            finally:
+                try:
+                    sess.delete()
+                except Exception:
+                    pass
+
+        while not stop.is_set() and time.time() < deadline:
+            try:
+                attack()
+            except Exception:
+                pass                      # attacker errors are expected
+            hostile_attacks[0] += 1
+            time.sleep(rng.uniform(0.1, 0.5))
+
     rss_samples = []        # (t, mb)
     transferred_total = [0.0]   # accumulated across hot-swapped engines
     _last_tv = [0.0]
@@ -286,6 +388,9 @@ def main():
 
     threads = ([threading.Thread(target=worker, args=(i,), daemon=True)
                 for i in range(args.sessions)]
+               + [threading.Thread(target=hostile_worker, args=(i,),
+                                   daemon=True)
+                  for i in range(args.hostile)]
                + [threading.Thread(target=swapper, daemon=True),
                   threading.Thread(target=monitor, daemon=True)])
     t_start = time.time()
@@ -369,6 +474,7 @@ def main():
         "minutes": round(wall / 60, 2),
         "sessions": args.sessions,
         "cycles": cycles[0],
+        "hostile_attacks": hostile_attacks[0],
         "swaps": swap_count[0],
         "swap_failures": swap_fail[0],
         "watchdog_trips": watchdog,
