@@ -149,6 +149,10 @@ def beam_decode_window_jit(
     no_speech_prob = jax.nn.softmax(
         sot_logits, axis=-1)[:, cfg.no_speech].reshape(b, k)[:, 0]
 
+    import os
+    ancestry_mode = bool(os.environ.get("NWT_BEAM_ANCESTRY"))
+    t_cache_real = cache[0].shape[-1]
+
     tb = tables.timestamp_begin
     state = dict(
         step=jnp.int32(0),
@@ -164,6 +168,14 @@ def beam_decode_window_jit(
         fin_cum=jnp.full((b, k), -1e30, jnp.float32),
         fin_valid=jnp.zeros((b, k), bool),
     )
+    if ancestry_mode:
+        # ancestry pointers (NWT_BEAM_ANCESTRY=1): the cache never
+        # permutes; anc[(b,q), t] = the within-element beam row whose
+        # written KV at cache position t belongs to beam q's history.
+        # Prefill wrote every row its own identical copy -> identity.
+        state["anc"] = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :, None],
+            (b, k, t_cache_real))
 
     def cond(s):
         return (s["step"] < sample_len) & ~jnp.all(s["fin_valid"])
@@ -218,11 +230,24 @@ def beam_decode_window_jit(
         # ~45% of the measured 5.16 ms step). Exact: each output row is
         # 1.0 * one source row accumulated in f32, so values round-trip
         # bit-identically in both bf16 and f32 caches (test_beam pins
-        # token equality). NWT_BEAM_GATHER_REORDER=1 reverts (trace
-        # time, like every knob — docs/KNOBS.md).
+        # token equality). NWT_BEAM_GATHER_REORDER=1 reverts; NWT_BEAM_
+        # ANCESTRY=1 skips the reorder entirely and reads through
+        # ancestry pointers instead (trace time, like every knob —
+        # docs/KNOBS.md).
+        anc = None
         import os
         flat_src = (jnp.arange(b)[:, None] * k + src).reshape(bk)
-        if os.environ.get("NWT_BEAM_GATHER_REORDER"):
+        if ancestry_mode:
+            # no cache movement: row q inherits src[q]'s history map,
+            # then owns the slot the forward below writes
+            cache = s["cache"]
+            anc = jnp.take_along_axis(
+                s["anc"], src[:, :, None], axis=1)
+            own = jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32)[None, :], (b, k))
+            anc = jax.lax.dynamic_update_index_in_dim(
+                anc, own, p_max + step, axis=2)
+        elif os.environ.get("NWT_BEAM_GATHER_REORDER"):
             cache = jax.tree.map(lambda t: t[:, flat_src], s["cache"])
         else:
             def perm(t):
@@ -248,14 +273,20 @@ def beam_decode_window_jit(
 
         logits_next, cache = decoder_forward(
             params, tok.reshape(bk, 1), p_max + step, pad_rep, cache,
-            cross_kv, cfg, compute_dtype)
+            cross_kv, cfg, compute_dtype,
+            ancestry=(anc.reshape(bk, t_cache_real)
+                      if anc is not None else None),
+            beam_k=k if anc is not None else 0)
 
-        return dict(
+        out = dict(
             step=step + 1, tokens=tokens,
             cum=cum, cache=cache, last=last, penult=penult, max_ts=max_ts,
             logits=logits_next[:, 0], fin_tokens=fin_tokens,
             fin_len=fin_len, fin_cum=fin_cum, fin_valid=fin_valid,
         )
+        if anc is not None:
+            out["anc"] = anc
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
     return (s["fin_tokens"], s["fin_len"], s["fin_cum"], s["fin_valid"],

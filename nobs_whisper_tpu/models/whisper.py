@@ -172,6 +172,44 @@ def _attention_kt(q: jnp.ndarray, kT: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("...hts,...hsd->...htd", probs.astype(v.dtype), v)
 
 
+def _attention_kt_ancestry(q: jnp.ndarray, kT: jnp.ndarray,
+                           v: jnp.ndarray, mask, ancestry: jnp.ndarray,
+                           beam_k: int) -> jnp.ndarray:
+    """Beam self-attention THROUGH ancestry pointers: the cache is
+    never permuted; ``ancestry[i, t]`` names the within-element beam
+    row whose written KV at position t belongs to row i's history.
+    Scores/PV become grouped contractions over the K source rows with
+    a one-hot ancestry mask (extra MACs = K x the tiny self-attention
+    flops; the win is the DELETED per-step whole-cache permutation —
+    scripts/beam_ancestry_probe.py). Exact modulo f32 reassociation
+    (the mask contributes only exact-zero terms; test_beam pins token
+    equality).
+
+    q (BK, H, 1, Dh); kT (BK, H, Dh, T); v (BK, H, T, Dh);
+    mask (BK, 1, 1, T); ancestry (BK, T) int32 in [0, beam_k)."""
+    bk, h, s, dh = q.shape
+    assert s == 1, "ancestry attention is the single-token step path"
+    b = bk // beam_k
+    t = kT.shape[-1]
+    scale = dh ** -0.25
+    qg = (q * scale).reshape(b, beam_k, h, dh)
+    kg = (kT * scale).reshape(b, beam_k, h, dh, t)
+    vg = v.reshape(b, beam_k, h, t, dh)
+    hot = jax.nn.one_hot(ancestry.reshape(b, beam_k, t), beam_k,
+                         dtype=jnp.float32, axis=-1)   # (B, Kq, T, Ks)
+    s_all = jnp.einsum("bqhd,bkhdt->bqkht", qg, kg,
+                       preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bqkht,bqtk->bqht", s_all, hot)
+    if mask is not None:
+        scores = jnp.where(mask.reshape(b, beam_k, 1, t), scores,
+                           jnp.float32(-1e9))
+    probs = jax.nn.softmax(scores, axis=-1)
+    psel = jnp.einsum("bqht,bqtk->bqkht", probs.astype(v.dtype),
+                      hot.astype(v.dtype))
+    out = jnp.einsum("bqkht,bkhtd->bqhd", psel, vg)
+    return out.reshape(bk, h, 1, dh)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -620,6 +658,8 @@ def decoder_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     pos_base: Optional[jnp.ndarray] = None,    # (B,) int32
     slot_mask: Optional[jnp.ndarray] = None,   # (B, T_cache) bool
+    ancestry: Optional[jnp.ndarray] = None,    # (B, T_cache) int32
+    beam_k: int = 0,                           # static group size
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One decoder pass over S tokens (S=1 for the sampling hot loop,
     S=prompt length for prefill). Returns fp32 logits (B, S, V) and the
@@ -641,11 +681,16 @@ def decoder_forward(
     slots create holes), and ``slot_mask`` additionally masks cache
     slots per row (False = a rejected slot nothing may attend to). Both
     default to None = exactly the non-speculative behavior.
+
+    Beam search's ancestry mode (decode/beam.py, NWT_BEAM_ANCESTRY)
+    passes ``ancestry`` (B, T_cache) + static ``beam_k``: rows never
+    permute the cache; self-attention reads each position's KV from
+    its ancestor row via :func:`_attention_kt_ancestry`. S must be 1.
     """
     with _precision_scope(compute_dtype):
         return _decoder_forward(params, tokens, cache_start, pad_lens,
                                 kv_cache, cross_kv, cfg, compute_dtype,
-                                pos_base, slot_mask)
+                                pos_base, slot_mask, ancestry, beam_k)
 
 
 def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
@@ -683,7 +728,8 @@ def _dense(x: jnp.ndarray, w, b=None) -> jnp.ndarray:
 
 def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
                      cross_kv, cfg, compute_dtype,
-                     pos_base=None, slot_mask=None):
+                     pos_base=None, slot_mask=None,
+                     ancestry=None, beam_k=0):
     dec = params["decoder"]
     n_head = cfg.n_text_head
     b, s = tokens.shape
@@ -804,8 +850,15 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
                 ck, kT[None].astype(ck.dtype), (layer, 0, 0, 0, cache_start))
             cv = jax.lax.dynamic_update_slice(
                 cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
-            a = _attention_kt(q, ck[layer].astype(compute_dtype),
-                              cv[layer].astype(compute_dtype), self_mask)
+            if ancestry is not None:
+                a = _attention_kt_ancestry(
+                    q, ck[layer].astype(compute_dtype),
+                    cv[layer].astype(compute_dtype), self_mask,
+                    ancestry, beam_k)
+            else:
+                a = _attention_kt(q, ck[layer].astype(compute_dtype),
+                                  cv[layer].astype(compute_dtype),
+                                  self_mask)
             x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
             xk_l = (jax.tree.map(lambda t: t[layer], xk)
                     if isinstance(xk, dict) else xk[layer])
@@ -832,8 +885,14 @@ def _decoder_forward(params, tokens, cache_start, pad_lens, kv_cache,
                 cv, v[None].astype(cv.dtype), (layer, 0, 0, cache_start, 0))
             ck_l = jax.lax.dynamic_index_in_dim(ck, layer, keepdims=False)
             cv_l = jax.lax.dynamic_index_in_dim(cv, layer, keepdims=False)
-            a = _attention_kt(q, ck_l.astype(compute_dtype),
-                              cv_l.astype(compute_dtype), self_mask)
+            if ancestry is not None:
+                a = _attention_kt_ancestry(
+                    q, ck_l.astype(compute_dtype),
+                    cv_l.astype(compute_dtype), self_mask,
+                    ancestry, beam_k)
+            else:
+                a = _attention_kt(q, ck_l.astype(compute_dtype),
+                                  cv_l.astype(compute_dtype), self_mask)
             x = x + _dense(_merge_heads(a), p["o_w"], p["o_b"])
             xk_l = jax.tree.map(
                 lambda t: jax.lax.dynamic_index_in_dim(

@@ -226,3 +226,34 @@ def test_beam_shared_packed_cross_kv_matches_plain(setup):
             assert sh_r.tokens == pl_r.tokens, f"seed {seed}"
             assert sh_r.sum_logprob == pytest.approx(pl_r.sum_logprob,
                                                      abs=5e-2)
+
+
+def test_beam_ancestry_matches_permuted(setup):
+    """NWT_BEAM_ANCESTRY=1 (self-attention through ancestry pointers,
+    no per-step cache permutation) must be token-equal with the
+    default one-hot-reorder path — the adoption gate for the round-5
+    reorder-deletion lever (scripts/beam_ancestry_probe.py). The knob
+    is trace-time, so caches are cleared around the flip."""
+    import os
+
+    import jax
+    params, cfg, sp = setup
+    tables = build_rule_tables(cfg, DecodeOptions())
+    for seed, batch in ((0, 1), (3, 2), (7, 3)):
+        xa, prompt = _xa_and_prompt(params, cfg, sp, seed, batch=batch)
+        prompts = [prompt] * batch
+        jax.clear_caches()
+        base = beam_decode_window(params, xa, prompts, cfg, tables,
+                                  beam_size=3)
+        os.environ["NWT_BEAM_ANCESTRY"] = "1"
+        jax.clear_caches()
+        try:
+            anc = beam_decode_window(params, xa, prompts, cfg, tables,
+                                     beam_size=3)
+        finally:
+            del os.environ["NWT_BEAM_ANCESTRY"]
+            jax.clear_caches()
+        for b_r, a_r in zip(base, anc):
+            assert a_r.tokens == b_r.tokens, f"seed {seed}"
+            assert a_r.sum_logprob == pytest.approx(b_r.sum_logprob,
+                                                    abs=1e-3)
