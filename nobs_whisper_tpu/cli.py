@@ -175,9 +175,15 @@ def _default_batch(model: Optional[str]) -> int:
 def _default_beam_batch(model: Optional[str], beam_size: int) -> int:
     """Beam-strategy batch knee: the flattened row count (batch x beam)
     is what the decode loop scales with, and its measured budget is
-    ~120 rows (turbo beam5 sweep, round 4: B=8/16/20/24/32 ->
-    299/337/521/578/419x — knee B=24 = BK 120, HBM-pressure cliff past
-    it). large-v3 measured at the same budget (ROADMAP round-4).
+    ~120 rows — now confirmed PER MODEL, not turbo-derived (round-5
+    sweeps, scripts/beam_results.jsonl): turbo B=8/16/20/24/28/32 ->
+    299/337/521/578/396/419x (knee B=24 = BK 120); small B=8/16/24/32
+    -> 219/331/429/342x (knee 24); medium B=16/24/32 ->
+    132.5/170.9/134.5x (knee 24); large-v3 climbs to its greedy HBM
+    cap B=24 (51.5/79.3/101.6x at 8/16/24) and B>=28 OOMs — so the
+    min() with the greedy knee IS its measured ceiling. The BK~120
+    cliff is structural across families (HBM pressure of BK cache
+    rows + activations), so 120//K generalizes to other beam widths.
     Clamped to the greedy knee (beam can never batch MORE windows than
     greedy fits). Without this, a beam_size=5 server config batched at
     the greedy knee (BK=200 at turbo) — past both the knee and the
@@ -231,11 +237,21 @@ def cmd_serve(args):
             # decode strategy from the persisted config (whisper.rs:88
             # analog); sessions can still override per-request
             app = cm.config
+            okw = {}
+            if getattr(args, "sample_len", 0):
+                # decode-length cap per window (operator knob; also what
+                # lets the router soak run tiny-random checkpoints at
+                # real-utterance cycle times — random weights never emit
+                # EOT)
+                okw["sample_len"] = args.sample_len
+            if getattr(args, "temperature_increment", None) is not None:
+                okw["temperature_increment"] = args.temperature_increment
             opts = DecodeOptions(
                 beam_size=app.beam_size if app.beam_size > 1 else None,
                 best_of=max(app.best_of, 1),
                 temperature=float(app.temperature),
-                task=str(getattr(app, "task", None) or "transcribe"))
+                task=str(getattr(app, "task", None) or "transcribe"),
+                **okw)
             speculative = args.speculative
             if speculative and (app.beam_size or 1) > 1:
                 print("--speculative applies to greedy batches only; the "
@@ -474,6 +490,14 @@ def main(argv=None):
                         "(first-ever run: minutes of remote compile up "
                         "front; warm persistent cache: seconds — no "
                         "live request then ever pays a compile)")
+    s.add_argument("--sample-len", type=int, default=0,
+                   help="cap decoded tokens per 30 s window (0 = model "
+                        "default n_text_ctx/2). Operator knob for "
+                        "latency-bounded serving; the router soak uses "
+                        "it to bound random-weight decode")
+    s.add_argument("--temperature-increment", type=float, default=None,
+                   help="fallback-ladder step (0 disables retries; "
+                        "default: DecodeOptions' 0.2)")
     s.add_argument("--rss-watermark-mb", type=float, default=0.0,
                    help="self-drain when host RSS exceeds this (MB): "
                         "new sessions 503, /stats reports draining, and "

@@ -26,6 +26,15 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "scripts", "beam_results.jsonl")
 
 
+def variant() -> str:
+    """Config tag for the results key (one-hot default vs opt-ins)."""
+    if os.environ.get("NWT_BEAM_ANCESTRY"):
+        return "ancestry"
+    if os.environ.get("NWT_BEAM_GATHER_REORDER"):
+        return "gather"
+    return "onehot"
+
+
 def banked() -> set:
     done = set()
     if os.path.exists(OUT):
@@ -36,7 +45,8 @@ def banked() -> set:
                 except ValueError:
                     continue
                 if rec.get("ok"):
-                    done.add((rec["model"], rec["beam"], rec["batch"]))
+                    done.add((rec["model"], rec["beam"], rec["batch"],
+                              rec.get("variant", "onehot")))
     return done
 
 
@@ -95,13 +105,15 @@ def main():
         return jnp.sum(act_cum)
 
     done = banked()
+    var = variant()
     for batch in batches:
-        if (model, beam_size, batch) in done:
-            print(f"# beam{beam_size} B={batch} {model}: banked, skipping",
-                  file=sys.stderr)
+        if (model, beam_size, batch, var) in done:
+            print(f"# beam{beam_size} B={batch} {model} [{var}]: banked, "
+                  "skipping", file=sys.stderr)
             continue
         t0 = time.time()
-        rec = {"model": model, "beam": beam_size, "batch": batch}
+        rec = {"model": model, "beam": beam_size, "batch": batch,
+               "variant": var}
         try:
             audio = np.stack([
                 np.asarray(pad_or_trim(speech_like_audio(28.0, seed=s)))

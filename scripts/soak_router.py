@@ -109,12 +109,14 @@ def main():
     if args.platform:
         cmd += ["--platform", args.platform]
     cmd += ["serve", "--port", str(bport), "--model", model,
-            "--quant", args.quant, "--batch", str(args.batch)]
+            "--quant", args.quant, "--batch", str(args.batch),
+            # random weights never emit EOT and fail every quality
+            # gate: cap decode length + disable the fallback ladder so
+            # a cycle costs what a real utterance does (same profile
+            # as scripts/soak.py's in-process factory)
+            "--sample-len", "16", "--temperature-increment", "0"]
     if args.rss_watermark_mb > 0:
         cmd += ["--rss-watermark-mb", str(args.rss_watermark_mb)]
-    # random weights never emit EOT: cap decode via the persisted config?
-    # no — the soak uses short audio; sample_len is bounded by the
-    # session path's utterance length on tiny models, which is fast.
 
     backend = ManagedBackend(f"http://127.0.0.1:{bport}", cmd, env=env,
                              log_path=os.path.join(tmp, "backend.log"))
